@@ -1,0 +1,259 @@
+"""Encoder parameter system.
+
+Role of the reference `x265_param` mega-struct + preset/tune ladder +
+string parser (`x265.h:1034-2050`, `common/param.cpp:112-1947`), rebuilt
+as a dataclass with the same layered resolution:
+``default -> preset -> tune -> parse(name,value) -> check``.
+
+Only the subset wired into the TPU pipeline is functional today; the
+remaining reference options are declared so the CLI surface matches and
+validation can reject unsupported combinations loudly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+MAX_FRAME_THREADS = 16
+MAX_BFRAMES = 16
+MAX_LOOKAHEAD = 250
+QP_MAX_SPEC = 51
+QP_MAX_MAX = 69  # VBV emergency headroom (reference common/common.h:158)
+
+PRESETS = ["ultrafast", "superfast", "veryfast", "faster", "fast",
+           "medium", "slow", "slower", "veryslow", "placebo"]
+TUNES = ["psnr", "ssim", "grain", "zerolatency", "fastdecode", "animation"]
+
+
+@dataclass
+class Param:
+    # --- input description ---
+    width: int = 0
+    height: int = 0
+    fps_num: int = 25
+    fps_den: int = 1
+    internal_bit_depth: int = 8
+    chroma_format: int = 1            # 1 = i420 (only format wired up yet)
+    total_frames: int = 0             # aMod XLENGTH support
+    # --- structure ---
+    ctu_size: int = 16                # 16/32/64; v1 pipeline uses 16
+    min_cu_size: int = 16
+    max_tu_size: int = 16
+    keyint: int = 250
+    min_keyint: int = 0
+    bframes: int = 0
+    bframe_bias: int = 0
+    b_adapt: int = 0
+    b_pyramid: bool = True
+    open_gop: bool = True
+    rc_lookahead: int = 20
+    lookahead_depth: int = 20
+    ref: int = 1
+    # --- analysis ---
+    rd_level: int = 2
+    me_method: str = "hex"            # dia/hex/umh/star/sea/full -> TPU grid
+    me_range: int = 57
+    subme: int = 2
+    max_merge: int = 3
+    rect: bool = False
+    amp: bool = False
+    early_skip: bool = True
+    fast_intra: bool = False
+    b_intra: bool = False
+    tu_intra_depth: int = 1
+    tu_inter_depth: int = 1
+    # --- quant / quality ---
+    qp: int = 32
+    crf: float = 28.0
+    bitrate: int = 0                  # kbps; 0 = CRF/CQP
+    rc_mode: str = "cqp"              # cqp / crf / abr
+    aq_mode: int = 0
+    aq_strength: float = 1.0
+    cutree: bool = False
+    qp_step: int = 4
+    ip_factor: float = 1.4
+    pb_factor: float = 1.3
+    rdoq_level: int = 0
+    psy_rd: float = 0.0
+    psy_rdoq: float = 0.0
+    sign_hide: bool = False
+    scaling_lists: str = "flat"       # flat quant matrices (m=16)
+    lossless: bool = False
+    vbv_maxrate: int = 0
+    vbv_bufsize: int = 0
+    vbv_init: float = 0.9
+    # --- loop filters ---
+    deblock: bool = False             # v1: off (PPS-disabled, conformant)
+    deblock_tc_offset: int = 0
+    deblock_beta_offset: int = 0
+    sao: bool = False
+    # --- parallelism (TPU shape) ---
+    frame_parallelism: int = 1        # GOP/frame shards across devices
+    wpp: bool = False                 # WPP entry points (substreams)
+    devices: int = 1
+    # --- bitstream ---
+    repeat_headers: bool = False
+    annexb: bool = True
+    aud: bool = False
+    hrd: bool = False
+    info: bool = True
+    temporal_layers: int = 1
+    # --- logging (aMod extended progress is in the CLI) ---
+    log_level: int = 2
+    csv: str = ""
+    csv_log_level: int = 0
+    # --- misc toggles (declared for surface parity; validated below) ---
+    preset: str = "medium"
+    tune: str = ""
+
+    def copy(self) -> "Param":
+        return dataclasses.replace(self)
+
+
+# Preset ladder: follows the documented reference ladder
+# (doc/reST/presets.rst:35-100) re-expressed for the TPU pipeline knobs.
+_PRESET_TABLE = {
+    # preset: (rc_lookahead, bframes, ref, me, subme, rd, rect, amp, rdoq)
+    "ultrafast": dict(rc_lookahead=5, bframes=3, ref=1, me_method="dia",
+                      subme=0, rd_level=2, rect=False, amp=False,
+                      rdoq_level=0, early_skip=True, fast_intra=True,
+                      max_tu_size=16, sao=False, aq_mode=0),
+    "superfast": dict(rc_lookahead=10, bframes=3, ref=1, me_method="hex",
+                      subme=1, rd_level=2, rect=False, amp=False,
+                      rdoq_level=0, early_skip=True, fast_intra=True),
+    "veryfast": dict(rc_lookahead=15, bframes=4, ref=2, me_method="hex",
+                     subme=1, rd_level=2, rect=False, amp=False,
+                     rdoq_level=0, early_skip=True),
+    "faster": dict(rc_lookahead=15, bframes=4, ref=2, me_method="hex",
+                   subme=2, rd_level=2, rect=False, amp=False,
+                   rdoq_level=0, early_skip=True),
+    "fast": dict(rc_lookahead=15, bframes=3, ref=3, me_method="hex",
+                 subme=2, rd_level=2, rect=False, amp=False, rdoq_level=0),
+    "medium": dict(rc_lookahead=20, bframes=4, ref=3, me_method="hex",
+                   subme=2, rd_level=3, rect=False, amp=False,
+                   rdoq_level=0),
+    "slow": dict(rc_lookahead=25, bframes=4, ref=4, me_method="star",
+                 subme=3, rd_level=4, rect=True, amp=False, rdoq_level=2),
+    "slower": dict(rc_lookahead=40, bframes=8, ref=4, me_method="star",
+                   subme=3, rd_level=6, rect=True, amp=True, rdoq_level=2),
+    "veryslow": dict(rc_lookahead=40, bframes=8, ref=5, me_method="star",
+                     subme=4, rd_level=6, rect=True, amp=True,
+                     rdoq_level=2),
+    "placebo": dict(rc_lookahead=60, bframes=8, ref=5, me_method="star",
+                    subme=5, rd_level=6, rect=True, amp=True,
+                    rdoq_level=2),
+}
+
+
+def param_default_preset(preset: str = "medium", tune: str = "") -> Param:
+    if preset not in PRESETS:
+        raise ValueError(f"unknown preset '{preset}'")
+    p = Param(preset=preset, tune=tune)
+    for k, v in _PRESET_TABLE[preset].items():
+        setattr(p, k, v)
+    if tune:
+        if tune not in TUNES:
+            raise ValueError(f"unknown tune '{tune}'")
+        if tune == "zerolatency":
+            p.bframes = 0
+            p.rc_lookahead = 0
+            p.frame_parallelism = 1
+        elif tune == "grain":
+            p.aq_mode = 0
+            p.cutree = False
+            p.ip_factor = 1.1
+            p.pb_factor = 1.1
+        elif tune in ("psnr", "ssim"):
+            p.psy_rd = 0.0
+            p.psy_rdoq = 0.0
+        elif tune == "fastdecode":
+            p.deblock = False
+            p.sao = False
+    return p
+
+
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+_BOOL_FALSE = {"0", "false", "no", "off"}
+
+
+def param_parse(p: Param, name: str, value: str | None = None) -> None:
+    """String option parser (role of x265_param_parse, param.cpp:710)."""
+    name = name.replace("_", "-").lstrip("-")
+    negated = name.startswith("no-")
+    if negated:
+        name = name[3:]
+        value = "false"
+    elif value is None:
+        value = "true"
+
+    aliases = {
+        "input-res": "_res", "fps": "_fps", "qp": "qp", "crf": "crf",
+        "keyint": "keyint", "min-keyint": "min_keyint",
+        "bframes": "bframes", "ref": "ref", "ctu": "ctu_size",
+        "rd": "rd_level", "me": "me_method", "merange": "me_range",
+        "subme": "subme", "aq-mode": "aq_mode",
+        "aq-strength": "aq_strength", "rc-lookahead": "rc_lookahead",
+        "rdoq-level": "rdoq_level", "psy-rd": "psy_rd",
+        "psy-rdoq": "psy_rdoq", "lossless": "lossless",
+        "sao": "sao", "deblock": "deblock", "wpp": "wpp",
+        "open-gop": "open_gop", "b-pyramid": "b_pyramid",
+        "b-adapt": "b_adapt", "cutree": "cutree",
+        "signhide": "sign_hide", "repeat-headers": "repeat_headers",
+        "aud": "aud", "hrd": "hrd", "info": "info",
+        "bitrate": "bitrate", "vbv-maxrate": "vbv_maxrate",
+        "vbv-bufsize": "vbv_bufsize", "vbv-init": "vbv_init",
+        "frames": "total_frames", "csv": "csv",
+        "csv-log-level": "csv_log_level", "log-level": "log_level",
+        "early-skip": "early_skip", "fast-intra": "fast_intra",
+        "rect": "rect", "amp": "amp", "max-merge": "max_merge",
+        "tu-intra-depth": "tu_intra_depth",
+        "tu-inter-depth": "tu_inter_depth",
+    }
+    if name == "input-res":
+        w, h = value.lower().split("x")
+        p.width, p.height = int(w), int(h)
+        return
+    if name == "fps":
+        if "/" in value:
+            n, d = value.split("/")
+            p.fps_num, p.fps_den = int(n), int(d)
+        else:
+            p.fps_num, p.fps_den = int(round(float(value) * 1000)), 1000
+        return
+    if name not in aliases:
+        raise ValueError(f"unknown option '{name}'")
+    attr = aliases[name]
+    cur = getattr(p, attr)
+    if isinstance(cur, bool):
+        lv = value.lower()
+        if lv in _BOOL_TRUE:
+            setattr(p, attr, True)
+        elif lv in _BOOL_FALSE:
+            setattr(p, attr, False)
+        else:
+            raise ValueError(f"bad boolean '{value}' for {name}")
+    elif isinstance(cur, int):
+        setattr(p, attr, int(value))
+    elif isinstance(cur, float):
+        setattr(p, attr, float(value))
+    else:
+        setattr(p, attr, value)
+
+
+def check_params(p: Param) -> None:
+    """Validation (role of x265_check_params, param.cpp:1583)."""
+    if p.width <= 0 or p.height <= 0:
+        raise ValueError("picture dimensions must be set")
+    if p.internal_bit_depth not in (8, 10):
+        raise ValueError("bit depth must be 8 or 10")
+    if p.chroma_format != 1:
+        raise ValueError("only 4:2:0 is wired up in this build")
+    if p.ctu_size not in (16, 32, 64):
+        raise ValueError("ctu size must be 16, 32 or 64")
+    if not 0 <= p.qp <= QP_MAX_SPEC:
+        raise ValueError("qp out of range")
+    if p.bframes > MAX_BFRAMES:
+        raise ValueError("too many bframes")
+    if p.rc_lookahead > MAX_LOOKAHEAD:
+        raise ValueError("lookahead too deep")
