@@ -1,0 +1,309 @@
+"""CTU syntax coding: coding unit, transform tree, residual coding.
+
+Role of reference `encoder/entropy.cpp:768-1900` (encodeCTU/codeCoeffNxN)
+re-derived from ITU-T H.265 7.3.8 + 9.3.3/9.3.4.  Context index
+derivations live in pure helper functions shared by the encoder (here)
+and the conformance decoder (verify/decoder.py), so any asymmetry shows
+up as a roundtrip failure rather than silent drift.
+
+v1 pipeline scope: I slices, CTU = CU = 16x16 (part 2Nx2N), TU 16 luma +
+TU 8 chroma, diagonal scans, no SDH/TSkip/RDOQ-specific syntax.  The
+generic residual_coding below already handles 4..32 TUs and all scans
+for the wider pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .engine import CabacEncoder
+from .scans import CTX_IDX_MAP_4x4, SCAN_VER, full_scan, scan_order
+from .tables import CTX_OFFSET
+
+# ---- context group bases ---------------------------------------------------
+CTX_SPLIT_CU = CTX_OFFSET["split_cu_flag"]
+CTX_PART_MODE = CTX_OFFSET["part_mode"]
+CTX_PREV_INTRA = CTX_OFFSET["prev_intra_luma_pred_flag"]
+CTX_CHROMA_PRED = CTX_OFFSET["intra_chroma_pred_mode"]
+CTX_QT_CBF_LUMA = CTX_OFFSET["qt_cbf"]          # +0/1 by trafoDepth!=0
+CTX_QT_CBF_CHROMA = CTX_OFFSET["qt_cbf"] + 2    # +trafoDepth
+CTX_SPLIT_TRANSFORM = CTX_OFFSET["split_transform_flag"]
+CTX_LAST_X = CTX_OFFSET["last_sig_coeff_prefix"]
+CTX_LAST_Y = CTX_OFFSET["last_sig_coeff_prefix"] + 18
+CTX_CSBF = CTX_OFFSET["coded_sub_block_flag"]
+CTX_SIG = CTX_OFFSET["sig_coeff_flag"]
+CTX_GT1 = CTX_OFFSET["coeff_abs_level_greater1_flag"]
+CTX_GT2 = CTX_OFFSET["coeff_abs_level_greater2_flag"]
+CTX_SAO_MERGE = CTX_OFFSET["sao_merge_flag"]
+CTX_SAO_TYPE = CTX_OFFSET["sao_type_idx"]
+CTX_CU_SKIP = CTX_OFFSET["cu_skip_flag"]
+CTX_PRED_MODE = CTX_OFFSET["pred_mode_flag"]
+CTX_MERGE_FLAG = CTX_OFFSET["merge_flag"]
+CTX_MERGE_IDX = CTX_OFFSET["merge_idx"]
+CTX_RQT_ROOT_CBF = CTX_OFFSET["rqt_root_cbf"]
+CTX_MVD = CTX_OFFSET["abs_mvd_greater_flag"]
+CTX_MVP = CTX_OFFSET["mvp_flag"]
+CTX_REF_IDX = CTX_OFFSET["ref_idx"]
+
+
+# ---- shared derivations ----------------------------------------------------
+
+def mpm_list(cand_a: int, cand_b: int) -> list[int]:
+    """candModeList derivation (spec 8.4.2).  cand_a/b already defaulted
+    to DC (1) when the neighbor is unavailable/non-intra/above-CTU."""
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [0, 1, 26]
+        return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 2 + 1) % 32)]
+    lst = [cand_a, cand_b]
+    if 0 not in lst:
+        lst.append(0)
+    elif 1 not in lst:
+        lst.append(1)
+    else:
+        lst.append(26)
+    return lst
+
+
+def last_prefix_group(pos: int) -> int:
+    """groupIdx: last position -> prefix value (spec Table 9-48 area)."""
+    if pos < 4:
+        return pos
+    k = pos.bit_length() - 1
+    return 2 * k + ((pos >> (k - 1)) & 1)
+
+
+def last_prefix_min(group: int) -> int:
+    """minInGroup: prefix value -> smallest position."""
+    if group < 4:
+        return group
+    return (2 + (group & 1)) << ((group >> 1) - 1)
+
+
+def last_ctx_params(log2_size: int, c_idx: int) -> tuple[int, int]:
+    """(ctxOffset, ctxShift) for last_sig_coeff prefix (9.3.4.2.3)."""
+    if c_idx == 0:
+        return 3 * (log2_size - 2) + ((log2_size - 1) >> 2), \
+            (log2_size + 1) >> 2
+    return 15, log2_size - 2
+
+
+def sig_ctx_inc(xc: int, yc: int, log2_size: int, c_idx: int,
+                scan_idx: int, csbf_right: int, csbf_below: int) -> int:
+    """sig_coeff_flag ctxInc (spec 9.3.4.2.5), incl. chroma offset 27."""
+    if log2_size == 2:
+        sig = int(CTX_IDX_MAP_4x4[(yc << 2) + xc])
+    elif xc + yc == 0:
+        sig = 0
+    else:
+        prev = csbf_right + 2 * csbf_below
+        xp, yp = xc & 3, yc & 3
+        if prev == 0:
+            sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+        elif prev == 1:
+            sig = 2 if yp == 0 else (1 if yp == 1 else 0)
+        elif prev == 2:
+            sig = 2 if xp == 0 else (1 if xp == 1 else 0)
+        else:
+            sig = 2
+        if c_idx == 0:
+            if (xc >> 2) + (yc >> 2) > 0:
+                sig += 3
+            sig += (9 if scan_idx == 0 else 15) if log2_size == 3 else 21
+        else:
+            sig += 9 if log2_size == 3 else 12
+    return sig + (27 if c_idx else 0)
+
+
+# ---- residual coding (encode side) ----------------------------------------
+
+def residual_coding(enc: CabacEncoder, levels: np.ndarray, log2_size: int,
+                    c_idx: int, scan_idx: int = 0,
+                    sign_hide: bool = False) -> None:
+    """Encode one TU's coefficients (spec 7.3.8.11).
+
+    levels: [y][x] int array of quantized coefficients (at least one
+    nonzero — caller handles the cbf).
+    """
+    n = 1 << log2_size
+    scan = full_scan(scan_idx, log2_size)          # [(x, y)] DC-first
+    lv = levels
+    nz_scan = [i for i, (x, y) in enumerate(scan) if lv[y, x] != 0]
+    assert nz_scan, "residual_coding called on all-zero block"
+    last_pos = nz_scan[-1]
+    xl, yl = int(scan[last_pos][0]), int(scan[last_pos][1])
+
+    # last_sig_coeff_{x,y}
+    cx, cy = (yl, xl) if scan_idx == SCAN_VER else (xl, yl)
+    off, shift = last_ctx_params(log2_size, c_idx)
+    cmax = (log2_size << 1) - 1
+    for coord, base in ((cx, CTX_LAST_X), (cy, CTX_LAST_Y)):
+        g = last_prefix_group(coord)
+        for b in range(min(g, cmax)):
+            enc.encode_bin(base + off + (b >> shift), 1)
+        if g < cmax:
+            enc.encode_bin(base + off + (g >> shift), 0)
+    for coord in (cx, cy):
+        g = last_prefix_group(coord)
+        if g > 3:
+            nbits = (g >> 1) - 1
+            enc.encode_bypass_bins(coord - last_prefix_min(g), nbits)
+
+    # subblock structure
+    n_sb = n >> 2
+    sb_scan = scan_order(scan_idx, n_sb) if n_sb > 1 else \
+        np.array([[0, 0]], dtype=np.int32)
+    inner = scan_order(scan_idx, 4)
+    csbf = np.zeros((n_sb, n_sb), dtype=np.int32)
+    for sx in range(n_sb):
+        for sy in range(n_sb):
+            if lv[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4].any():
+                csbf[sy, sx] = 1
+    last_sb = last_pos >> 4
+    c1 = 1
+    for i in range(last_sb, -1, -1):
+        sbx, sby = int(sb_scan[i][0]), int(sb_scan[i][1])
+        infer_sb_dc = False
+        if i == last_sb or i == 0:
+            sb_coded = 1
+        else:
+            sb_coded = int(csbf[sby, sbx])
+            right = int(csbf[sby, sbx + 1]) if sbx + 1 < n_sb else 0
+            below = int(csbf[sby + 1, sbx]) if sby + 1 < n_sb else 0
+            ctx = min(right + below, 1) + (2 if c_idx else 0)
+            enc.encode_bin(CTX_CSBF + ctx, sb_coded)
+            infer_sb_dc = bool(sb_coded)
+        if not sb_coded:
+            continue
+        right = int(csbf[sby, sbx + 1]) if sbx + 1 < n_sb else 0
+        below = int(csbf[sby + 1, sbx]) if sby + 1 < n_sb else 0
+
+        # significance flags, reverse scan within subblock
+        start = 15 if i < last_sb else (last_pos & 15) - 1
+        sig_pos = []           # scan positions (in-subblock 0..15) with sig=1
+        if i == last_sb:
+            sig_pos.append(last_pos & 15)
+        coded_any = bool(sig_pos)
+        for np_ in range(start, -1, -1):
+            xc = sbx * 4 + int(inner[np_][0])
+            yc = sby * 4 + int(inner[np_][1])
+            sig = int(lv[yc, xc] != 0)
+            if np_ == 0 and infer_sb_dc and not coded_any:
+                assert sig == 1, "csbf=1 but empty subblock"
+            else:
+                ctx = sig_ctx_inc(xc, yc, log2_size, c_idx, scan_idx,
+                                  right, below)
+                enc.encode_bin(CTX_SIG + ctx, sig)
+            if sig:
+                sig_pos.append(np_)
+                coded_any = True
+
+        # greater1 / greater2 / signs / remaining (reverse scan order)
+        abs_coeffs = []
+        signs = []
+        for np_ in sig_pos:
+            xc = sbx * 4 + int(inner[np_][0])
+            yc = sby * 4 + int(inner[np_][1])
+            v = int(lv[yc, xc])
+            abs_coeffs.append(abs(v))
+            signs.append(1 if v < 0 else 0)
+        num_sig = len(abs_coeffs)
+        ctx_set = 2 if (i > 0 and c_idx == 0) else 0
+        if c1 == 0:
+            ctx_set += 1
+        c1 = 1
+        num_c1 = min(num_sig, 8)
+        gt1_flags = []
+        for idx in range(num_c1):
+            gt1 = int(abs_coeffs[idx] > 1)
+            ctx = (ctx_set * 4 + min(c1, 3)) + (16 if c_idx else 0)
+            enc.encode_bin(CTX_GT1 + ctx, gt1)
+            gt1_flags.append(gt1)
+            if gt1:
+                c1 = 0
+            elif 0 < c1 < 3:
+                c1 += 1
+        first_gt1 = next((k for k, f in enumerate(gt1_flags) if f), -1)
+        if first_gt1 >= 0:
+            gt2 = int(abs_coeffs[first_gt1] > 2)
+            enc.encode_bin(CTX_GT2 + ctx_set + (4 if c_idx else 0), gt2)
+        # signs (sign data hiding not active in v1 pipeline)
+        for s in signs:
+            enc.encode_bypass(s)
+        # remaining levels
+        rice = 0
+        first2 = 1
+        for idx in range(num_sig):
+            base_level = (2 + first2) if idx < 8 else 1
+            if idx == first_gt1:
+                pass  # base includes gt2 slot via first2
+            v = abs_coeffs[idx]
+            if v >= base_level:
+                _write_remaining(enc, v - base_level, rice)
+                if v > (3 << rice):
+                    rice = min(rice + 1, 4)
+            if v >= 2:
+                first2 = 0
+
+
+def _write_remaining(enc: CabacEncoder, value: int, rice: int) -> None:
+    """coeff_abs_level_remaining binarization (spec 9.3.3.13)."""
+    prefix = value >> rice
+    if prefix < 3:
+        for _ in range(prefix):
+            enc.encode_bypass(1)
+        enc.encode_bypass(0)
+        enc.encode_bypass_bins(value & ((1 << rice) - 1), rice)
+    else:
+        q = prefix - 3
+        length = (q + 1).bit_length() - 1
+        rem = q - ((1 << length) - 1)
+        for _ in range(3 + length):
+            enc.encode_bypass(1)
+        enc.encode_bypass(0)
+        enc.encode_bypass_bins((rem << rice) + (value & ((1 << rice) - 1)),
+                               length + rice)
+
+
+# ---- CU-level syntax (v1: 16x16 intra CU) ----------------------------------
+
+def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
+                       luma_levels: np.ndarray, cb_levels: np.ndarray,
+                       cr_levels: np.ndarray, cand_a: int,
+                       cand_b: int = 1) -> None:
+    """Encode one 16x16 I-slice CTU: CU (2Nx2N intra) + TU16 luma/TU8
+    chroma residuals.  cand_a = left CU luma mode (DC if unavailable),
+    cand_b = above (always DC at CTU boundary with 16px CTUs).
+    """
+    # split_cu_flag not present (log2CbSize == MinCbLog2SizeY)
+    # part_mode: 1 => PART_2Nx2N (signaled because log2CbSize == MinCb)
+    enc.encode_bin(CTX_PART_MODE, 1)
+    mpms = mpm_list(cand_a, cand_b)
+    if luma_mode in mpms:
+        enc.encode_bin(CTX_PREV_INTRA, 1)
+        idx = mpms.index(luma_mode)
+        enc.encode_bypass(1 if idx else 0)
+        if idx:
+            enc.encode_bypass(idx - 1)
+    else:
+        enc.encode_bin(CTX_PREV_INTRA, 0)
+        rem = luma_mode
+        for m in sorted(mpms, reverse=True):
+            if rem > m:
+                rem -= 1
+        enc.encode_bypass_bins(rem, 5)
+    # intra_chroma_pred_mode: derived (DM) mode only in v1
+    enc.encode_bin(CTX_CHROMA_PRED, 0)
+    # transform_tree: no split flag (MaxTrafoDepth==0, TU==CU)
+    cbf_cb = int(cb_levels.any())
+    cbf_cr = int(cr_levels.any())
+    cbf_y = int(luma_levels.any())
+    enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cb)
+    enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cr)
+    enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)   # trafoDepth==0 -> ctx 1
+    if cbf_y:
+        residual_coding(enc, luma_levels, 4, 0, 0)
+    if cbf_cb:
+        residual_coding(enc, cb_levels, 3, 1, 0)
+    if cbf_cr:
+        residual_coding(enc, cr_levels, 3, 2, 0)

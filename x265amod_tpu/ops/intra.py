@@ -1,0 +1,218 @@
+"""Batched 35-mode intra prediction (JAX, TPU-shaped).
+
+TPU-first re-design of `common/intrapred.cpp` (+ the batched
+`all_angs_pred_c` idea the reference already uses for intra RD,
+`intrapred.cpp:207`): instead of per-block scalar loops, predict ALL 35
+modes for a whole wavefront batch of blocks at once.  All angular
+geometry (projection indices, interpolation weights, negative-reference
+extension) is precomputed as *static* index tables, so the kernel is
+pure gathers + VPU arithmetic with no data-dependent control flow.
+
+Matches ops/intra_ref.py (the scalar spec oracle) bit-exactly — enforced
+by tests/test_intra.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intra_ref import ANGLES, INV_ANGLES, filter_flag
+
+V_MODES = list(range(18, 35))   # vertical-ish: main ref = top
+H_MODES = list(range(2, 18))    # horizontal-ish: main ref = left
+
+
+@functools.lru_cache(maxsize=None)
+def _angular_tables(n: int):
+    """Static per-mode tables for the angular prediction gather.
+
+    For each mode group (H/V) and mode, over the main-ref array
+    ``mref`` of length 3n+2 laid out as positions [-n .. 2n+1] (offset
+    +n), returns:
+      ext_src[m, n]  : for negative positions -n..-1 -> index into side
+                       ref (0..2n-1) or -1 for corner (only used when
+                       angle < 0)
+      gidx[m, k, j]  : gather index (into mref) of tap 1 for output
+                       (k=y,j=x) vertical / (k=x,j=y) horizontal
+      fact[m, k]     : interpolation weight (0..31)
+    """
+    def per_mode(mode):
+        angle = ANGLES[mode]
+        ext = np.zeros(n, dtype=np.int32)
+        if angle < 0:
+            inv = INV_ANGLES[mode]
+            for x in range(-n, 0):
+                ext[x + n] = ((x * inv + 128) >> 8) - 1  # -1 => corner
+        pos = (np.arange(1, n + 1) * angle)
+        i_idx = pos >> 5
+        i_fact = pos & 31
+        base = n + i_idx  # mref offset of tap0 - 1
+        gidx = base[:, None] + 1 + np.arange(n)[None, :]
+        return ext, gidx.astype(np.int32), i_fact.astype(np.int32)
+
+    def group(modes):
+        exts, gidxs, facts = zip(*(per_mode(m) for m in modes))
+        return (np.stack(exts), np.stack(gidxs), np.stack(facts))
+
+    return group(V_MODES), group(H_MODES)
+
+
+def _build_mref(main, side, corner, ext_src, n):
+    """mref[B, M, 3n+2] for one mode group.
+
+    main/side: [B, 2n]; corner: [B]; ext_src: [M, n] static.
+    """
+    bsz = main.shape[0]
+    m = ext_src.shape[0]
+    # negative part: per-mode gather from side (or corner when idx<0)
+    side_g = jnp.where(ext_src[None] < 0, corner[:, None, None],
+                       jnp.take_along_axis(
+                           side[:, None, :].repeat(m, 1),
+                           jnp.maximum(ext_src, 0)[None].repeat(bsz, 0),
+                           axis=2))
+    line = jnp.concatenate(
+        [corner[:, None], main, main[:, -1:]], axis=1)  # [B, 2n+2]
+    line = jnp.broadcast_to(line[:, None, :], (bsz, m, 2 * n + 2))
+    return jnp.concatenate([side_g, line], axis=2)  # [B, M, 3n+2]
+
+
+def _angular_group(mref, gidx, fact, n):
+    """pred[B, M, n, n] (pre-transpose for H group).
+
+    Static gather: mref[b, m, gidx[m, k, j]] — XLA lowers this to cheap
+    vectorized selects since indices are compile-time constants.
+    """
+    bsz, m, length = mref.shape
+    flat = mref.reshape(bsz * m, length)
+    gi = jnp.tile(gidx.reshape(m, n * n), (bsz, 1))  # [B*M, n*n] static
+    tap0 = jnp.take_along_axis(flat, gi, axis=1).reshape(bsz, m, n, n)
+    tap1 = jnp.take_along_axis(flat, gi + 1, axis=1).reshape(bsz, m, n, n)
+    f = fact[None, :, :, None]                   # [1, M, n, 1]
+    return ((32 - f) * tap0 + f * tap1 + 16) >> 5
+
+
+@functools.partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth"))
+def predict_all_modes_batch(top: jax.Array, left: jax.Array,
+                            corner: jax.Array, n: int, c_idx: int = 0,
+                            bit_depth: int = 8) -> jax.Array:
+    """All 35 intra modes for a batch of blocks.
+
+    top/left: [B, 2n] int32 (substituted refs), corner: [B] int32.
+    Returns pred[B, 35, n, n] int32.
+    """
+    maxv = (1 << bit_depth) - 1
+    bsz = top.shape[0]
+    log2n = n.bit_length() - 1
+
+    # [1 2 1] smoothing along scan left[2n-1..0], corner, top[0..2n-1]
+    seq = jnp.concatenate([left[:, ::-1], corner[:, None], top], axis=1)
+    sm = seq.at[:, 1:-1].set((seq[:, :-2] + 2 * seq[:, 1:-1] + seq[:, 2:]
+                              + 2) >> 2)
+    left_f = sm[:, :2 * n][:, ::-1]
+    corner_f = sm[:, 2 * n]
+    top_f = sm[:, 2 * n + 1:]
+
+    (v_ext, v_gidx, v_fact), (h_ext, h_gidx, h_fact) = _angular_tables(n)
+    use_filt = np.array([filter_flag(m, n, c_idx) for m in range(35)])
+
+    # vertical group (modes 18..34): main=top side=left
+    mref_v = jnp.where(
+        use_filt[V_MODES][None, :, None],
+        _build_mref(top_f, left_f, corner_f, jnp.asarray(v_ext), n),
+        _build_mref(top, left, corner, jnp.asarray(v_ext), n))
+    pred_v = _angular_group(mref_v, jnp.asarray(v_gidx),
+                            jnp.asarray(v_fact), n)
+    # horizontal group (modes 2..17): main=left side=top, then transpose
+    mref_h = jnp.where(
+        use_filt[H_MODES][None, :, None],
+        _build_mref(left_f, top_f, corner_f, jnp.asarray(h_ext), n),
+        _build_mref(left, top, corner, jnp.asarray(h_ext), n))
+    pred_h = _angular_group(mref_h, jnp.asarray(h_gidx),
+                            jnp.asarray(h_fact), n)
+    pred_h = jnp.swapaxes(pred_h, 2, 3)
+
+    # planar (mode 0) — always on filtered refs when filter_flag(0)
+    pt, pl, pc = (top_f, left_f, corner_f) if use_filt[0] else \
+        (top, left, corner)
+    xx = jnp.arange(n)[None, None, :]
+    yy = jnp.arange(n)[None, :, None]
+    planar = (((n - 1 - xx) * pl[:, :n][:, :, None]
+               + (xx + 1) * pt[:, n][:, None, None]
+               + (n - 1 - yy) * pt[:, :n][:, None, :]
+               + (yy + 1) * pl[:, n][:, None, None] + n) >> (log2n + 1))
+
+    # DC (mode 1) — unfiltered refs
+    dc = (jnp.sum(top[:, :n], 1) + jnp.sum(left[:, :n], 1) + n) >> \
+        (log2n + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (bsz, n, n))
+    if c_idx == 0 and n < 32:
+        row0 = (top[:, :n] + 3 * dc[:, None] + 2) >> 2
+        col0 = (left[:, :n] + 3 * dc[:, None] + 2) >> 2
+        corner_px = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0)
+        dcp = dcp.at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(corner_px)
+
+    preds = jnp.concatenate(
+        [planar[:, None], dcp[:, None], pred_h, pred_v], axis=1)
+
+    if c_idx == 0 and n < 32:
+        # mode 26 (pure vertical): filter first column with UNfiltered refs
+        col = jnp.clip(top[:, 0][:, None]
+                       + ((left[:, :n] - corner[:, None]) >> 1), 0, maxv)
+        preds = preds.at[:, 26, :, 0].set(col)
+        # mode 10 (pure horizontal): filter first row
+        row = jnp.clip(left[:, 0][:, None]
+                       + ((top[:, :n] - corner[:, None]) >> 1), 0, maxv)
+        preds = preds.at[:, 10, 0, :].set(row)
+    return preds.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w_ctbs", "avail_tr_all"))
+def substitute_refs(top_raw: jax.Array, left_raw: jax.Array,
+                    corner_raw: jax.Array, cx: jax.Array, cy: jax.Array,
+                    n: int, w_ctbs: int, avail_tr_all: bool = False,
+                    bit_depth: int = 8):
+    """Reference sample substitution for the v1 CTU grid (8.4.4.2.2).
+
+    top_raw/left_raw: [B, 2n] gathered from the recon plane (garbage
+    where unavailable), corner_raw: [B]; cx, cy: [B] CTU coords.
+    Availability on a raster/wavefront CTU grid: left iff cx>0, top iff
+    cy>0, top-right iff cy>0 & cx<w_ctbs-1, bottom-left never.
+    """
+    fill = 1 << (bit_depth - 1)
+    avail_l = (cx > 0)[:, None]
+    avail_t = (cy > 0)[:, None]
+    avail_tr = ((cy > 0) & (cx < w_ctbs - 1))[:, None]
+    # bottom-left half of left col: never available -> extend left[n-1]
+    left = jnp.concatenate(
+        [left_raw[:, :n],
+         jnp.broadcast_to(left_raw[:, n - 1:n], left_raw[:, :n].shape)], 1)
+    # top-right: extend top[n-1] when unavailable
+    top = jnp.concatenate(
+        [top_raw[:, :n],
+         jnp.where(avail_tr, top_raw[:, n:],
+                   jnp.broadcast_to(top_raw[:, n - 1:n],
+                                    top_raw[:, :n].shape))], 1)
+    corner = corner_raw
+    # cases
+    only_l = avail_l & ~avail_t
+    only_t = avail_t & ~avail_l
+    none = ~avail_l & ~avail_t
+    # left-only: corner & top all take left[0]
+    top = jnp.where(only_l, left_raw[:, 0:1], top)
+    corner = jnp.where(only_l[:, 0], left_raw[:, 0], corner)
+    # top-only: left & corner take top[0]
+    left = jnp.where(only_t, top[:, 0:1], left)
+    corner = jnp.where(only_t[:, 0], top[:, 0], corner)
+    # none: everything mid-grey
+    top = jnp.where(none, fill, top)
+    left = jnp.where(none, fill, left)
+    corner = jnp.where(none[:, 0], fill, corner)
+    # both available: corner as gathered
+    return top.astype(jnp.int32), left.astype(jnp.int32), \
+        corner.astype(jnp.int32)

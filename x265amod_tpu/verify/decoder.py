@@ -1,0 +1,402 @@
+"""Conformance-checking HEVC decoder for the encoder's emitted subset.
+
+The reference relies on external golden decoders for bitstream
+validation (`test/regression-tests.txt:3-7`); this environment has none,
+so this module is the oracle: it parses Annex-B output (headers via
+BitReader, slice data via the *normative* CABAC decoder) and rebuilds
+the reconstruction with the scalar-exact numpy ops.  Encoder recon and
+decoder recon must match bit-exactly.
+
+Supported today: Main profile I-slices, CTU=CU=16, TU16 luma / TU8
+chroma, diag scans, deblocking disabled.  The parser asserts loudly on
+anything else so unsupported-feature bugs can't slip through silently.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.bitio import BitReader
+from ..bitstream.nal import (NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS,
+                             NAL_VPS, split_annexb)
+from ..cabac.engine import CabacDecoder
+from ..cabac.scans import SCAN_VER, full_scan, scan_order
+from ..cabac import syntax as S
+from ..ops.intra_ref import (filter_flag, predict_mode, smooth_refs,
+                             ref_sample_substitution)
+from ..ops.quant import chroma_qp, dequant_np
+from ..ops.transforms import inv_transform_np
+
+
+@dataclass
+class DecSps:
+    width: int = 0
+    height: int = 0
+    conf_right: int = 0
+    conf_bottom: int = 0
+    bit_depth: int = 8
+    log2_ctb: int = 4
+    log2_min_cb: int = 4
+    log2_min_tb: int = 2
+    log2_max_tb: int = 4
+    sao: bool = False
+    amp: bool = False
+
+
+@dataclass
+class DecPps:
+    init_qp: int = 26
+    sign_hide: bool = False
+    cu_qp_delta: bool = False
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    deblock_disabled: bool = True
+    entropy_sync: bool = False
+
+
+def _parse_ptl(r: BitReader) -> None:
+    r.read(2 + 1 + 5)
+    r.read(32)
+    r.read(48)
+    r.read(8)
+
+
+def parse_sps(rbsp: bytes) -> DecSps:
+    r = BitReader(rbsp)
+    s = DecSps()
+    r.read(4)
+    assert r.read(3) == 0, "sub-layers unsupported"
+    r.read(1)
+    _parse_ptl(r)
+    assert r.read_ue() == 0
+    assert r.read_ue() == 1, "only 4:2:0"
+    s.width = r.read_ue()
+    s.height = r.read_ue()
+    if r.read_flag():
+        assert r.read_ue() == 0
+        s.conf_right = r.read_ue()
+        assert r.read_ue() == 0
+        s.conf_bottom = r.read_ue()
+    s.bit_depth = 8 + r.read_ue()
+    assert 8 + r.read_ue() == s.bit_depth
+    r.read_ue()  # log2_max_poc_lsb
+    r.read_flag()
+    r.read_ue(); r.read_ue(); r.read_ue()   # dpb sizes
+    s.log2_min_cb = 3 + r.read_ue()
+    s.log2_ctb = s.log2_min_cb + r.read_ue()
+    s.log2_min_tb = 2 + r.read_ue()
+    s.log2_max_tb = s.log2_min_tb + r.read_ue()
+    r.read_ue(); r.read_ue()                # transform hierarchy depths
+    assert r.read_flag() == 0, "scaling lists unsupported"
+    s.amp = bool(r.read_flag())
+    s.sao = bool(r.read_flag())
+    assert r.read_flag() == 0, "pcm unsupported"
+    assert r.read_ue() == 0, "RPS sets unsupported"
+    assert r.read_flag() == 0, "long-term refs unsupported"
+    r.read_flag()  # temporal mvp
+    r.read_flag()  # strong intra smoothing
+    return s
+
+
+def parse_pps(rbsp: bytes) -> DecPps:
+    r = BitReader(rbsp)
+    p = DecPps()
+    assert r.read_ue() == 0 and r.read_ue() == 0
+    assert r.read_flag() == 0      # dependent slices
+    r.read_flag()
+    assert r.read(3) == 0
+    p.sign_hide = bool(r.read_flag())
+    assert r.read_flag() == 0      # cabac_init_present
+    r.read_ue(); r.read_ue()
+    p.init_qp = 26 + r.read_se()
+    assert r.read_flag() == 0      # constrained intra
+    assert r.read_flag() == 0      # transform skip
+    p.cu_qp_delta = bool(r.read_flag())
+    if p.cu_qp_delta:
+        r.read_ue()
+    p.cb_qp_offset = r.read_se()
+    p.cr_qp_offset = r.read_se()
+    assert r.read_flag() == 0
+    r.read_flag(); r.read_flag()   # weighted pred flags
+    assert r.read_flag() == 0      # transquant bypass
+    assert r.read_flag() == 0      # tiles
+    p.entropy_sync = bool(r.read_flag())
+    r.read_flag()                  # loop filter across slices
+    if r.read_flag():              # deblocking control present
+        assert r.read_flag() == 0  # override enabled
+        p.deblock_disabled = bool(r.read_flag())
+        if not p.deblock_disabled:
+            r.read_se(); r.read_se()
+    return p
+
+
+def _decode_last_pos(d: CabacDecoder, log2_size: int, c_idx: int,
+                     scan_idx: int) -> tuple[int, int]:
+    off, shift = S.last_ctx_params(log2_size, c_idx)
+    cmax = (log2_size << 1) - 1
+    groups = []
+    for base in (S.CTX_LAST_X, S.CTX_LAST_Y):
+        g = 0
+        while g < cmax and d.decode_bin(base + off + (g >> shift)):
+            g += 1
+        groups.append(g)
+    coords = []
+    for g in groups:
+        if g > 3:
+            nbits = (g >> 1) - 1
+            coords.append(S.last_prefix_min(g) + d.decode_bypass_bins(nbits))
+        else:
+            coords.append(g)
+    cx, cy = coords
+    return (cy, cx) if scan_idx == SCAN_VER else (cx, cy)
+
+
+def _decode_remaining(d: CabacDecoder, rice: int) -> int:
+    prefix = 0
+    while prefix < 32 and d.decode_bypass():
+        prefix += 1
+    assert prefix < 32, "corrupt remaining prefix"
+    if prefix < 3:
+        return (prefix << rice) + d.decode_bypass_bins(rice)
+    length = prefix - 3
+    rest = d.decode_bypass_bins(length + rice)
+    rem_hi = rest >> rice
+    return ((3 + (1 << length) - 1 + rem_hi) << rice) + \
+        (rest & ((1 << rice) - 1))
+
+
+def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
+                    scan_idx: int) -> np.ndarray:
+    n = 1 << log2_size
+    lv = np.zeros((n, n), dtype=np.int32)
+    scan = full_scan(scan_idx, log2_size)
+    xl, yl = _decode_last_pos(d, log2_size, c_idx, scan_idx)
+    # find scan position of (xl, yl)
+    last_pos = next(i for i, (x, y) in enumerate(scan)
+                    if x == xl and y == yl)
+    n_sb = max(n >> 2, 1)
+    sb_scan = scan_order(scan_idx, n_sb) if n_sb > 1 else \
+        np.array([[0, 0]], dtype=np.int32)
+    inner = scan_order(scan_idx, 4)
+    csbf = np.zeros((n_sb, n_sb), dtype=np.int32)
+    last_sb = last_pos >> 4
+    c1 = 1  # greater1 context carry resets per transform block
+    for i in range(last_sb, -1, -1):
+        sbx, sby = int(sb_scan[i][0]), int(sb_scan[i][1])
+        right = int(csbf[sby, sbx + 1]) if sbx + 1 < n_sb else 0
+        below = int(csbf[sby + 1, sbx]) if sby + 1 < n_sb else 0
+        infer_dc = False
+        if i == last_sb or i == 0:
+            coded = 1
+        else:
+            ctx = min(right + below, 1) + (2 if c_idx else 0)
+            coded = d.decode_bin(S.CTX_CSBF + ctx)
+            infer_dc = bool(coded)
+        csbf[sby, sbx] = coded
+        if not coded:
+            continue
+        start = 15 if i < last_sb else (last_pos & 15) - 1
+        sig_pos = []
+        if i == last_sb:
+            sig_pos.append(last_pos & 15)
+        any_sig = bool(sig_pos)
+        for np_ in range(start, -1, -1):
+            if np_ == 0 and infer_dc and not any_sig:
+                sig = 1
+            else:
+                xc = sbx * 4 + int(inner[np_][0])
+                yc = sby * 4 + int(inner[np_][1])
+                ctx = S.sig_ctx_inc(xc, yc, log2_size, c_idx, scan_idx,
+                                    right, below)
+                sig = d.decode_bin(S.CTX_SIG + ctx)
+            if sig:
+                sig_pos.append(np_)
+                any_sig = True
+        num_sig = len(sig_pos)
+        ctx_set = 2 if (i > 0 and c_idx == 0) else 0
+        if c1 == 0:
+            ctx_set += 1
+        c1 = 1
+        num_c1 = min(num_sig, 8)
+        gt1 = []
+        for _ in range(num_c1):
+            ctx = (ctx_set * 4 + min(c1, 3)) + (16 if c_idx else 0)
+            f = d.decode_bin(S.CTX_GT1 + ctx)
+            gt1.append(f)
+            if f:
+                c1 = 0
+            elif 0 < c1 < 3:
+                c1 += 1
+        first_gt1 = next((k for k, f in enumerate(gt1) if f), -1)
+        gt2 = 0
+        if first_gt1 >= 0:
+            gt2 = d.decode_bin(S.CTX_GT2 + ctx_set + (4 if c_idx else 0))
+        signs = [d.decode_bypass() for _ in range(num_sig)]
+        rice = 0
+        first2 = 1
+        levels = []
+        for idx in range(num_sig):
+            base = 1 + (gt1[idx] if idx < num_c1 else 0) + \
+                (gt2 if idx == first_gt1 else 0)
+            base_level = (2 + first2) if idx < 8 else 1
+            v = base
+            if base >= base_level:
+                rem = _decode_remaining(d, rice)
+                v = base + rem
+                if v > (3 << rice):
+                    rice = min(rice + 1, 4)
+            levels.append(v)
+            if v >= 2:
+                first2 = 0
+        for np_, v, s in zip(sig_pos, levels, signs):
+            xc = sbx * 4 + int(inner[np_][0])
+            yc = sby * 4 + int(inner[np_][1])
+            lv[yc, xc] = -v if s else v
+    return lv
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+    modes: np.ndarray
+    poc: int = 0
+
+
+def decode_stream(stream: bytes) -> list[DecodedFrame]:
+    """Decode an Annex-B stream; returns cropped planes per frame."""
+    sps = pps = None
+    frames = []
+    for nal_type, _tid, rbsp in split_annexb(stream):
+        if nal_type == NAL_VPS:
+            continue
+        if nal_type == NAL_SPS:
+            sps = parse_sps(rbsp)
+        elif nal_type == NAL_PPS:
+            pps = parse_pps(rbsp)
+        elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+            assert sps and pps
+            frames.append(_decode_idr_frame(rbsp, sps, pps, nal_type))
+        else:
+            raise AssertionError(f"unsupported NAL type {nal_type}")
+    return frames
+
+
+def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
+                      nal_type: int) -> DecodedFrame:
+    assert sps.log2_ctb == 4 and sps.log2_min_cb == 4, \
+        "decoder supports CTU16 pipeline only (v1)"
+    r = BitReader(rbsp)
+    assert r.read_flag() == 1          # first_slice_segment_in_pic
+    r.read_flag()                      # no_output_of_prior_pics
+    assert r.read_ue() == 0            # pps id
+    st = r.read_ue()
+    assert st == 2, "only I slices in v1 decoder"
+    if sps.sao:
+        r.read_flag(); r.read_flag()
+    qp = pps.init_qp + r.read_se()
+    assert not pps.entropy_sync
+    assert r.read_flag() == 1          # byte_alignment stop bit
+    r.byte_align()
+    payload = rbsp[r.bit_pos // 8:]
+
+    d = CabacDecoder(payload, "I", qp)
+    wc = -(-sps.width // 16)
+    hc = -(-sps.height // 16)
+    pad = 16
+    y_pl = np.zeros((hc * 16 + 2 * pad, wc * 16 + 2 * pad), dtype=np.int32)
+    cb_pl = np.zeros((hc * 8 + pad, wc * 8 + pad), dtype=np.int32)
+    cr_pl = np.zeros_like(cb_pl)
+    modes = np.full((hc, wc), -1, dtype=np.int32)
+    qp_c_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_c_cr = chroma_qp(qp, pps.cr_qp_offset)
+
+    for cy in range(hc):
+        for cx in range(wc):
+            _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_c_cb, qp_c_cr,
+                          y_pl, cb_pl, cr_pl, modes, pad)
+            eos = d.decode_terminate()
+            is_last = (cy == hc - 1 and cx == wc - 1)
+            assert eos == (1 if is_last else 0), \
+                f"end_of_slice mismatch at CTU ({cx},{cy})"
+    w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
+    return DecodedFrame(
+        y=y_pl[pad:pad + h, pad:pad + w].astype(np.uint8),
+        cb=cb_pl[pad // 2:pad // 2 + h // 2,
+                 pad // 2:pad // 2 + w // 2].astype(np.uint8),
+        cr=cr_pl[pad // 2:pad // 2 + h // 2,
+                 pad // 2:pad // 2 + w // 2].astype(np.uint8),
+        modes=modes)
+
+
+def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
+                       mode: int, c_idx: int, resi: np.ndarray,
+                       avail_left: bool, avail_top: bool,
+                       avail_tr: bool) -> None:
+    """Reconstruct one intra block in-place on the padded plane."""
+    top = plane[y0 - 1, x0:x0 + 2 * n].copy()
+    left = plane[y0:y0 + 2 * n, x0 - 1].copy()
+    corner = int(plane[y0 - 1, x0 - 1])
+    at = np.zeros(2 * n, bool)
+    at[:n] = avail_top
+    at[n:] = avail_tr
+    al = np.zeros(2 * n, bool)
+    al[:n] = avail_left            # bottom-left never available (v1 grid)
+    top, left, corner = ref_sample_substitution(
+        top, left, corner, at, al, avail_left and avail_top)
+    if filter_flag(mode, n, c_idx):
+        top, left, corner = smooth_refs(top, left, corner)
+    pred = predict_mode(mode, top, left, corner, n, c_idx)
+    rec = np.clip(pred + resi, 0, 255)
+    plane[y0:y0 + n, x0:x0 + n] = rec
+
+
+def _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                  y_pl, cb_pl, cr_pl, modes, pad):
+    # CU syntax (mirror of cabac.syntax.encode_intra_ctu16)
+    assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_NxN unsupported"
+    cand_a = int(modes[cy, cx - 1]) if cx > 0 else 1
+    mpms = S.mpm_list(cand_a if cand_a >= 0 else 1, 1)
+    if d.decode_bin(S.CTX_PREV_INTRA):
+        idx = 0
+        if d.decode_bypass():
+            idx = 1 + d.decode_bypass()
+        mode = mpms[idx]
+    else:
+        rem = d.decode_bypass_bins(5)
+        for m in sorted(mpms):
+            if rem >= m:
+                rem += 1
+        mode = rem
+    assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma unsupported"
+    cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
+    cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
+    cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+    ly = decode_residual(d, 4, 0, 0) if cbf_y else \
+        np.zeros((16, 16), np.int32)
+    lcb = decode_residual(d, 3, 1, 0) if cbf_cb else \
+        np.zeros((8, 8), np.int32)
+    lcr = decode_residual(d, 3, 2, 0) if cbf_cr else \
+        np.zeros((8, 8), np.int32)
+    modes[cy, cx] = mode
+
+    resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
+        np.zeros((16, 16), np.int32)
+    resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb else \
+        np.zeros((8, 8), np.int32)
+    resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr else \
+        np.zeros((8, 8), np.int32)
+
+    avail_l = cx > 0
+    avail_t = cy > 0
+    avail_tr = cy > 0 and cx < wc - 1
+    _intra_recon_block(y_pl, pad + cx * 16, pad + cy * 16, 16, mode, 0,
+                       resi_y, avail_l, avail_t, avail_tr)
+    hp = pad // 2
+    _intra_recon_block(cb_pl, hp + cx * 8, hp + cy * 8, 8, mode, 1,
+                       resi_cb, avail_l, avail_t, avail_tr)
+    _intra_recon_block(cr_pl, hp + cx * 8, hp + cy * 8, 8, mode, 2,
+                       resi_cr, avail_l, avail_t, avail_tr)
