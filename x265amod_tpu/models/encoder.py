@@ -77,8 +77,12 @@ class Encoder:
             conf_win_bottom=(self.pad_h - h) // 2,
             fps_num=param.fps_num, fps_den=param.fps_den,
             level_idc=determine_level(self.pad_w, self.pad_h, fps))
-        self.pps = PpsInfo(init_qp=26)
-        self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h)
+        self.pps = PpsInfo(init_qp=26,
+                           deblocking_disabled=not param.deblock,
+                           beta_offset_div2=param.deblock_beta_offset,
+                           tc_offset_div2=param.deblock_tc_offset)
+        self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h,
+                                               deblock=param.deblock)
         self.poc = 0
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
@@ -98,20 +102,25 @@ class Encoder:
         crp = _pad_to_ctu(cr.astype(np.int32), 8)
         res = self.frame_encoder.encode(yp, cbp, crp, qp)
 
-        # host CABAC in raster order (WPP substreams land in phase 5)
-        enc = CabacEncoder()
-        enc.init_contexts("I", qp)
-        hc, wc = res.modes.shape
-        for cy in range(hc):
-            for cx in range(wc):
-                left_mode = int(res.modes[cy, cx - 1]) if cx > 0 else 1
-                encode_intra_ctu16(
-                    enc, int(res.modes[cy, cx]), res.levels_y[cy, cx],
-                    res.levels_cb[cy, cx], res.levels_cr[cy, cx],
-                    left_mode, 1)
-                last = (cy == hc - 1 and cx == wc - 1)
-                enc.encode_terminate(1 if last else 0)
-        payload = enc.finish()
+        # host CABAC in raster order (WPP substreams land in phase 5):
+        # native C++ finalizer, Python oracle as fallback
+        from ..native import encode_islice_ctu16
+        payload = encode_islice_ctu16(res.modes, res.levels_y,
+                                      res.levels_cb, res.levels_cr, qp)
+        if payload is None:
+            enc = CabacEncoder()
+            enc.init_contexts("I", qp)
+            hc, wc = res.modes.shape
+            for cy in range(hc):
+                for cx in range(wc):
+                    left_mode = int(res.modes[cy, cx - 1]) if cx > 0 else 1
+                    encode_intra_ctu16(
+                        enc, int(res.modes[cy, cx]), res.levels_y[cy, cx],
+                        res.levels_cb[cy, cx], res.levels_cr[cy, cx],
+                        left_mode, 1)
+                    last = (cy == hc - 1 and cx == wc - 1)
+                    enc.encode_terminate(1 if last else 0)
+            payload = enc.finish()
 
         bw = write_slice_header(self.sps, self.pps, "I", qp,
                                 NAL_IDR_W_RADL, poc=self.poc)

@@ -59,10 +59,11 @@ class IntraFrameEncoder:
     """Per-resolution compiled wavefront encoder (one jit per size)."""
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
-                 lambda_scale: float = 0.57):
+                 lambda_scale: float = 0.57, deblock: bool = False):
         assert width % 16 == 0 and height % 16 == 0, \
             "caller pads to CTU multiple"
         self.width, self.height = width, height
+        self.deblock = deblock
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         diags = _diag_schedule(self.wc, self.hc)
@@ -199,9 +200,18 @@ class IntraFrameEncoder:
         state = jax.lax.fori_loop(0, self.n_diags, body, state)
         (yp, cbp, crp, mode_map, out_modes, out_ly, out_lcb,
          out_lcr) = state
-        return (out_modes, out_ly, out_lcb, out_lcr,
-                yp[PAD:-PAD, PAD:-PAD], cbp[PAD:-PAD, PAD:-PAD],
-                crp[PAD:-PAD, PAD:-PAD])
+        rec_y = yp[PAD:-PAD, PAD:-PAD]
+        rec_cb = cbp[PAD:-PAD, PAD:-PAD]
+        rec_cr = crp[PAD:-PAD, PAD:-PAD]
+        if self.deblock:
+            # in-loop filter on the full frame (intra prediction above
+            # used the unfiltered plane, per spec)
+            from ..ops.deblock import deblock_chroma, deblock_luma
+            rec_y = deblock_luma(rec_y, qp)
+            rec_cb = deblock_chroma(rec_cb, qp_cb)
+            rec_cr = deblock_chroma(rec_cr, qp_cr)
+        return (out_modes, out_ly, out_lcb, out_lcr, rec_y, rec_cb,
+                rec_cr)
 
     # ---- host wrapper -----------------------------------------------------
 
@@ -214,21 +224,19 @@ class IntraFrameEncoder:
                 jnp.asarray(y, jnp.int32), jnp.asarray(cb, jnp.int32),
                 jnp.asarray(cr, jnp.int32), jnp.int32(qp),
                 jnp.int32(qcb), jnp.int32(qcb), jnp.float32(lam))]
-        # de-diagonalize to raster order
+        # de-diagonalize to raster order (vectorized scatter)
         modes = np.zeros((self.hc, self.wc), np.int32)
         ly = np.zeros((self.hc, self.wc, 16, 16), np.int32)
         lcb = np.zeros((self.hc, self.wc, 8, 8), np.int32)
         lcr = np.zeros((self.hc, self.wc, 8, 8), np.int32)
         valid = np.asarray(self._valid)
         coords = np.asarray(self._coords)
-        for d in range(self.n_diags):
-            for j in range(self.bmax):
-                if valid[d, j]:
-                    cx, cy = coords[d, j]
-                    modes[cy, cx] = out_modes[d, j]
-                    ly[cy, cx] = out_ly[d, j]
-                    lcb[cy, cx] = out_lcb[d, j]
-                    lcr[cy, cx] = out_lcr[d, j]
+        vcx = coords[..., 0][valid]
+        vcy = coords[..., 1][valid]
+        modes[vcy, vcx] = out_modes[valid]
+        ly[vcy, vcx] = out_ly[valid]
+        lcb[vcy, vcx] = out_lcb[valid]
+        lcr[vcy, vcx] = out_lcr[valid]
         return FrameResult(modes, ly, lcb, lcr,
                            ry.astype(np.uint8), rcb.astype(np.uint8),
                            rcr.astype(np.uint8))

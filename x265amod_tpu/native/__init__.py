@@ -1,0 +1,103 @@
+"""Native host components (C++), loaded via ctypes.
+
+The reference's native runtime pieces (entropy coder, bit packer) get
+native equivalents here; Python implementations remain as oracles.
+Builds on first use with g++ -O3; falls back to None if no toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhevc_cabac.so")
+_SRC = os.path.join(_DIR, "cabac.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"[native] cabac build failed: {e}\n")
+        return False
+
+
+def get_cabac_lib():
+    """Returns the loaded ctypes library or None."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        sys.stderr.write(f"[native] cabac load failed: {e}\n")
+        return None
+    lib.hevc_cabac_set_layout.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.hevc_encode_islice_ctu16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.hevc_encode_islice_ctu16.restype = ctypes.c_int64
+
+    from ..cabac.tables import CTX_OFFSET, NUM_CTX
+    offs = np.array([
+        CTX_OFFSET["part_mode"], CTX_OFFSET["prev_intra_luma_pred_flag"],
+        CTX_OFFSET["intra_chroma_pred_mode"], CTX_OFFSET["qt_cbf"],
+        CTX_OFFSET["last_sig_coeff_prefix"],
+        CTX_OFFSET["last_sig_coeff_prefix"] + 18,
+        CTX_OFFSET["coded_sub_block_flag"], CTX_OFFSET["sig_coeff_flag"],
+        CTX_OFFSET["coeff_abs_level_greater1_flag"],
+        CTX_OFFSET["coeff_abs_level_greater2_flag"],
+    ], dtype=np.int32)
+    lib.hevc_cabac_set_layout(
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), NUM_CTX)
+    _lib = lib
+    return _lib
+
+
+def encode_islice_ctu16(modes: np.ndarray, levels_y: np.ndarray,
+                        levels_cb: np.ndarray, levels_cr: np.ndarray,
+                        qp: int) -> bytes | None:
+    """One-call native slice encode; None if the native lib is missing."""
+    lib = get_cabac_lib()
+    if lib is None:
+        return None
+    from ..cabac.tables import init_context_states
+    hc, wc = modes.shape
+    states = np.ascontiguousarray(
+        init_context_states("I", qp).astype(np.int32))
+    m = np.ascontiguousarray(modes.astype(np.int32))
+    ly = np.ascontiguousarray(levels_y.astype(np.int32))
+    lcb = np.ascontiguousarray(levels_cb.astype(np.int32))
+    lcr = np.ascontiguousarray(levels_cr.astype(np.int32))
+    cap = max(1 << 16, ly.size * 8 + lcb.size * 8 + lcr.size * 8)
+    out = np.empty(cap, dtype=np.uint8)
+    p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.hevc_encode_islice_ctu16(
+        m.ctypes.data_as(p), ly.ctypes.data_as(p), lcb.ctypes.data_as(p),
+        lcr.ctypes.data_as(p), hc, wc, states.ctypes.data_as(p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -1,0 +1,422 @@
+// Native CABAC slice finalizer.
+//
+// Role of reference encoder/entropy.cpp (encodeBin/encodeBinEP/writeOut
+// + codeCoeffNxN): the arithmetic coder and residual-syntax serializer
+// run as ONE host call per slice over the device-produced decision
+// arrays (modes + quantized levels), re-derived from ITU-T H.265
+// 9.3.3/9.3.4 + 7.3.8.  Mirrors x265amod_tpu/cabac/{engine,syntax}.py
+// bit-for-bit (enforced by tests/test_native_cabac.py).
+//
+// Build: g++ -O3 -shared -fPIC -o libhevc_cabac.so cabac.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- spec arithmetic tables (H.265 Tables 9-46..9-48) ----------------
+static const uint8_t kLpsTable[64][4] = {
+    {128,176,208,240},{128,167,197,227},{128,158,187,216},{123,150,178,205},
+    {116,142,169,195},{111,135,160,185},{105,128,152,175},{100,122,144,166},
+    {95,116,137,158},{90,110,130,150},{85,104,123,142},{81,99,117,135},
+    {77,94,111,128},{73,89,105,122},{69,85,100,116},{66,80,95,110},
+    {62,76,90,104},{59,72,86,99},{56,69,81,94},{53,65,77,89},
+    {51,62,73,85},{48,59,69,80},{46,56,66,76},{43,53,63,72},
+    {41,50,59,69},{39,48,56,65},{37,45,54,62},{35,43,51,59},
+    {33,41,48,56},{32,39,46,53},{30,37,43,50},{29,35,41,48},
+    {27,33,39,45},{26,31,37,43},{24,30,35,41},{23,28,33,39},
+    {22,27,32,37},{21,26,30,35},{20,24,29,33},{19,23,27,31},
+    {18,22,26,30},{17,21,25,28},{16,20,23,27},{15,19,22,25},
+    {14,18,21,24},{14,17,20,23},{13,16,19,22},{12,15,18,21},
+    {12,14,17,20},{11,14,16,19},{11,13,15,18},{10,12,15,17},
+    {10,12,14,16},{9,11,13,15},{9,11,12,14},{8,10,12,14},
+    {8,9,11,13},{7,9,11,12},{7,9,10,12},{7,8,10,11},
+    {6,8,9,11},{6,7,9,10},{6,7,8,9},{2,2,2,2}};
+
+static const uint8_t kTransLps[64] = {
+    0,0,1,2,2,4,4,5,6,7,8,9,9,11,11,12,13,13,15,15,16,16,18,18,19,19,
+    21,21,22,22,23,24,24,25,26,26,27,27,28,29,29,30,30,30,31,32,32,33,
+    33,33,34,34,35,35,35,36,36,36,37,37,37,38,38,63};
+
+// ---- context layout (must match cabac/tables.py CTX_LAYOUT) ----------
+// Offsets are injected from Python at init time to guarantee agreement.
+struct CtxLayout {
+  int32_t part_mode, prev_intra, chroma_pred, qt_cbf, last_x, last_y,
+      csbf, sig, gt1, gt2, num_ctx;
+};
+
+struct Cabac {
+  uint32_t low = 0, range = 510, bits_outstanding = 0;
+  bool first_bit = true;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  std::vector<uint8_t> bytes;
+  std::vector<uint8_t> state;   // pStateIdx
+  std::vector<uint8_t> mps;
+
+  void write_bit(int b) {
+    bitbuf = (bitbuf << 1) | (uint32_t)b;
+    if (++bitcnt == 8) {
+      bytes.push_back((uint8_t)bitbuf);
+      bitbuf = 0;
+      bitcnt = 0;
+    }
+  }
+  void put_bit(int b) {
+    if (first_bit) first_bit = false; else write_bit(b);
+    while (bits_outstanding > 0) { write_bit(1 - b); bits_outstanding--; }
+  }
+  void renorm() {
+    while (range < 256) {
+      if (low < 256) put_bit(0);
+      else if (low >= 512) { low -= 512; put_bit(1); }
+      else { low -= 256; bits_outstanding++; }
+      range <<= 1;
+      low <<= 1;
+    }
+  }
+  void encode_bin(int ctx, int bin) {
+    uint32_t s = state[ctx];
+    uint32_t lps = kLpsTable[s][(range >> 6) & 3];
+    range -= lps;
+    if (bin != mps[ctx]) {
+      low += range;
+      range = lps;
+      if (s == 0) mps[ctx] = 1 - mps[ctx];
+      state[ctx] = kTransLps[s];
+    } else {
+      state[ctx] = s < 62 ? s + 1 : s;
+    }
+    renorm();
+  }
+  void encode_bypass(int bin) {
+    low <<= 1;
+    if (bin) low += range;
+    if (low >= 1024) { put_bit(1); low -= 1024; }
+    else if (low < 512) put_bit(0);
+    else { low -= 512; bits_outstanding++; }
+  }
+  void encode_bypass_bins(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; i--) encode_bypass((v >> i) & 1);
+  }
+  void encode_terminate(int bin) {
+    range -= 2;
+    if (bin) {
+      low += range;
+      // flush
+      range = 2;
+      renorm();
+      put_bit((low >> 9) & 1);
+      uint32_t v = ((low >> 7) & 3) | 1;
+      write_bit((v >> 1) & 1);
+      write_bit(v & 1);
+    } else {
+      renorm();
+    }
+  }
+  void finish() {
+    while (bitcnt != 0) write_bit(0);
+  }
+};
+
+// diag scan generation (spec 6.5.3)
+static void diag_scan(int size, int32_t* xs, int32_t* ys) {
+  int i = 0, x = 0, y = 0;
+  while (i < size * size) {
+    while (y >= 0) {
+      if (x < size && y < size) { xs[i] = x; ys[i] = y; i++; }
+      y--; x++;
+    }
+    y = x; x = 0;
+  }
+}
+
+static const int32_t kCtxIdxMap4x4[16] = {0,1,4,5,2,3,4,5,6,6,8,8,7,7,8,8};
+
+static int sig_ctx_inc(int xc, int yc, int log2n, int c_idx, int scan_idx,
+                       int right, int below) {
+  int sig;
+  if (log2n == 2) {
+    sig = kCtxIdxMap4x4[(yc << 2) + xc];
+  } else if (xc + yc == 0) {
+    sig = 0;
+  } else {
+    int prev = right + 2 * below;
+    int xp = xc & 3, yp = yc & 3;
+    if (prev == 0) sig = (xp + yp == 0) ? 2 : (xp + yp < 3 ? 1 : 0);
+    else if (prev == 1) sig = (yp == 0) ? 2 : (yp == 1 ? 1 : 0);
+    else if (prev == 2) sig = (xp == 0) ? 2 : (xp == 1 ? 1 : 0);
+    else sig = 2;
+    if (c_idx == 0) {
+      if ((xc >> 2) + (yc >> 2) > 0) sig += 3;
+      sig += (log2n == 3) ? (scan_idx == 0 ? 9 : 15) : 21;
+    } else {
+      sig += (log2n == 3) ? 9 : 12;
+    }
+  }
+  return sig + (c_idx ? 27 : 0);
+}
+
+static int last_group(int pos) {
+  if (pos < 4) return pos;
+  int k = 31 - __builtin_clz((unsigned)pos);
+  return 2 * k + ((pos >> (k - 1)) & 1);
+}
+static int last_min_in_group(int g) {
+  if (g < 4) return g;
+  return (2 + (g & 1)) << ((g >> 1) - 1);
+}
+
+struct ScanTabs {
+  int32_t fx[1024], fy[1024];   // full-TU scan
+  int32_t sbx[64], sby[64];     // subblock scan
+  int32_t ix[16], iy[16];       // 4x4 inner scan
+};
+
+static void build_diag_scans(int log2n, ScanTabs* t) {
+  int n = 1 << log2n;
+  diag_scan(4, t->ix, t->iy);
+  if (n > 4) {
+    diag_scan(n >> 2, t->sbx, t->sby);
+    int k = 0;
+    for (int s = 0; s < (n >> 2) * (n >> 2); s++)
+      for (int c = 0; c < 16; c++, k++) {
+        t->fx[k] = t->sbx[s] * 4 + t->ix[c];
+        t->fy[k] = t->sby[s] * 4 + t->iy[c];
+      }
+  } else {
+    t->sbx[0] = t->sby[0] = 0;
+    for (int c = 0; c < 16; c++) { t->fx[c] = t->ix[c]; t->fy[c] = t->iy[c]; }
+  }
+}
+
+static void write_remaining(Cabac& e, uint32_t value, int rice) {
+  uint32_t prefix = value >> rice;
+  if (prefix < 3) {
+    for (uint32_t i = 0; i < prefix; i++) e.encode_bypass(1);
+    e.encode_bypass(0);
+    e.encode_bypass_bins(value & ((1u << rice) - 1), rice);
+  } else {
+    uint32_t q = prefix - 3;
+    int length = 31 - __builtin_clz(q + 1);
+    uint32_t rem = q - ((1u << length) - 1);
+    for (int i = 0; i < 3 + length; i++) e.encode_bypass(1);
+    e.encode_bypass(0);
+    e.encode_bypass_bins((rem << rice) + (value & ((1u << rice) - 1)),
+                         length + rice);
+  }
+}
+
+static CtxLayout g_layout;
+
+static void residual_coding(Cabac& e, const int32_t* lv, int log2n,
+                            int c_idx, const ScanTabs& t) {
+  const int n = 1 << log2n;
+  const int scan_idx = 0;  // diag (v1 pipeline)
+  int last_pos = -1;
+  for (int i = n * n - 1; i >= 0; i--) {
+    if (lv[t.fy[i] * n + t.fx[i]] != 0) { last_pos = i; break; }
+  }
+  // last position
+  int xl = t.fx[last_pos], yl = t.fy[last_pos];
+  int off, shift;
+  if (c_idx == 0) {
+    off = 3 * (log2n - 2) + ((log2n - 1) >> 2);
+    shift = (log2n + 1) >> 2;
+  } else { off = 15; shift = log2n - 2; }
+  int cmax = (log2n << 1) - 1;
+  int coords[2] = {xl, yl};
+  int bases[2] = {g_layout.last_x, g_layout.last_y};
+  for (int c = 0; c < 2; c++) {
+    int g = last_group(coords[c]);
+    for (int b = 0; b < (g < cmax ? g : cmax); b++)
+      e.encode_bin(bases[c] + off + (b >> shift), 1);
+    if (g < cmax) e.encode_bin(bases[c] + off + (g >> shift), 0);
+  }
+  for (int c = 0; c < 2; c++) {
+    int g = last_group(coords[c]);
+    if (g > 3)
+      e.encode_bypass_bins(coords[c] - last_min_in_group(g), (g >> 1) - 1);
+  }
+
+  const int n_sb = n > 4 ? (n >> 2) : 1;
+  int32_t csbf[64] = {0};
+  for (int sy = 0; sy < n_sb; sy++)
+    for (int sx = 0; sx < n_sb; sx++) {
+      int any = 0;
+      for (int yy = 0; yy < 4 && !any; yy++)
+        for (int xx = 0; xx < 4; xx++)
+          if (lv[(sy * 4 + yy) * n + sx * 4 + xx]) { any = 1; break; }
+      csbf[sy * n_sb + sx] = any;
+    }
+
+  int last_sb = last_pos >> 4;
+  int c1 = 1;
+  for (int i = last_sb; i >= 0; i--) {
+    int sbx = t.sbx[i], sby = t.sby[i];
+    int right = sbx + 1 < n_sb ? csbf[sby * n_sb + sbx + 1] : 0;
+    int below = sby + 1 < n_sb ? csbf[(sby + 1) * n_sb + sbx] : 0;
+    bool infer_dc = false;
+    int coded;
+    if (i == last_sb || i == 0) coded = 1;
+    else {
+      coded = csbf[sby * n_sb + sbx];
+      int ctx = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
+      e.encode_bin(g_layout.csbf + ctx, coded);
+      infer_dc = coded != 0;
+    }
+    if (!coded) continue;
+
+    int start = (i < last_sb) ? 15 : (last_pos & 15) - 1;
+    int sig_pos[16];
+    int num_sig = 0;
+    bool any_sig = false;
+    if (i == last_sb) { sig_pos[num_sig++] = last_pos & 15; any_sig = true; }
+    for (int np = start; np >= 0; np--) {
+      int xc = sbx * 4 + t.ix[np];
+      int yc = sby * 4 + t.iy[np];
+      int sig = lv[yc * n + xc] != 0;
+      if (np == 0 && infer_dc && !any_sig) {
+        // inferred significant
+      } else {
+        e.encode_bin(g_layout.sig +
+                     sig_ctx_inc(xc, yc, log2n, c_idx, scan_idx, right,
+                                 below), sig);
+      }
+      if (sig) { sig_pos[num_sig++] = np; any_sig = true; }
+    }
+
+    int abs_c[16], sgn[16];
+    for (int k = 0; k < num_sig; k++) {
+      int xc = sbx * 4 + t.ix[sig_pos[k]];
+      int yc = sby * 4 + t.iy[sig_pos[k]];
+      int v = lv[yc * n + xc];
+      abs_c[k] = v < 0 ? -v : v;
+      sgn[k] = v < 0;
+    }
+    int ctx_set = (i > 0 && c_idx == 0) ? 2 : 0;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    int num_c1 = num_sig < 8 ? num_sig : 8;
+    int gt1[8];
+    int first_gt1 = -1;
+    for (int k = 0; k < num_c1; k++) {
+      int f = abs_c[k] > 1;
+      int ctx = ctx_set * 4 + (c1 < 3 ? c1 : 3) + (c_idx ? 16 : 0);
+      e.encode_bin(g_layout.gt1 + ctx, f);
+      gt1[k] = f;
+      if (f) { if (first_gt1 < 0) first_gt1 = k; c1 = 0; }
+      else if (c1 > 0 && c1 < 3) c1++;
+    }
+    if (first_gt1 >= 0)
+      e.encode_bin(g_layout.gt2 + ctx_set + (c_idx ? 4 : 0),
+                   abs_c[first_gt1] > 2);
+    for (int k = 0; k < num_sig; k++) e.encode_bypass(sgn[k]);
+    int rice = 0, first2 = 1;
+    for (int k = 0; k < num_sig; k++) {
+      int base_level = k < 8 ? 2 + first2 : 1;
+      if (abs_c[k] >= base_level) {
+        write_remaining(e, (uint32_t)(abs_c[k] - base_level), rice);
+        if (abs_c[k] > (3 << rice)) rice = rice < 4 ? rice + 1 : 4;
+      }
+      if (abs_c[k] >= 2) first2 = 0;
+    }
+  }
+}
+
+static void mpm_from_left(int a, int mpms[3]) {
+  // above neighbor is always DC (above-CTU rule with 16px CTUs)
+  if (a == 1) { mpms[0] = 0; mpms[1] = 1; mpms[2] = 26; return; }
+  if (a == 0) { mpms[0] = 0; mpms[1] = 1; mpms[2] = 26; return; }
+  mpms[0] = a; mpms[1] = 1; mpms[2] = 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Must be called once before encoding; offsets from Python CTX_OFFSET.
+void hevc_cabac_set_layout(const int32_t* offs, int32_t num_ctx) {
+  g_layout.part_mode = offs[0];
+  g_layout.prev_intra = offs[1];
+  g_layout.chroma_pred = offs[2];
+  g_layout.qt_cbf = offs[3];
+  g_layout.last_x = offs[4];
+  g_layout.last_y = offs[5];
+  g_layout.csbf = offs[6];
+  g_layout.sig = offs[7];
+  g_layout.gt1 = offs[8];
+  g_layout.gt2 = offs[9];
+  g_layout.num_ctx = num_ctx;
+}
+
+// init_states: [num_ctx*2] (pStateIdx, valMps) from Python
+// (init_context_states).  Returns bytes written or -1 if out_cap small.
+int64_t hevc_encode_islice_ctu16(
+    const int32_t* modes, const int32_t* levels_y,
+    const int32_t* levels_cb, const int32_t* levels_cr,
+    int32_t hc, int32_t wc, const int32_t* init_states,
+    uint8_t* out, int64_t out_cap) {
+  Cabac e;
+  e.state.resize(g_layout.num_ctx);
+  e.mps.resize(g_layout.num_ctx);
+  for (int i = 0; i < g_layout.num_ctx; i++) {
+    e.state[i] = (uint8_t)init_states[2 * i];
+    e.mps[i] = (uint8_t)init_states[2 * i + 1];
+  }
+  ScanTabs t16, t8;
+  build_diag_scans(4, &t16);
+  build_diag_scans(3, &t8);
+
+  for (int cy = 0; cy < hc; cy++) {
+    for (int cx = 0; cx < wc; cx++) {
+      int idx = cy * wc + cx;
+      int mode = modes[idx];
+      const int32_t* ly = levels_y + (int64_t)idx * 256;
+      const int32_t* lcb = levels_cb + (int64_t)idx * 64;
+      const int32_t* lcr = levels_cr + (int64_t)idx * 64;
+
+      e.encode_bin(g_layout.part_mode, 1);  // PART_2Nx2N
+      int mpms[3];
+      mpm_from_left(cx > 0 ? modes[idx - 1] : 1, mpms);
+      int mi = -1;
+      for (int k = 0; k < 3; k++) if (mode == mpms[k]) { mi = k; break; }
+      if (mi >= 0) {
+        e.encode_bin(g_layout.prev_intra, 1);
+        e.encode_bypass(mi != 0);
+        if (mi) e.encode_bypass(mi - 1);
+      } else {
+        e.encode_bin(g_layout.prev_intra, 0);
+        int rem = mode;
+        int srt[3] = {mpms[0], mpms[1], mpms[2]};
+        if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+        if (srt[1] > srt[2]) { int x = srt[1]; srt[1] = srt[2]; srt[2] = x; }
+        if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+        for (int k = 2; k >= 0; k--) if (rem > srt[k]) rem--;
+        e.encode_bypass_bins((uint32_t)rem, 5);
+      }
+      e.encode_bin(g_layout.chroma_pred, 0);  // DM
+
+      int cbf_y = 0, cbf_cb = 0, cbf_cr = 0;
+      for (int k = 0; k < 256 && !cbf_y; k++) cbf_y = ly[k] != 0;
+      for (int k = 0; k < 64 && !cbf_cb; k++) cbf_cb = lcb[k] != 0;
+      for (int k = 0; k < 64 && !cbf_cr; k++) cbf_cr = lcr[k] != 0;
+      e.encode_bin(g_layout.qt_cbf + 2, cbf_cb);
+      e.encode_bin(g_layout.qt_cbf + 2, cbf_cr);
+      e.encode_bin(g_layout.qt_cbf + 1, cbf_y);
+      if (cbf_y) residual_coding(e, ly, 4, 0, t16);
+      if (cbf_cb) residual_coding(e, lcb, 3, 1, t8);
+      if (cbf_cr) residual_coding(e, lcr, 3, 2, t8);
+
+      bool last = (cy == hc - 1) && (cx == wc - 1);
+      e.encode_terminate(last ? 1 : 0);
+    }
+  }
+  e.finish();
+  if ((int64_t)e.bytes.size() > out_cap) return -1;
+  std::memcpy(out, e.bytes.data(), e.bytes.size());
+  return (int64_t)e.bytes.size();
+}
+
+}  // extern "C"

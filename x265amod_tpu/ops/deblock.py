@@ -1,0 +1,272 @@
+"""Deblocking filter (ITU-T H.265 8.7.2) — numpy oracle + batched JAX.
+
+Role of reference `common/deblock.cpp` (boundary-strength derivation +
+edge filters) and `common/loopfilter.cpp` kernels, re-derived from the
+spec.  TPU shape: instead of the reference's per-CTU-row filter wave
+(`encoder/framefilter.cpp`), ALL vertical edges of the frame are
+filtered as one batched op, then all horizontal edges (the spec's
+normative two-pass order) — no wavefront needed because deblocking has
+no cross-edge sequential dependency within a pass.
+
+v1 scope: all-intra, CU=TU=16 -> every 16-aligned edge has bS=2; frame
+-constant QP.  The general bS derivation lands with inter coding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# spec Table 8-12
+BETA_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38,
+    40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+TC_TABLE = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8,
+    9, 10, 11, 13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+
+
+def luma_params(qp: int, beta_offset: int = 0, tc_offset: int = 0,
+                bs: int = 2):
+    beta_idx = int(np.clip(qp + beta_offset, 0, 51))
+    tc_idx = int(np.clip(qp + 2 * (bs - 1) + tc_offset, 0, 53))
+    return int(BETA_TABLE[beta_idx]), int(TC_TABLE[tc_idx])
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle: filters one frame in place (spec-exact, scalar)
+# ---------------------------------------------------------------------------
+
+def _filter_luma_segment(p, q, beta, tc):
+    """Filter one 4-line segment across an edge.
+
+    p: [4, 4] rows of samples p3..p0 (p[:,3] is p0, adjacent to edge)
+    q: [4, 4] rows q0..q3 (q[:,0] is q0).  Returns filtered (p, q).
+    """
+    p = p.astype(np.int64).copy()
+    q = q.astype(np.int64).copy()
+    # snapshot originals: all filter taps read PRE-filter samples
+    p0, p1, p2, p3 = (p[:, 3].copy(), p[:, 2].copy(), p[:, 1].copy(),
+                      p[:, 0].copy())
+    q0, q1, q2, q3 = (q[:, 0].copy(), q[:, 1].copy(), q[:, 2].copy(),
+                      q[:, 3].copy())
+    dp0 = abs(p2[0] - 2 * p1[0] + p0[0])
+    dp3 = abs(p2[3] - 2 * p1[3] + p0[3])
+    dq0 = abs(q2[0] - 2 * q1[0] + q0[0])
+    dq3 = abs(q2[3] - 2 * q1[3] + q0[3])
+    d = dp0 + dq0 + dp3 + dq3
+    if d >= beta:
+        return p, q
+    # strong/weak decision (spec 8.7.2.5.3, rows 0 and 3)
+    strong = True
+    for i in (0, 3):
+        dpq = (dp0 + dq0 if i == 0 else dp3 + dq3) * 2
+        if not (dpq < (beta >> 2)
+                and abs(p3[i] - p0[i]) + abs(q0[i] - q3[i]) < (beta >> 3)
+                and abs(p0[i] - q0[i]) < ((5 * tc + 1) >> 1)):
+            strong = False
+    if strong:
+        for i in range(4):
+            a, b, c, dd = p3[i], p2[i], p1[i], p0[i]
+            e, f, g, h = q0[i], q1[i], q2[i], q3[i]
+            clip = lambda v, ref: np.clip(v, ref - 2 * tc, ref + 2 * tc)
+            p[i, 3] = clip((b + 2 * c + 2 * dd + 2 * e + f + 4) >> 3, dd)
+            p[i, 2] = clip((b + c + dd + e + 2) >> 2, c)
+            p[i, 1] = clip((2 * a + 3 * b + c + dd + e + 4) >> 3, b)
+            q[i, 0] = clip((c + 2 * dd + 2 * e + 2 * f + g + 4) >> 3, e)
+            q[i, 1] = clip((dd + e + f + g + 2) >> 2, f)
+            q[i, 2] = clip((dd + e + f + 3 * g + 2 * h + 4) >> 3, g)
+    else:
+        dEp = (dp0 + dp3) < ((beta + (beta >> 1)) >> 3)
+        dEq = (dq0 + dq3) < ((beta + (beta >> 1)) >> 3)
+        for i in range(4):
+            delta = (9 * (q0[i] - p0[i]) - 3 * (q1[i] - p1[i]) + 8) >> 4
+            if abs(delta) >= tc * 10:
+                continue
+            delta = np.clip(delta, -tc, tc)
+            p[i, 3] = np.clip(p0[i] + delta, 0, 255)
+            q[i, 0] = np.clip(q0[i] - delta, 0, 255)
+            if dEp:
+                dp = np.clip((((p2[i] + p0[i] + 1) >> 1) - p1[i] + delta)
+                             >> 1, -(tc >> 1), tc >> 1)
+                p[i, 2] = np.clip(p1[i] + dp, 0, 255)
+            if dEq:
+                dq = np.clip((((q2[i] + q0[i] + 1) >> 1) - q1[i] - delta)
+                             >> 1, -(tc >> 1), tc >> 1)
+            # note: q1 update below
+                q[i, 1] = np.clip(q1[i] + dq, 0, 255)
+    return np.clip(p, 0, 255), np.clip(q, 0, 255)
+
+
+def deblock_luma_np(plane: np.ndarray, qp: int, edge_step: int = 16,
+                    beta_offset: int = 0, tc_offset: int = 0
+                    ) -> np.ndarray:
+    """Deblock a luma plane (all-intra bS=2 on edge_step grid)."""
+    out = plane.astype(np.int64).copy()
+    h, w = out.shape
+    beta, tc = luma_params(qp, beta_offset, tc_offset)
+    # vertical edges (filter across columns), left edge of each block
+    for x in range(edge_step, w, edge_step):
+        for y in range(0, h, 4):
+            p = out[y:y + 4, x - 4:x]
+            q = out[y:y + 4, x:x + 4]
+            fp, fq = _filter_luma_segment(p, q, beta, tc)
+            out[y:y + 4, x - 4:x] = fp
+            out[y:y + 4, x:x + 4] = fq
+    # horizontal edges
+    for y in range(edge_step, h, edge_step):
+        for x in range(0, w, 4):
+            p = out[y - 4:y, x:x + 4].T
+            q = out[y:y + 4, x:x + 4].T
+            fp, fq = _filter_luma_segment(p, q, beta, tc)
+            out[y - 4:y, x:x + 4] = fp.T
+            out[y:y + 4, x:x + 4] = fq.T
+    return out.astype(plane.dtype)
+
+
+def deblock_chroma_np(plane: np.ndarray, qp_c: int, edge_step: int = 8,
+                      tc_offset: int = 0) -> np.ndarray:
+    """Chroma deblock: bS=2 edges only, p0/q0 update (spec 8.7.2.5.5)."""
+    out = plane.astype(np.int64).copy()
+    h, w = out.shape
+    tc = int(TC_TABLE[int(np.clip(qp_c + 2 + tc_offset, 0, 53))])
+    if tc == 0:
+        return plane.copy()
+    for x in range(edge_step, w, edge_step):
+        p1 = out[:, x - 2].copy()
+        p0 = out[:, x - 1].copy()
+        q0 = out[:, x].copy()
+        q1 = out[:, x + 1].copy()
+        delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+        out[:, x - 1] = np.clip(p0 + delta, 0, 255)
+        out[:, x] = np.clip(q0 - delta, 0, 255)
+    for y in range(edge_step, h, edge_step):
+        p1 = out[y - 2, :].copy()
+        p0 = out[y - 1, :].copy()
+        q0 = out[y, :].copy()
+        q1 = out[y + 1, :].copy()
+        delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+        out[y - 1, :] = np.clip(p0 + delta, 0, 255)
+        out[y, :] = np.clip(q0 - delta, 0, 255)
+    return out.astype(plane.dtype)
+
+
+# ---------------------------------------------------------------------------
+# JAX batched implementation
+# ---------------------------------------------------------------------------
+
+def _edge_filter_luma_batch(p, q, beta, tc):
+    """Vectorized spec 8.7.2.5 luma edge filter.
+
+    p, q: [..., 4line, 4tap] int32; p taps ordered p3,p2,p1,p0 and
+    q taps q0,q1,q2,q3 (tap axis crosses the edge).  Per 4-line segment
+    on/strong decisions from lines 0 and 3.  Returns filtered (p, q).
+    """
+    p0, p1, p2, p3 = p[..., 3], p[..., 2], p[..., 1], p[..., 0]
+    q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    dp = jnp.abs(p2 - 2 * p1 + p0)        # [..., 4] per line
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+    dp0, dp3 = dp[..., 0], dp[..., 3]
+    dq0, dq3 = dq[..., 0], dq[..., 3]
+    d = dp0 + dq0 + dp3 + dq3
+    on = (d < beta)[..., None]            # broadcast over lines
+
+    def strong_at(i):
+        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2))
+                & (jnp.abs(p3[..., i] - p0[..., i])
+                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta >> 3))
+                & (jnp.abs(p0[..., i] - q0[..., i])
+                   < ((5 * tc + 1) >> 1)))
+    strong = (strong_at(0) & strong_at(3))[..., None]
+
+    c2 = lambda v, ref: jnp.clip(v, ref - 2 * tc, ref + 2 * tc)
+    sp0 = c2((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = c2((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = c2((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = c2((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0)
+    sq1 = c2((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+    sq2 = c2((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+
+    delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    wk_on = jnp.abs(delta0) < tc * 10     # per line
+    delta = jnp.clip(delta0, -tc, tc)
+    wp0 = jnp.clip(p0 + delta, 0, 255)
+    wq0 = jnp.clip(q0 - delta, 0, 255)
+    dEp = ((dp0 + dp3) < ((beta + (beta >> 1)) >> 3))[..., None]
+    dEq = ((dq0 + dq3) < ((beta + (beta >> 1)) >> 3))[..., None]
+    dpv = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1,
+                   -(tc >> 1), tc >> 1)
+    wp1 = jnp.clip(p1 + dpv, 0, 255)
+    dqv = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1,
+                   -(tc >> 1), tc >> 1)
+    wq1 = jnp.clip(q1 + dqv, 0, 255)
+
+    np0 = jnp.where(strong, sp0, jnp.where(wk_on, wp0, p0))
+    np1 = jnp.where(strong, sp1, jnp.where(wk_on & dEp, wp1, p1))
+    np2 = jnp.where(strong, sp2, p2)
+    nq0 = jnp.where(strong, sq0, jnp.where(wk_on, wq0, q0))
+    nq1 = jnp.where(strong, sq1, jnp.where(wk_on & dEq, wq1, q1))
+    nq2 = jnp.where(strong, sq2, q2)
+
+    fp = jnp.stack([p3, jnp.where(on, np2, p2), jnp.where(on, np1, p1),
+                    jnp.where(on, np0, p0)], axis=-1)
+    fq = jnp.stack([jnp.where(on, nq0, q0), jnp.where(on, nq1, q1),
+                    jnp.where(on, nq2, q2), q3], axis=-1)
+    return fp, fq
+
+
+def _vertical_pass_luma(x, beta, tc, edge_step):
+    h, w = x.shape
+    xs = np.arange(edge_step, w, edge_step)
+    if len(xs) == 0:
+        return x
+    cols = np.concatenate([np.arange(x0 - 4, x0 + 4) for x0 in xs])
+    win = x[:, cols].reshape(h, len(xs), 8).transpose(1, 0, 2)
+    seg = win.reshape(len(xs), h // 4, 4, 8)
+    fp, fq = _edge_filter_luma_batch(seg[..., :4], seg[..., 4:], beta, tc)
+    out = jnp.concatenate([fp, fq], axis=-1) \
+        .reshape(len(xs), h, 8).transpose(1, 0, 2).reshape(h, -1)
+    return x.at[:, cols].set(out)
+
+
+@functools.partial(jax.jit, static_argnames=("edge_step",))
+def deblock_luma(plane: jax.Array, qp, edge_step: int = 16):
+    """Deblock a full luma plane [H, W]; frame-constant QP, bS=2 grid.
+
+    Matches deblock_luma_np exactly (tests/test_deblock.py).
+    """
+    beta = jnp.asarray(BETA_TABLE)[jnp.clip(qp, 0, 51)]
+    tc = jnp.asarray(TC_TABLE)[jnp.clip(qp + 2, 0, 53)]
+    x = plane.astype(jnp.int32)
+    x = _vertical_pass_luma(x, beta, tc, edge_step)
+    x = _vertical_pass_luma(x.T, beta, tc, edge_step).T
+    return x.astype(plane.dtype)
+
+
+def _vertical_pass_chroma(x, tc, edge_step):
+    h, w = x.shape
+    xs = np.arange(edge_step, w, edge_step)
+    if len(xs) == 0:
+        return x
+    cols = np.concatenate([np.arange(x0 - 2, x0 + 2) for x0 in xs])
+    win = x[:, cols].reshape(h, len(xs), 4)
+    p1, p0, q0, q1 = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    out = jnp.stack([p1, jnp.clip(p0 + delta, 0, 255),
+                     jnp.clip(q0 - delta, 0, 255), q1], axis=-1)
+    return x.at[:, cols].set(out.reshape(h, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("edge_step",))
+def deblock_chroma(plane: jax.Array, qp_c, edge_step: int = 8):
+    """Chroma deblock (bS=2 only): matches deblock_chroma_np."""
+    tc = jnp.asarray(TC_TABLE)[jnp.clip(qp_c + 2, 0, 53)]
+    x = plane.astype(jnp.int32)
+    x = _vertical_pass_chroma(x, tc, edge_step)
+    x = _vertical_pass_chroma(x.T, tc, edge_step).T
+    return x.astype(plane.dtype)

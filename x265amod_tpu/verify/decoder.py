@@ -322,6 +322,16 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             is_last = (cy == hc - 1 and cx == wc - 1)
             assert eos == (1 if is_last else 0), \
                 f"end_of_slice mismatch at CTU ({cx},{cy})"
+    if not pps.deblock_disabled:
+        from ..ops.deblock import deblock_chroma_np, deblock_luma_np
+        ph, pw = hc * 16, wc * 16
+        y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_np(
+            y_pl[pad:pad + ph, pad:pad + pw], qp)
+        hp = pad // 2
+        cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
+            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb)
+        cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
+            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     return DecodedFrame(
         y=y_pl[pad:pad + h, pad:pad + w].astype(np.uint8),
