@@ -8,17 +8,23 @@ top, top-left and top-right neighbors from earlier diagonals — the same
 dependency shape WPP enforces with its 2-CTU lead,
 `doc/reST/threading.rst:50-92`).
 
+Memory layout: reconstruction state lives in per-CTU *block* layout
+[Hc, Wc, 16, 16] rather than a flat plane — neighbor reference samples
+are then whole-block gathers (XLA gather with contiguous 16x16 slices)
+and recon writes are whole-block scatters, avoiding TPU element-wise
+scatter (which serializes).  The flat plane is materialized once at the
+end by a reshape/transpose.
+
 Per diagonal, on device: gather reference samples -> predict all 35
 modes -> transform/quant/dequant/inverse for every mode -> SSD + bit
 estimate -> pick mode -> reconstruct + scatter.  The host then CABAC-
-codes the chosen modes/levels in raster order.
+codes the chosen modes/levels in raster order (native C++ coder).
 
 v1 scope: CTU=CU=16, TU16 luma / TU8 chroma (DM), CQP.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -28,8 +34,6 @@ import numpy as np
 from ..ops.intra import predict_all_modes_batch, substitute_refs
 from ..ops.quant import chroma_qp, dequant, quant
 from ..ops.transforms import fwd_transform, inv_transform
-
-PAD = 16
 
 
 def _diag_schedule(wc: int, hc: int):
@@ -82,85 +86,68 @@ class IntraFrameEncoder:
     # ---- device code ------------------------------------------------------
 
     def _encode_frame(self, y, cb, cr, qp, qp_cb, qp_cr, lam):
-        """y: [H, W] int32, cb/cr: [H/2, W/2] int32. Returns per-CTU
-        decisions + recon planes."""
+        """y: [H, W] int32, cb/cr: [H/2, W/2] int32."""
         wc, hc, bmax = self.wc, self.hc, self.bmax
-        yp = jnp.full((self.height + 2 * PAD, self.width + 2 * PAD), 128,
-                      jnp.int32)
-        cbp = jnp.full((self.height // 2 + 2 * PAD,
-                        self.width // 2 + 2 * PAD), 128, jnp.int32)
-        crp = cbp
-        # originals as per-CTU blocks for cheap batched gather
-        oy = y.reshape(hc, 16, wc, 16).transpose(0, 2, 1, 3) \
-            .reshape(hc * wc, 16, 16)
-        ocb = cb.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3) \
-            .reshape(hc * wc, 8, 8)
-        ocr = cr.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3) \
-            .reshape(hc * wc, 8, 8)
 
+        def to_blocks(plane, n):
+            return plane.reshape(hc, n, wc, n).transpose(0, 2, 1, 3)
+
+        oy = to_blocks(y, 16)           # [hc, wc, 16, 16]
+        ocb = to_blocks(cb, 8)
+        ocr = to_blocks(cr, 8)
+
+        # recon block state with one dummy row (index hc) for invalid lanes
+        yb = jnp.full((hc + 1, wc, 16, 16), 128, jnp.int32)
+        cbb = jnp.full((hc + 1, wc, 8, 8), 128, jnp.int32)
+        crb = jnp.full((hc + 1, wc, 8, 8), 128, jnp.int32)
         mode_map = jnp.ones((hc + 1, wc), jnp.int32)
-        out_modes = jnp.zeros((self.n_diags, bmax), jnp.int32)
-        out_ly = jnp.zeros((self.n_diags, bmax, 16, 16), jnp.int32)
-        out_lcb = jnp.zeros((self.n_diags, bmax, 8, 8), jnp.int32)
-        out_lcr = jnp.zeros((self.n_diags, bmax, 8, 8), jnp.int32)
 
-        def gather_refs(plane, x0, y0, n):
-            ar = jnp.arange(2 * n)
-            top = plane[(y0 - 1)[:, None], x0[:, None] + ar[None, :]]
-            left = plane[y0[:, None] + ar[None, :], (x0 - 1)[:, None]]
-            corner = plane[y0 - 1, x0 - 1]
-            return top, left, corner
+        def gather_refs(blocks, cx, cy, n):
+            """Raw neighbor refs from block state (garbage if absent)."""
+            cyu = jnp.maximum(cy - 1, 0)
+            cxl = jnp.maximum(cx - 1, 0)
+            cxr = jnp.minimum(cx + 1, wc - 1)
+            top = blocks[cyu, cx, n - 1, :]          # [B, n]
+            topright = blocks[cyu, cxr, n - 1, :]
+            left = blocks[cy, cxl, :, n - 1]
+            corner = blocks[cyu, cxl, n - 1, n - 1]
+            top_raw = jnp.concatenate([top, topright], axis=1)
+            left_raw = jnp.concatenate([left, left], axis=1)
+            return top_raw, left_raw, corner
 
-        def scatter_block(plane, x0, y0, blocks, n, valid):
-            # invalid lanes are redirected into the [0,16) pad corner
-            xs = jnp.where(valid, x0, 0)
-            ys = jnp.where(valid, y0, 0)
-            assert xs.ndim == 1 and ys.ndim == 1
-            ar = jnp.arange(n)
-            yi = ys[:, None, None] + ar[None, :, None]
-            xi = xs[:, None, None] + ar[None, None, :]
-            return plane.at[yi, xi].set(blocks)
-
-        def analyse_plane(plane, orig_blocks, ctu_idx, cx, cy, n, c_idx,
-                          qpv):
-            x0 = PAD + cx * n
-            y0 = PAD + cy * n
-            traw, lraw, craw = gather_refs(plane, x0, y0, n)
+        def analyse_plane(blocks, orig_blocks, cx, cy, n, c_idx, qpv):
+            traw, lraw, craw = gather_refs(blocks, cx, cy, n)
             top, left, corner = substitute_refs(traw, lraw, craw, cx, cy,
                                                 n, wc)
             preds = predict_all_modes_batch(top, left, corner, n, c_idx)
-            orig = jnp.take(orig_blocks, ctu_idx, axis=0)
+            orig = orig_blocks[cy, cx]               # [B, n, n]
             resi = orig[:, None] - preds
             coeff = fwd_transform(resi)
             levels = quant(coeff, qpv)
             rec_resi = inv_transform(dequant(levels, qpv))
             recon = jnp.clip(preds + rec_resi, 0, 255)
             ssd = jnp.sum((recon - orig[:, None]) ** 2, axis=(2, 3))
-            return preds, levels, recon, ssd, orig, (x0, y0)
+            return preds, levels, recon, ssd
 
-        def body(d, state):
-            (yp, cbp, crp, mode_map, out_modes, out_ly, out_lcb,
-             out_lcr) = state
-            cx = self._coords[d, :, 0]
-            cy = self._coords[d, :, 1]
-            val = self._valid[d]
-            ctu_idx = cy * wc + cx
+        def body(state, xs):
+            (yb, cbb, crb, mode_map) = state
+            coords_d, val = xs
+            cx = coords_d[:, 0]
+            cy = coords_d[:, 1]
 
-            preds, levels, recon, ssd, orig, (x0, y0) = analyse_plane(
-                yp, oy, ctu_idx, cx, cy, 16, 0, qp)
+            preds, levels, recon, ssd = analyse_plane(
+                yb, oy, cx, cy, 16, 0, qp)
 
             # ---- mode decision: SSD + lambda * estimated bits ----
-            # residual bits proxy: ~2*log2(|l|)+2 per nonzero coeff
             absl = jnp.abs(levels).astype(jnp.float32)
             rbits = jnp.sum(jnp.where(absl > 0,
                                       2.0 * jnp.log2(absl + 1.0) + 1.5,
                                       0.02), axis=(2, 3))
-            # mode signalling bits with MPM (above is always DC at the
-            # 16px-CTU boundary, cf. spec 8.4.2 above-CTU rule)
-            left_mode = jnp.where(cx > 0, mode_map[cy, cx - 1], 1)
+            left_mode = jnp.where(cx > 0, mode_map[cy, jnp.maximum(
+                cx - 1, 0)], 1)
             is_small = left_mode < 2
             mpm0 = jnp.where(is_small, 0, left_mode)
-            mpm1 = jnp.where(is_small, 1, 1)
+            mpm1 = jnp.ones_like(left_mode)
             mpm2 = jnp.where(is_small, 26, 0)
             modes35 = jnp.arange(35)[None, :]
             mbits = jnp.where(
@@ -173,39 +160,37 @@ class IntraFrameEncoder:
             bi = best[:, None, None, None]
             lv_y = jnp.take_along_axis(levels, bi, axis=1)[:, 0]
             rec_y = jnp.take_along_axis(recon, bi, axis=1)[:, 0]
-            yp = scatter_block(yp, x0, y0, rec_y, 16, val)
-
-            # ---- chroma (DM mode) ----
-            def chroma(plane, ob, qpc):
-                pr, lv, rc, _, og, (cx0, cy0) = analyse_plane(
-                    plane, ob, ctu_idx, cx, cy, 8, 1, qpc)
-                lvb = jnp.take_along_axis(lv, bi, axis=1)[:, 0]
-                rcb = jnp.take_along_axis(rc, bi, axis=1)[:, 0]
-                plane = scatter_block(plane, cx0, cy0, rcb, 8, val)
-                return plane, lvb
-            cbp, lv_cb = chroma(cbp, ocb, qp_cb)
-            crp, lv_cr = chroma(crp, ocr, qp_cr)
 
             safe_cy = jnp.where(val, cy, hc)
+            yb = yb.at[safe_cy, cx].set(rec_y)
             mode_map = mode_map.at[safe_cy, cx].set(best.astype(jnp.int32))
-            out_modes = out_modes.at[d].set(best.astype(jnp.int32))
-            out_ly = out_ly.at[d].set(lv_y)
-            out_lcb = out_lcb.at[d].set(lv_cb)
-            out_lcr = out_lcr.at[d].set(lv_cr)
-            return (yp, cbp, crp, mode_map, out_modes, out_ly, out_lcb,
-                    out_lcr)
 
-        state = (yp, cbp, crp, mode_map, out_modes, out_ly, out_lcb,
-                 out_lcr)
-        state = jax.lax.fori_loop(0, self.n_diags, body, state)
-        (yp, cbp, crp, mode_map, out_modes, out_ly, out_lcb,
-         out_lcr) = state
-        rec_y = yp[PAD:-PAD, PAD:-PAD]
-        rec_cb = cbp[PAD:-PAD, PAD:-PAD]
-        rec_cr = crp[PAD:-PAD, PAD:-PAD]
+            def do_chroma(blocks, ob, qpc):
+                _, lv, rc, _ = analyse_plane(blocks, ob, cx, cy, 8, 1, qpc)
+                lvb = jnp.take_along_axis(lv, bi, axis=1)[:, 0]
+                rcb = jnp.take_along_axis(rc, bi, axis=1)[:, 0]
+                return blocks.at[safe_cy, cx].set(rcb), lvb
+            cbb, lv_cb = do_chroma(cbb, ocb, qp_cb)
+            crb, lv_cr = do_chroma(crb, ocr, qp_cr)
+
+            ys = (best.astype(jnp.int32), lv_y.astype(jnp.int16),
+                  lv_cb.astype(jnp.int16), lv_cr.astype(jnp.int16))
+            return (yb, cbb, crb, mode_map), ys
+
+        state = (yb, cbb, crb, mode_map)
+        state, (out_modes, out_ly, out_lcb, out_lcr) = jax.lax.scan(
+            body, state, (self._coords, self._valid))
+        (yb, cbb, crb, mode_map) = state
+
+        def to_plane(blocks, n, h, w):
+            return blocks[:hc].transpose(0, 2, 1, 3).reshape(h, w)
+
+        rec_y = to_plane(yb, 16, self.height, self.width)
+        rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
+        rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
         if self.deblock:
             # in-loop filter on the full frame (intra prediction above
-            # used the unfiltered plane, per spec)
+            # used the unfiltered blocks, per spec)
             from ..ops.deblock import deblock_chroma, deblock_luma
             rec_y = deblock_luma(rec_y, qp)
             rec_cb = deblock_chroma(rec_cb, qp_cb)

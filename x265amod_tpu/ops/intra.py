@@ -27,6 +27,43 @@ H_MODES = list(range(2, 18))    # horizontal-ish: main ref = left
 
 
 @functools.lru_cache(maxsize=None)
+def _angular_weight_tables(n: int):
+    """Static one-hot weight tensors turning angular prediction into
+    matmuls (MXU work) instead of gathers (serialized on TPU).
+
+    For each mode group, returns (E, W):
+      E [M, n, 2n+1] f32: builds the negative extension of the main
+        reference from [corner, side(2n)] — ext = einsum('bl,mkl->bmk').
+      W [M, n*n, L] f32 with L = 3n+2: two-tap interpolation weights
+        over the assembled mref — pred*32-16 = einsum('bml,mql->bmq').
+    Each W row has at most two nonzeros summing to 32, so f32 matmul is
+    exact (values < 2^13).
+    """
+    length = 3 * n + 2
+
+    def build(ext, gidx, fact):
+        m = ext.shape[0]
+        e = np.zeros((m, n, 2 * n + 1), np.float32)
+        for mi in range(m):
+            for k in range(n):
+                # positions beyond the per-mode projection bound are never
+                # read by the interpolation; clamp them to a valid slot
+                src = min(int(ext[mi, k]), 2 * n - 1)
+                e[mi, k, 0 if src < 0 else src + 1] = 1.0
+        w = np.zeros((m, n * n, length), np.float32)
+        for mi in range(m):
+            for y in range(n):
+                f = int(fact[mi, y])
+                for x in range(n):
+                    g = int(gidx[mi, y, x])
+                    w[mi, y * n + x, g] += 32 - f
+                    w[mi, y * n + x, g + 1] += f
+        return e, w
+
+    return build(*_angular_tables(n)[0]), build(*_angular_tables(n)[1])
+
+
+@functools.lru_cache(maxsize=None)
 def _angular_tables(n: int):
     """Static per-mode tables for the angular prediction gather.
 
@@ -61,38 +98,35 @@ def _angular_tables(n: int):
     return group(V_MODES), group(H_MODES)
 
 
-def _build_mref(main, side, corner, ext_src, n):
-    """mref[B, M, 3n+2] for one mode group.
+def _build_mref(main, side, corner, e_tab, n):
+    """mref[B, M, 3n+2] for one mode group (gather-free).
 
-    main/side: [B, 2n]; corner: [B]; ext_src: [M, n] static.
+    main/side: [B, 2n]; corner: [B]; e_tab: [M, n, 2n+1] static one-hot.
     """
     bsz = main.shape[0]
-    m = ext_src.shape[0]
-    # negative part: per-mode gather from side (or corner when idx<0)
-    side_g = jnp.where(ext_src[None] < 0, corner[:, None, None],
-                       jnp.take_along_axis(
-                           side[:, None, :].repeat(m, 1),
-                           jnp.maximum(ext_src, 0)[None].repeat(bsz, 0),
-                           axis=2))
+    m = e_tab.shape[0]
+    src = jnp.concatenate([corner[:, None], side],
+                          axis=1).astype(jnp.float32)       # [B, 2n+1]
+    ext = jnp.einsum("bl,mkl->bmk", src, e_tab,
+                     preferred_element_type=jnp.float32)    # [B, M, n]
     line = jnp.concatenate(
-        [corner[:, None], main, main[:, -1:]], axis=1)  # [B, 2n+2]
-    line = jnp.broadcast_to(line[:, None, :], (bsz, m, 2 * n + 2))
-    return jnp.concatenate([side_g, line], axis=2)  # [B, M, 3n+2]
+        [corner[:, None], main, main[:, -1:]], axis=1)      # [B, 2n+2]
+    line = jnp.broadcast_to(line[:, None, :].astype(jnp.float32),
+                            (bsz, m, 2 * n + 2))
+    return jnp.concatenate([ext, line], axis=2)             # [B, M, 3n+2]
 
 
-def _angular_group(mref, gidx, fact, n):
-    """pred[B, M, n, n] (pre-transpose for H group).
+def _angular_group(mref, w_tab, n):
+    """pred[B, M, n, n] via one-hot interpolation matmul (MXU path).
 
-    Static gather: mref[b, m, gidx[m, k, j]] — XLA lowers this to cheap
-    vectorized selects since indices are compile-time constants.
+    mref: [B, M, L] f32 (integer-valued), w_tab: [M, n*n, L] static.
+    Exact: each output = (32-f)*a + f*b with a,b < 256 -> < 2^13.
     """
-    bsz, m, length = mref.shape
-    flat = mref.reshape(bsz * m, length)
-    gi = jnp.tile(gidx.reshape(m, n * n), (bsz, 1))  # [B*M, n*n] static
-    tap0 = jnp.take_along_axis(flat, gi, axis=1).reshape(bsz, m, n, n)
-    tap1 = jnp.take_along_axis(flat, gi + 1, axis=1).reshape(bsz, m, n, n)
-    f = fact[None, :, :, None]                   # [1, M, n, 1]
-    return ((32 - f) * tap0 + f * tap1 + 16) >> 5
+    bsz, m, _ = mref.shape
+    acc = jnp.einsum("bml,mql->bmq", mref, w_tab,
+                     preferred_element_type=jnp.float32)
+    pred = jnp.floor((acc + 16.0) * (1.0 / 32.0))
+    return pred.astype(jnp.int32).reshape(bsz, m, n, n)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth"))
@@ -116,23 +150,21 @@ def predict_all_modes_batch(top: jax.Array, left: jax.Array,
     corner_f = sm[:, 2 * n]
     top_f = sm[:, 2 * n + 1:]
 
-    (v_ext, v_gidx, v_fact), (h_ext, h_gidx, h_fact) = _angular_tables(n)
+    (v_e, v_w), (h_e, h_w) = _angular_weight_tables(n)
     use_filt = np.array([filter_flag(m, n, c_idx) for m in range(35)])
 
     # vertical group (modes 18..34): main=top side=left
     mref_v = jnp.where(
         use_filt[V_MODES][None, :, None],
-        _build_mref(top_f, left_f, corner_f, jnp.asarray(v_ext), n),
-        _build_mref(top, left, corner, jnp.asarray(v_ext), n))
-    pred_v = _angular_group(mref_v, jnp.asarray(v_gidx),
-                            jnp.asarray(v_fact), n)
+        _build_mref(top_f, left_f, corner_f, jnp.asarray(v_e), n),
+        _build_mref(top, left, corner, jnp.asarray(v_e), n))
+    pred_v = _angular_group(mref_v, jnp.asarray(v_w), n)
     # horizontal group (modes 2..17): main=left side=top, then transpose
     mref_h = jnp.where(
         use_filt[H_MODES][None, :, None],
-        _build_mref(left_f, top_f, corner_f, jnp.asarray(h_ext), n),
-        _build_mref(left, top, corner, jnp.asarray(h_ext), n))
-    pred_h = _angular_group(mref_h, jnp.asarray(h_gidx),
-                            jnp.asarray(h_fact), n)
+        _build_mref(left_f, top_f, corner_f, jnp.asarray(h_e), n),
+        _build_mref(left, top, corner, jnp.asarray(h_e), n))
+    pred_h = _angular_group(mref_h, jnp.asarray(h_w), n)
     pred_h = jnp.swapaxes(pred_h, 2, 3)
 
     # planar (mode 0) — always on filtered refs when filter_flag(0)
