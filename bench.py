@@ -50,8 +50,7 @@ def main():
     enc.encode_frame(*frames[0])
     t0 = time.time()
     bits = 0
-    for fr in frames[1:]:
-        out = enc.encode_frame(*fr)
+    for out in enc.encode_pipelined(frames[1:]):
         bits += out.stats.bits
     dt = time.time() - t0
     fps = (nf - 1) / dt

@@ -104,8 +104,15 @@ def main(argv=None) -> int:
     t_start = time.time()
     written = 0
     n = 0
-    for (y, cb, cr) in reader:
-        res = enc.encode_frame(y, cb, cr, return_recon=bool(recon_out))
+
+    def frame_iter():
+        for i, fr in enumerate(reader):
+            if args.frames and i >= args.frames:
+                return
+            yield fr
+
+    for res in enc.encode_pipelined(frame_iter(),
+                                    return_recon=bool(recon_out)):
         out.write(res.nals)
         written += len(res.nals)
         if recon_out:
@@ -117,8 +124,6 @@ def main(argv=None) -> int:
                       f"{s.psnr_y:.4f},{s.psnr_cb:.4f},{s.psnr_cr:.4f},"
                       f"{s.enc_time * 1000:.1f}\n")
         n += 1
-        if args.frames and n >= args.frames:
-            break
         if not args.no_progress and (n % 5 == 0 or n == 1):
             elapsed = time.time() - t_start
             fps = n / elapsed

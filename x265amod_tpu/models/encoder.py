@@ -92,15 +92,39 @@ class Encoder:
                 + wrap_nal(NAL_SPS, write_sps(self.sps))
                 + wrap_nal(NAL_PPS, write_pps(self.pps)))
 
-    def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                     return_recon: bool = False) -> EncodeOutput:
+    def _dispatch(self, y, cb, cr, return_recon):
         t0 = time.time()
         qp = self.param.qp
+        yp = _pad_to_ctu(np.asarray(y), 16)
+        cbp = _pad_to_ctu(np.asarray(cb), 8)
+        crp = _pad_to_ctu(np.asarray(cr), 8)
+        dev_out = self.frame_encoder.encode_async(
+            yp, cbp, crp, qp, want_recon=return_recon)
+        return (dev_out, t0, return_recon)
+
+    def encode_pipelined(self, frames, return_recon: bool = False):
+        """Generator: encode an iterable of (y, cb, cr) with a 2-deep
+        frame pipeline (next frame's device work overlaps this frame's
+        transfers + host CABAC) — the TPU analog of the reference's
+        frame threading (`doc/reST/threading.rst:123-215`)."""
+        pending = None
+        for fr in frames:
+            cur = self._dispatch(*fr, return_recon)
+            if pending is not None:
+                yield self._finish(pending)
+            pending = cur
+        if pending is not None:
+            yield self._finish(pending)
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     return_recon: bool = False) -> EncodeOutput:
+        return self._finish(self._dispatch(y, cb, cr, return_recon))
+
+    def _finish(self, pending) -> EncodeOutput:
+        dev_out, t0, return_recon = pending
+        qp = self.param.qp
         w, h = self.param.width, self.param.height
-        yp = _pad_to_ctu(y.astype(np.int32), 16)
-        cbp = _pad_to_ctu(cb.astype(np.int32), 8)
-        crp = _pad_to_ctu(cr.astype(np.int32), 8)
-        res = self.frame_encoder.encode(yp, cbp, crp, qp)
+        res = self.frame_encoder.collect(dev_out, want_recon=return_recon)
 
         # host CABAC in raster order (WPP substreams land in phase 5):
         # native C++ finalizer, Python oracle as fallback
@@ -129,11 +153,18 @@ class Encoder:
         if self.param.repeat_headers or self.poc == 0:
             nal = self.headers() + nal
 
+        # PSNR from device-computed SSE (over padded planes; padding is
+        # edge-replicated so the bias is negligible for stats purposes)
+        def sse_psnr(sse, npix):
+            mse = sse / max(npix, 1)
+            return 99.99 if mse <= 0 else float(
+                10.0 * np.log10(255.0 * 255.0 / mse))
+        npix_y = self.pad_w * self.pad_h
         stats = FrameStats(
             poc=self.poc, slice_type="I", qp=qp, bits=len(nal) * 8,
-            psnr_y=_psnr(res.recon_y[:h, :w], y),
-            psnr_cb=_psnr(res.recon_cb[:h // 2, :w // 2], cb),
-            psnr_cr=_psnr(res.recon_cr[:h // 2, :w // 2], cr),
+            psnr_y=sse_psnr(float(res.sse[0]), npix_y),
+            psnr_cb=sse_psnr(float(res.sse[1]), npix_y // 4),
+            psnr_cr=sse_psnr(float(res.sse[2]), npix_y // 4),
             enc_time=time.time() - t0)
         self.frame_stats.append(stats)
         self.total_bits += stats.bits

@@ -25,6 +25,7 @@ v1 scope: CTU=CU=16, TU16 luma / TU8 chroma (DM), CQP.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -54,9 +55,10 @@ class FrameResult:
     levels_y: np.ndarray       # [Hc, Wc, 16, 16]
     levels_cb: np.ndarray      # [Hc, Wc, 8, 8]
     levels_cr: np.ndarray
-    recon_y: np.ndarray        # padded-to-CTU planes (uint8)
-    recon_cb: np.ndarray
-    recon_cr: np.ndarray
+    sse: np.ndarray            # [3] luma/cb/cr sum squared error
+    recon_y: np.ndarray | None = None   # padded planes (uint8), opt-in
+    recon_cb: np.ndarray | None = None
+    recon_cr: np.ndarray | None = None
 
 
 class IntraFrameEncoder:
@@ -81,13 +83,31 @@ class IntraFrameEncoder:
                 valid[i, j] = True
         self._coords = jnp.asarray(coords)
         self._valid = jnp.asarray(valid)
-        self._step = jax.jit(self._encode_frame)
+        # static permutation: scan-output slot -> raster CTU order, so the
+        # device hands back dense raster arrays (no host reordering and no
+        # padded-slot download waste)
+        slot_of = np.full(self.hc * self.wc, -1, np.int64)
+        for i in range(self.n_diags):
+            for j in range(self.bmax):
+                if valid[i, j]:
+                    cx, cy = coords[i, j]
+                    slot_of[cy * self.wc + cx] = i * self.bmax + j
+        assert (slot_of >= 0).all()
+        self._raster_slots = jnp.asarray(slot_of)
+        self._step = jax.jit(functools.partial(self._encode_frame,
+                                               want_recon=False))
+        self._step_recon = jax.jit(functools.partial(self._encode_frame,
+                                                     want_recon=True))
 
     # ---- device code ------------------------------------------------------
 
-    def _encode_frame(self, y, cb, cr, qp, qp_cb, qp_cr, lam):
-        """y: [H, W] int32, cb/cr: [H/2, W/2] int32."""
+    def _encode_frame(self, y, cb, cr, qp, qp_cb, qp_cr, lam,
+                      want_recon=False):
+        """y: [H, W] uint8/int32, cb/cr: [H/2, W/2]."""
         wc, hc, bmax = self.wc, self.hc, self.bmax
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
 
         def to_blocks(plane, n):
             return plane.reshape(hc, n, wc, n).transpose(0, 2, 1, 3)
@@ -195,33 +215,57 @@ class IntraFrameEncoder:
             rec_y = deblock_luma(rec_y, qp)
             rec_cb = deblock_chroma(rec_cb, qp_cb)
             rec_cr = deblock_chroma(rec_cr, qp_cr)
-        return (out_modes, out_ly, out_lcb, out_lcr, rec_y, rec_cb,
-                rec_cr)
+
+        # pack scan outputs to dense raster order on device (one static
+        # take — outside the loop, so it compiles to an efficient slice
+        # permutation) and compute PSNR sums on device: the host then
+        # downloads only what CABAC needs.
+        slots = self._raster_slots
+        modes_r = jnp.take(out_modes.reshape(-1), slots).astype(jnp.uint8)
+        ly_r = jnp.take(out_ly.reshape(-1, 16, 16), slots, axis=0)
+        lcb_r = jnp.take(out_lcb.reshape(-1, 8, 8), slots, axis=0)
+        lcr_r = jnp.take(out_lcr.reshape(-1, 8, 8), slots, axis=0)
+        sse = jnp.stack([
+            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2)])
+        if want_recon:
+            return (modes_r, ly_r, lcb_r, lcr_r, sse,
+                    rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+                    rec_cr.astype(jnp.uint8))
+        return (modes_r, ly_r, lcb_r, lcr_r, sse)
 
     # ---- host wrapper -----------------------------------------------------
 
-    def encode(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-               qp: int) -> FrameResult:
+    def encode_async(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     qp: int, want_recon: bool = False):
+        """Dispatch the device step; returns device arrays immediately
+        (JAX async dispatch) so frame-level pipelining can overlap the
+        next frame's compute with this frame's D2H transfers — the TPU
+        analog of the reference's frame-thread pipeline."""
         lam = self.lambda_scale * 2.0 ** ((qp - 12) / 3.0)
         qcb = chroma_qp(qp)
-        (out_modes, out_ly, out_lcb, out_lcr, ry, rcb, rcr) = \
-            [np.asarray(a) for a in self._step(
-                jnp.asarray(y, jnp.int32), jnp.asarray(cb, jnp.int32),
-                jnp.asarray(cr, jnp.int32), jnp.int32(qp),
-                jnp.int32(qcb), jnp.int32(qcb), jnp.float32(lam))]
-        # de-diagonalize to raster order (vectorized scatter)
-        modes = np.zeros((self.hc, self.wc), np.int32)
-        ly = np.zeros((self.hc, self.wc, 16, 16), np.int32)
-        lcb = np.zeros((self.hc, self.wc, 8, 8), np.int32)
-        lcr = np.zeros((self.hc, self.wc, 8, 8), np.int32)
-        valid = np.asarray(self._valid)
-        coords = np.asarray(self._coords)
-        vcx = coords[..., 0][valid]
-        vcy = coords[..., 1][valid]
-        modes[vcy, vcx] = out_modes[valid]
-        ly[vcy, vcx] = out_ly[valid]
-        lcb[vcy, vcx] = out_lcb[valid]
-        lcr[vcy, vcx] = out_lcr[valid]
-        return FrameResult(modes, ly, lcb, lcr,
-                           ry.astype(np.uint8), rcb.astype(np.uint8),
-                           rcr.astype(np.uint8))
+        step = self._step_recon if want_recon else self._step
+        return step(
+            jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
+            jnp.asarray(cr, jnp.uint8), jnp.int32(qp),
+            jnp.int32(qcb), jnp.int32(qcb), jnp.float32(lam))
+
+    def collect(self, outs, want_recon: bool = False) -> FrameResult:
+        outs = [np.asarray(a) for a in outs]
+        modes_r, ly_r, lcb_r, lcr_r, sse = outs[:5]
+        hc, wc = self.hc, self.wc
+        res = FrameResult(
+            modes_r.reshape(hc, wc).astype(np.int32),
+            ly_r.reshape(hc, wc, 16, 16).astype(np.int32),
+            lcb_r.reshape(hc, wc, 8, 8).astype(np.int32),
+            lcr_r.reshape(hc, wc, 8, 8).astype(np.int32),
+            sse)
+        if want_recon:
+            res.recon_y, res.recon_cb, res.recon_cr = outs[5:]
+        return res
+
+    def encode(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+               qp: int, want_recon: bool = False) -> FrameResult:
+        return self.collect(self.encode_async(y, cb, cr, qp, want_recon),
+                            want_recon)
