@@ -47,6 +47,7 @@ def test_e2e_with_deblock():
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.qp = 35
+    p.keyint = 1      # deblock currently gated to all-intra streams
     p.deblock = True
     enc = Encoder(p)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -64,6 +65,7 @@ def test_e2e_with_deblock():
     p2 = param_default_preset("medium")
     p2.width, p2.height = w, h
     p2.qp = 35
+    p2.keyint = 1
     enc2 = Encoder(p2)
     out2 = enc2.encode_frame(y, cb, cr, return_recon=True)
     assert not np.array_equal(out.recon[0], out2.recon[0])

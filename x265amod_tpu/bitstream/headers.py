@@ -268,8 +268,8 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
         bw.write_flag(0)                # num_ref_idx_active_override_flag
         if sps.temporal_mvp and st == 1:
             bw.write_flag(0)            # collocated_from_l0 defaults; omit
-        # five_minus_max_num_merge_cand
-        bw.write_ue(5 - 3)
+        # five_minus_max_num_merge_cand (pipeline uses MaxNumMergeCand=2)
+        bw.write_ue(5 - 2)
     bw.write_se(slice_qp - pps.init_qp)
     if pps.entropy_coding_sync:
         bw.write_ue(num_entry_points)

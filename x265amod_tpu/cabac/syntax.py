@@ -307,3 +307,114 @@ def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
         residual_coding(enc, cb_levels, 3, 1, 0)
     if cbf_cr:
         residual_coding(enc, cr_levels, 3, 2, 0)
+
+# ---- P-slice CTU syntax (v1: CU16 2Nx2N, skip / AMVP-inter / intra) --------
+
+def _write_ep_exgolomb(enc: CabacEncoder, value: int, k: int) -> None:
+    """k-th order exp-Golomb, bypass bins (reference writeEpExGolomb)."""
+    while value >= (1 << k):
+        enc.encode_bypass(1)
+        value -= 1 << k
+        k += 1
+    enc.encode_bypass(0)
+    enc.encode_bypass_bins(value, k)
+
+
+def encode_mvd(enc: CabacEncoder, mvd_x: int, mvd_y: int) -> None:
+    """MVD coding (spec 7.3.8.9 mvd_coding)."""
+    ax, ay = abs(mvd_x), abs(mvd_y)
+    enc.encode_bin(CTX_MVD, 1 if ax else 0)
+    enc.encode_bin(CTX_MVD, 1 if ay else 0)
+    if ax:
+        enc.encode_bin(CTX_MVD + 1, 1 if ax > 1 else 0)
+    if ay:
+        enc.encode_bin(CTX_MVD + 1, 1 if ay > 1 else 0)
+    if ax:
+        if ax > 1:
+            _write_ep_exgolomb(enc, ax - 2, 1)
+        enc.encode_bypass(1 if mvd_x < 0 else 0)
+    if ay:
+        if ay > 1:
+            _write_ep_exgolomb(enc, ay - 2, 1)
+        enc.encode_bypass(1 if mvd_y < 0 else 0)
+
+
+def encode_merge_idx(enc: CabacEncoder, idx: int, max_merge: int) -> None:
+    if max_merge <= 1:
+        return
+    enc.encode_bin(CTX_MERGE_IDX, 1 if idx > 0 else 0)
+    for k in range(1, idx):
+        enc.encode_bypass(1)
+    if 0 < idx < max_merge - 1:
+        enc.encode_bypass(0)
+
+
+def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
+                       left_skip: int, above_skip: int,
+                       cand_a_intra_mode: int, max_merge: int = 2) -> None:
+    """Encode one P-slice CTU.
+
+    ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx; mvd (x,y);
+    mvp_idx; luma_mode; levels_y/cb/cr (zeros arrays when absent).
+    """
+    skip = 1 if ctu["kind"] == "skip" else 0
+    enc.encode_bin(CTX_CU_SKIP + left_skip + above_skip, skip)
+    if skip:
+        encode_merge_idx(enc, ctu["merge_idx"], max_merge)
+        return
+    intra = ctu["kind"] == "intra"
+    enc.encode_bin(CTX_PRED_MODE, 1 if intra else 0)
+    enc.encode_bin(CTX_PART_MODE, 1)   # PART_2Nx2N
+    if intra:
+        mpms = mpm_list(cand_a_intra_mode, 1)
+        mode = ctu["luma_mode"]
+        if mode in mpms:
+            enc.encode_bin(CTX_PREV_INTRA, 1)
+            idx = mpms.index(mode)
+            enc.encode_bypass(1 if idx else 0)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(CTX_PREV_INTRA, 0)
+            rem = mode
+            for m in sorted(mpms, reverse=True):
+                if rem > m:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(CTX_CHROMA_PRED, 0)    # DM
+        cbf_cb = int(ctu["levels_cb"].any())
+        cbf_cr = int(ctu["levels_cr"].any())
+        cbf_y = int(ctu["levels_y"].any())
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
+        enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+        if cbf_y:
+            residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+        if cbf_cb:
+            residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+        if cbf_cr:
+            residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+        return
+    # AMVP inter (merge_flag = 0)
+    enc.encode_bin(CTX_MERGE_FLAG, 0)
+    # P slice, 1 active ref: no inter_pred_idc / ref_idx bins
+    encode_mvd(enc, ctu["mvd"][0], ctu["mvd"][1])
+    enc.encode_bin(CTX_MVP, ctu["mvp_idx"])
+    cbf_cb = int(ctu["levels_cb"].any())
+    cbf_cr = int(ctu["levels_cr"].any())
+    cbf_y = int(ctu["levels_y"].any())
+    root = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
+    enc.encode_bin(CTX_RQT_ROOT_CBF, root)
+    if root:
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+        else:
+            assert cbf_y, "rqt_root_cbf=1 with no coded blocks"
+        if cbf_y:
+            residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+        if cbf_cb:
+            residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+        if cbf_cr:
+            residual_coding(enc, ctu["levels_cr"], 3, 2, 0)

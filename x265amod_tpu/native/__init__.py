@@ -101,3 +101,8 @@ def encode_islice_ctu16(modes: np.ndarray, levels_y: np.ndarray,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def encode_pslice_ctu16(res, qp: int) -> bytes | None:
+    """Native P-slice CABAC (not yet implemented -> Python fallback)."""
+    return None

@@ -1,0 +1,49 @@
+"""Scalar/numpy oracles for motion compensation (decoder + kernel tests).
+
+Spec 8.5.3.3.2 (clamped reference reads) and 8.5.3.3.3.2 (chroma 4-tap
+interpolation at the two half phases reachable with integer luma MVs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHROMA_HALF = np.array([-4, 36, 36, -4], dtype=np.int64)
+
+
+def mc_luma_int_np(ref: np.ndarray, x0: int, y0: int, mx: int, my: int,
+                   n: int = 16) -> np.ndarray:
+    h, w = ref.shape
+    ys = np.clip(np.arange(y0 + my, y0 + my + n), 0, h - 1)
+    xs = np.clip(np.arange(x0 + mx, x0 + mx + n), 0, w - 1)
+    return ref[np.ix_(ys, xs)].astype(np.int32)
+
+
+def mc_chroma_halfpel_np(ref: np.ndarray, x0: int, y0: int,
+                         mv_luma_x: int, mv_luma_y: int, n: int = 8
+                         ) -> np.ndarray:
+    """Chroma MC for integer luma MV (frac in {0, 1/2} per axis)."""
+    h, w = ref.shape
+    cmx, cmy = mv_luma_x >> 1, mv_luma_y >> 1
+    fx, fy = mv_luma_x & 1, mv_luma_y & 1
+    # gather (n+3)x(n+3) window with clamp, origin at -1
+    ys = np.clip(np.arange(y0 + cmy - 1, y0 + cmy + n + 2), 0, h - 1)
+    xs = np.clip(np.arange(x0 + cmx - 1, x0 + cmx + n + 2), 0, w - 1)
+    blk = ref[np.ix_(ys, xs)].astype(np.int64)
+    t = CHROMA_HALF
+
+    def hfilt(b):
+        return sum(t[k] * b[:, k:k + n] for k in range(4))
+
+    def vfilt(b):
+        return sum(t[k] * b[k:k + n, :] for k in range(4))
+
+    if fx == 0 and fy == 0:
+        out = blk[1:1 + n, 1:1 + n]
+    elif fx == 1 and fy == 0:
+        out = (hfilt(blk)[1:1 + n, :] + 32) >> 6
+    elif fx == 0 and fy == 1:
+        out = (vfilt(blk)[:, 1:1 + n] + 32) >> 6
+    else:
+        out = ((vfilt(hfilt(blk)) >> 6) + 32) >> 6
+    return np.clip(out, 0, 255).astype(np.int32)

@@ -259,17 +259,23 @@ def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
 
 @dataclass
 class DecodedFrame:
-    y: np.ndarray
+    y: np.ndarray              # cropped output planes
     cb: np.ndarray
     cr: np.ndarray
     modes: np.ndarray
     poc: int = 0
+    # full (padded-to-CTU, uncropped) planes kept as reference pictures
+    full_y: np.ndarray | None = None
+    full_cb: np.ndarray | None = None
+    full_cr: np.ndarray | None = None
 
 
 def decode_stream(stream: bytes) -> list[DecodedFrame]:
     """Decode an Annex-B stream; returns cropped planes per frame."""
+    from ..bitstream.nal import NAL_TRAIL_R, NAL_TRAIL_N
     sps = pps = None
     frames = []
+    last_ref = None
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type == NAL_VPS:
             continue
@@ -279,7 +285,14 @@ def decode_stream(stream: bytes) -> list[DecodedFrame]:
             pps = parse_pps(rbsp)
         elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
             assert sps and pps
-            frames.append(_decode_idr_frame(rbsp, sps, pps, nal_type))
+            fr = _decode_idr_frame(rbsp, sps, pps, nal_type)
+            frames.append(fr)
+            last_ref = fr
+        elif nal_type in (NAL_TRAIL_R, NAL_TRAIL_N):
+            assert sps and pps
+            fr = _decode_p_frame(rbsp, sps, pps, last_ref)
+            frames.append(fr)
+            last_ref = fr
         else:
             raise AssertionError(f"unsupported NAL type {nal_type}")
     return frames
@@ -333,13 +346,14 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
             cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
+    fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
+    fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
+                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
+    fcr = cr_pl[pad // 2:pad // 2 + hc * 8,
+                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
     return DecodedFrame(
-        y=y_pl[pad:pad + h, pad:pad + w].astype(np.uint8),
-        cb=cb_pl[pad // 2:pad // 2 + h // 2,
-                 pad // 2:pad // 2 + w // 2].astype(np.uint8),
-        cr=cr_pl[pad // 2:pad // 2 + h // 2,
-                 pad // 2:pad // 2 + w // 2].astype(np.uint8),
-        modes=modes)
+        y=fy[:h, :w], cb=fcb[:h // 2, :w // 2], cr=fcr[:h // 2, :w // 2],
+        modes=modes, full_y=fy, full_cb=fcb, full_cr=fcr)
 
 
 def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
@@ -410,3 +424,224 @@ def _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_cb, qp_cr,
                        resi_cb, avail_l, avail_t, avail_tr)
     _intra_recon_block(cr_pl, hp + cx * 8, hp + cy * 8, 8, mode, 2,
                        resi_cr, avail_l, avail_t, avail_tr)
+
+
+# ---------------------------------------------------------------------------
+# P-slice decoding (v1 inter feature set)
+# ---------------------------------------------------------------------------
+
+from ..models.mvpred import (MAX_MERGE, amvp_candidates_scalar,
+                             merge_candidates_scalar, neighbor_state)
+from ..ops.me_ref import mc_chroma_halfpel_np, mc_luma_int_np
+
+
+def _decode_mvd(d: CabacDecoder) -> tuple[int, int]:
+    g0x = d.decode_bin(S.CTX_MVD)
+    g0y = d.decode_bin(S.CTX_MVD)
+    g1x = d.decode_bin(S.CTX_MVD + 1) if g0x else 0
+    g1y = d.decode_bin(S.CTX_MVD + 1) if g0y else 0
+
+    def read_rest(g0, g1):
+        if not g0:
+            return 0
+        if not g1:
+            v = 1
+        else:
+            # EG1
+            k = 1
+            v = 2
+            while d.decode_bypass():
+                v += 1 << k
+                k += 1
+            v += d.decode_bypass_bins(k)
+        return -v if d.decode_bypass() else v
+    mx = read_rest(g0x, g1x)
+    my = read_rest(g0y, g1y)
+    return mx, my
+
+
+def _decode_merge_idx(d: CabacDecoder, max_merge: int) -> int:
+    if max_merge <= 1:
+        return 0
+    if not d.decode_bin(S.CTX_MERGE_IDX):
+        return 0
+    idx = 1
+    while idx < max_merge - 1 and d.decode_bypass():
+        idx += 1
+    return idx
+
+
+def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
+                    cr_pl, ref, maps, pad):
+    """Decode one P-slice CTU; maps: dict of per-CTU state arrays."""
+    skip_l = int(maps["skip"][cy, cx - 1]) if cx > 0 else 0
+    skip_a = int(maps["skip"][cy - 1, cx]) if cy > 0 else 0
+    skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
+    ref_y, ref_cb, ref_cr = ref
+    x0, y0 = cx * 16, cy * 16
+
+    def inter_recon(mv_q, lv_y, lv_cb, lv_cr):
+        mvx, mvy = mv_q[0] >> 2, mv_q[1] >> 2
+        py = mc_luma_int_np(ref_y, x0, y0, mvx, mvy, 16)
+        pcb = mc_chroma_halfpel_np(ref_cb, x0 // 2, y0 // 2, mvx, mvy, 8)
+        pcr = mc_chroma_halfpel_np(ref_cr, x0 // 2, y0 // 2, mvx, mvy, 8)
+        ry = np.clip(py + (inv_transform_np(dequant_np(lv_y, qp))
+                           if lv_y.any() else 0), 0, 255)
+        rcb = np.clip(pcb + (inv_transform_np(dequant_np(lv_cb, qp_cb))
+                             if lv_cb.any() else 0), 0, 255)
+        rcr = np.clip(pcr + (inv_transform_np(dequant_np(lv_cr, qp_cr))
+                             if lv_cr.any() else 0), 0, 255)
+        y_pl[pad + y0:pad + y0 + 16, pad + x0:pad + x0 + 16] = ry
+        hp = pad // 2
+        cb_pl[hp + y0 // 2:hp + y0 // 2 + 8,
+              hp + x0 // 2:hp + x0 // 2 + 8] = rcb
+        cr_pl[hp + y0 // 2:hp + y0 // 2 + 8,
+              hp + x0 // 2:hp + x0 // 2 + 8] = rcr
+
+    z8 = np.zeros((8, 8), np.int32)
+    z16 = np.zeros((16, 16), np.int32)
+    if skip:
+        midx = _decode_merge_idx(d, MAX_MERGE)
+        nbs = neighbor_state(maps["inter"], maps["mv"], cx, cy, wc)
+        cands = merge_candidates_scalar(*nbs)
+        mv = cands[midx]
+        inter_recon(mv, z16, z8, z8)
+        maps["inter"][cy, cx] = 1
+        maps["skip"][cy, cx] = 1
+        maps["mv"][cy, cx] = mv
+        maps["imode"][cy, cx] = -1
+        return
+    intra = d.decode_bin(S.CTX_PRED_MODE)
+    assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
+    if intra:
+        li = int(maps["imode"][cy, cx - 1]) if cx > 0 else -1
+        mpms = S.mpm_list(li if li >= 0 else 1, 1)
+        if d.decode_bin(S.CTX_PREV_INTRA):
+            idx = 0
+            if d.decode_bypass():
+                idx = 1 + d.decode_bypass()
+            mode = mpms[idx]
+        else:
+            rem = d.decode_bypass_bins(5)
+            for m in sorted(mpms):
+                if rem >= m:
+                    rem += 1
+            mode = rem
+        assert d.decode_bin(S.CTX_CHROMA_PRED) == 0
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else z16
+        resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
+            else z8
+        resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr \
+            else z8
+        avail_l, avail_t = cx > 0, cy > 0
+        avail_tr = cy > 0 and cx < wc - 1
+        _intra_recon_block(y_pl, pad + x0, pad + y0, 16, mode, 0,
+                           resi_y, avail_l, avail_t, avail_tr)
+        hp = pad // 2
+        _intra_recon_block(cb_pl, hp + x0 // 2, hp + y0 // 2, 8, mode, 1,
+                           resi_cb, avail_l, avail_t, avail_tr)
+        _intra_recon_block(cr_pl, hp + x0 // 2, hp + y0 // 2, 8, mode, 2,
+                           resi_cr, avail_l, avail_t, avail_tr)
+        maps["inter"][cy, cx] = 0
+        maps["skip"][cy, cx] = 0
+        maps["mv"][cy, cx] = (0, 0)
+        maps["imode"][cy, cx] = mode
+        return
+    # AMVP inter
+    assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
+        "non-skip merge unsupported in v1"
+    mvd = _decode_mvd(d)
+    mvp_idx = d.decode_bin(S.CTX_MVP)
+    nbs = neighbor_state(maps["inter"], maps["mv"], cx, cy, wc)
+    a1, b1, b0, b2 = nbs
+    amvp = amvp_candidates_scalar(a1, b0, b1, b2)
+    mv = (amvp[mvp_idx][0] + mvd[0], amvp[mvp_idx][1] + mvd[1])
+    root = d.decode_bin(S.CTX_RQT_ROOT_CBF)
+    ly, lcb, lcr = z16, z8, z8
+    if root:
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
+            if (cbf_cb or cbf_cr) else 1
+        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+    inter_recon(mv, ly, lcb, lcr)
+    maps["inter"][cy, cx] = 1
+    maps["skip"][cy, cx] = 0
+    maps["mv"][cy, cx] = mv
+    maps["imode"][cy, cx] = -1
+
+
+def _decode_p_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
+                    ref: DecodedFrame | None) -> DecodedFrame:
+    assert ref is not None, "P frame without reference"
+    r = BitReader(rbsp)
+    assert r.read_flag() == 1
+    assert r.read_ue() == 0
+    st = r.read_ue()
+    assert st == 1, "only P inter slices supported"
+    poc_lsb = r.read(8)   # log2_max_poc_lsb = 8 in this pipeline
+    assert r.read_flag() == 0          # st_rps_sps_flag (inline RPS)
+    num_neg = r.read_ue()
+    num_pos = r.read_ue()
+    assert num_pos == 0 and num_neg >= 1
+    for _ in range(num_neg):
+        r.read_ue()
+        r.read_flag()
+    if sps.sao:
+        r.read_flag(); r.read_flag()
+    assert r.read_flag() == 0          # num_ref_idx_active_override
+    five_minus = r.read_ue()
+    max_merge = 5 - five_minus
+    qp = pps.init_qp + r.read_se()
+    assert not pps.entropy_sync
+    assert r.read_flag() == 1
+    r.byte_align()
+    payload = rbsp[r.bit_pos // 8:]
+
+    d = CabacDecoder(payload, "P", qp)
+    wc = -(-sps.width // 16)
+    hc = -(-sps.height // 16)
+    pad = 16
+    y_pl = np.zeros((hc * 16 + 2 * pad, wc * 16 + 2 * pad), dtype=np.int32)
+    cb_pl = np.zeros((hc * 8 + pad, wc * 8 + pad), dtype=np.int32)
+    cr_pl = np.zeros_like(cb_pl)
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+    maps = {
+        "inter": np.zeros((hc, wc), np.int32),
+        "skip": np.zeros((hc, wc), np.int32),
+        "mv": np.zeros((hc, wc, 2), np.int32),
+        "imode": np.full((hc, wc), -1, np.int32),
+    }
+    # reference planes: full padded picture from the ref DecodedFrame
+    ref_planes = (ref.full_y, ref.full_cb, ref.full_cr)
+    assert max_merge == MAX_MERGE
+    for cy in range(hc):
+        for cx in range(wc):
+            _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                            y_pl, cb_pl, cr_pl, ref_planes, maps, pad)
+            eos = d.decode_terminate()
+            is_last = (cy == hc - 1 and cx == wc - 1)
+            assert eos == (1 if is_last else 0), \
+                f"end_of_slice mismatch at CTU ({cx},{cy})"
+    if not pps.deblock_disabled:
+        raise AssertionError("deblock for P frames not in v1 decoder")
+    w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
+    fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
+    fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
+                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
+    fcr = cr_pl[pad // 2:pad // 2 + hc * 8,
+                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
+    out = DecodedFrame(y=fy[:h, :w], cb=fcb[:h // 2, :w // 2],
+                       cr=fcr[:h // 2, :w // 2],
+                       modes=maps["imode"], poc=poc_lsb)
+    out.full_y, out.full_cb, out.full_cr = fy, fcb, fcr
+    return out
