@@ -44,3 +44,69 @@ def test_native_matches_python(seed, qp):
     assert got == ref, (
         f"native/python mismatch: {len(got)} vs {len(ref)} bytes, first "
         f"diff at {next((i for i, (a, b) in enumerate(zip(got, ref)) if a != b), -1)}")
+
+
+@pytest.mark.skipif(get_cabac_lib() is None, reason="no native toolchain")
+@pytest.mark.parametrize("seed", [0, 5])
+def test_native_pslice_matches_python(seed):
+    from dataclasses import dataclass
+    from x265amod_tpu.cabac.syntax import encode_inter_ctu16
+    from x265amod_tpu.native import encode_pslice_ctu16
+
+    rng = np.random.default_rng(seed)
+    hc, wc = 3, 5
+
+    @dataclass
+    class Res:
+        kinds: np.ndarray
+        merge_idx: np.ndarray
+        mvd: np.ndarray
+        mvp_idx: np.ndarray
+        modes: np.ndarray
+        levels_y: np.ndarray
+        levels_cb: np.ndarray
+        levels_cr: np.ndarray
+
+    def levels(n, density):
+        lv = rng.integers(-40, 41, (hc, wc, n, n)).astype(np.int32)
+        lv *= (rng.random((hc, wc, n, n)) < density)
+        return lv
+    res = Res(
+        kinds=rng.integers(0, 3, (hc, wc)).astype(np.int32),
+        merge_idx=rng.integers(0, 2, (hc, wc)).astype(np.int32),
+        mvd=rng.integers(-70, 71, (hc, wc, 2)).astype(np.int32),
+        mvp_idx=rng.integers(0, 2, (hc, wc)).astype(np.int32),
+        modes=rng.integers(0, 35, (hc, wc)).astype(np.int32),
+        levels_y=levels(16, 0.05), levels_cb=levels(8, 0.05),
+        levels_cr=levels(8, 0.05))
+    # force a few interesting cases
+    res.kinds[0, 0] = 1
+    res.levels_y[0, 0] = 0
+    res.levels_cb[0, 0] = 0
+    res.levels_cr[0, 0] = 0   # inter with rqt_root_cbf=0
+    res.kinds[0, 1] = 0       # skip
+    qp = 30
+
+    enc = CabacEncoder()
+    enc.init_contexts("P", qp)
+    for cy in range(hc):
+        for cx in range(wc):
+            kind = int(res.kinds[cy, cx])
+            ctu = {"kind": ("skip", "inter", "intra")[kind],
+                   "merge_idx": int(res.merge_idx[cy, cx]),
+                   "mvd": tuple(res.mvd[cy, cx]),
+                   "mvp_idx": int(res.mvp_idx[cy, cx]),
+                   "luma_mode": int(res.modes[cy, cx]),
+                   "levels_y": res.levels_y[cy, cx],
+                   "levels_cb": res.levels_cb[cy, cx],
+                   "levels_cr": res.levels_cr[cy, cx]}
+            ls = int(res.kinds[cy, cx - 1] == 0) if cx > 0 else 0
+            as_ = int(res.kinds[cy - 1, cx] == 0) if cy > 0 else 0
+            lim = int(res.modes[cy, cx - 1]) \
+                if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
+            encode_inter_ctu16(enc, ctu, ls, as_, lim, 2)
+            enc.encode_terminate(
+                1 if (cy == hc - 1 and cx == wc - 1) else 0)
+    ref = enc.finish()
+    got = encode_pslice_ctu16(res, qp)
+    assert got == ref

@@ -59,6 +59,14 @@ def get_cabac_lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.hevc_encode_islice_ctu16.restype = ctypes.c_int64
+    lib.hevc_cabac_set_layout2.argtypes = [
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.hevc_encode_pslice_ctu16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32)] * 8 + [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.hevc_encode_pslice_ctu16.restype = ctypes.c_int64
 
     from ..cabac.tables import CTX_OFFSET, NUM_CTX
     offs = np.array([
@@ -72,6 +80,14 @@ def get_cabac_lib():
     ], dtype=np.int32)
     lib.hevc_cabac_set_layout(
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), NUM_CTX)
+    offs2 = np.array([
+        CTX_OFFSET["cu_skip_flag"], CTX_OFFSET["pred_mode_flag"],
+        CTX_OFFSET["merge_flag"], CTX_OFFSET["merge_idx"],
+        CTX_OFFSET["abs_mvd_greater_flag"], CTX_OFFSET["mvp_flag"],
+        CTX_OFFSET["rqt_root_cbf"],
+    ], dtype=np.int32)
+    lib.hevc_cabac_set_layout2(
+        offs2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     _lib = lib
     return _lib
 
@@ -103,6 +119,38 @@ def encode_islice_ctu16(modes: np.ndarray, levels_y: np.ndarray,
     return out[:n].tobytes()
 
 
-def encode_pslice_ctu16(res, qp: int) -> bytes | None:
-    """Native P-slice CABAC (not yet implemented -> Python fallback)."""
-    return None
+def encode_pslice_ctu16(res, qp: int, max_merge: int = 2) -> bytes | None:
+    """One-call native P-slice encode; None if the native lib is missing.
+
+    `res` is an InterFrameResult (kinds/merge_idx/mvd/mvp_idx/modes +
+    level arrays in raster order).
+    """
+    lib = get_cabac_lib()
+    if lib is None:
+        return None
+    from ..cabac.tables import init_context_states
+    hc, wc = res.kinds.shape
+    states = np.ascontiguousarray(
+        init_context_states("P", qp).astype(np.int32))
+    c = lambda a: np.ascontiguousarray(a.astype(np.int32))
+    kinds = c(res.kinds)
+    mrg = c(res.merge_idx)
+    mvd = c(res.mvd)
+    mvp = c(res.mvp_idx)
+    modes = c(res.modes)
+    ly = c(res.levels_y)
+    lcb = c(res.levels_cb)
+    lcr = c(res.levels_cr)
+    cap = max(1 << 16, ly.size * 8 + lcb.size * 8 + lcr.size * 8)
+    out = np.empty(cap, dtype=np.uint8)
+    p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.hevc_encode_pslice_ctu16(
+        kinds.ctypes.data_as(p), mrg.ctypes.data_as(p),
+        mvd.ctypes.data_as(p), mvp.ctypes.data_as(p),
+        modes.ctypes.data_as(p), ly.ctypes.data_as(p),
+        lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
+        hc, wc, max_merge, states.ctypes.data_as(p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
