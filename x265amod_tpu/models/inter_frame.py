@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.intra import predict_all_modes_batch, substitute_refs
-from ..ops.me import mc_chroma_halfpel, mc_luma_int, me_ssd_grid
+from ..ops.me import (mc_chroma_qpel, mc_luma_int, mc_luma_qpel,
+                      me_ssd_grid, subpel_refine)
 from ..ops.quant import chroma_qp, dequant, quant
 from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import _diag_schedule
@@ -144,11 +145,13 @@ class InterFrameEncoder:
             jnp.stack([mxgrid * 4, mygrid * 4], -1))         # [S, S]
         cost_grid = ssd_grid + lam * mvbits_grid[None]
         flat_idx = jnp.argmin(cost_grid.reshape(n, -1), axis=1)
-        mv_me = jnp.stack([flat_idx % s - SEARCH_RANGE,
-                           flat_idx // s - SEARCH_RANGE], 1)  # [n,2] int
+        mv_me_int = jnp.stack([flat_idx % s - SEARCH_RANGE,
+                               flat_idx // s - SEARCH_RANGE], 1)
+        # sub-pel: exhaustive +-2 qpel refinement (8-tap interpolation)
+        mv_me, _ = subpel_refine(ref_y, oy, mv_me_int, lam, 16)  # qpel
 
         # ---- 2. inter trial at mv_me --------------------------------------
-        pred_me = mc_luma_int(ref_y, mv_me, 16)               # [n,16,16]
+        pred_me = mc_luma_qpel(ref_y, mv_me, 16)              # [n,16,16]
         lv_me = quant(fwd_transform(oy_flat - pred_me), qp, intra=False)
         rec_me = jnp.clip(pred_me + inv_transform(dequant(lv_me, qp)),
                           0, 255)
@@ -240,7 +243,7 @@ class InterFrameEncoder:
                               jnp.where(avB2[:, None], mvB, 0))
             amvp1 = jnp.where((av_a1 & avB2)[:, None], mvB, 0)
 
-            mvq = mvme_d * 4
+            mvq = mvme_d          # already qpel after refinement
             mvd0 = mvq - amvp0
             mvd1 = mvq - amvp1
             b0 = _mvd_bits(mvd0)
@@ -285,10 +288,9 @@ class InterFrameEncoder:
         mvp_idx = jnp.take(o_mvp.reshape(-1), slots)
 
         # ---- 5. final MC + inter residuals (parallel) ----------------------
-        mv_int = mv_fin >> 2
-        pred_y = mc_luma_int(ref_y, mv_int, 16)
-        pred_cb = mc_chroma_halfpel(ref_cb, mv_int, 8)
-        pred_cr = mc_chroma_halfpel(ref_cr, mv_int, 8)
+        pred_y = mc_luma_qpel(ref_y, mv_fin, 16)
+        pred_cb = mc_chroma_qpel(ref_cb, mv_fin, 8)
+        pred_cr = mc_chroma_qpel(ref_cr, mv_fin, 8)
         lv_y_int = quant(fwd_transform(oy_flat - pred_y), qp, intra=False)
         lv_cb_int = quant(fwd_transform(ocb_flat - pred_cb), qp_c,
                           intra=False)

@@ -173,3 +173,197 @@ def mc_chroma_halfpel(ref_plane: jax.Array, mv_luma: jax.Array,
                      jnp.where(fy == 1, pred_hh, pred_hf),
                      jnp.where(fy == 1, pred_fv, pred_ff))
     return jnp.clip(pred, 0, 255).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Sub-pel interpolation (spec 8.5.3.3.3: 8-tap luma / 4-tap chroma)
+# ---------------------------------------------------------------------------
+
+# luma 8-tap filters per quarter phase (spec Table 8-11)
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int32)
+
+# chroma 4-tap filters per eighth phase (spec Table 8-13)
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int32)
+
+
+def _filter_axis2(blk, taps, n):
+    """8/4-tap filter along axis 2; blk [B, R, n+T-1] -> [B, R, n]."""
+    t = taps.shape[0]
+    return sum(int(taps[k]) * blk[:, :, k:k + n] for k in range(t))
+
+
+def _filter_axis1(blk, taps, n):
+    t = taps.shape[0]
+    return sum(int(taps[k]) * blk[:, k:k + n, :] for k in range(t))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
+    """Quarter-pel luma MC for all blocks (spec 8.5.3.3.3.1).
+
+    ref_plane [H, W] int32, mv_qpel [nb, 2].  Computes all 4x4 phase
+    planes from one gathered window and selects per block — gather-light
+    and fully batched.  8-bit precision: stage1 shift 0, stage2 shift 6,
+    final uni rounding (pred14 + 32) >> 6.
+    """
+    h, w = ref_plane.shape
+    hc, wc = h // n, w // n
+    nb = hc * wc
+    pad = 88
+    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+    mvi = mv_qpel >> 2
+    fx = mv_qpel[:, 0] & 3
+    fy = mv_qpel[:, 1] & 3
+    bx = (jnp.arange(nb) % wc) * n
+    by = (jnp.arange(nb) // wc) * n
+    x0 = bx + mvi[:, 0] + pad - 3      # 3 taps of left/top margin
+    y0 = by + mvi[:, 1] + pad - 3
+    ar = jnp.arange(n + 7)
+    yi = y0[:, None, None] + ar[None, :, None]
+    xi = x0[:, None, None] + ar[None, None, :]
+    blk = refp[yi, xi]                  # [nb, n+7, n+7]
+
+    # horizontal: 4 phase variants [nb, n+7, n]
+    hs = [_filter_axis2(blk, LUMA_FILTERS[p], n) if p else
+          (blk[:, :, 3:3 + n] << 6) for p in range(4)]
+    hsel = jnp.stack(hs, 1)            # [nb, 4, n+7, n]
+    hor = jnp.take_along_axis(
+        hsel, fx[:, None, None, None], axis=1)[:, 0]  # [nb, n+7, n]
+    # vertical: second stage >> 6 (first stage kept full for 8-bit)
+    vs = []
+    for p in range(4):
+        if p == 0:
+            vs.append(hor[:, 3:3 + n, :])
+        else:
+            vs.append(_filter_axis1(hor, LUMA_FILTERS[p], n) >> 6)
+    vsel = jnp.stack(vs, 1)
+    pred14 = jnp.take_along_axis(
+        vsel, fy[:, None, None, None], axis=1)[:, 0]
+    # when fy==0, pred14 = hor slice which is already 14-bit; final round
+    pred = (pred14 + 32) >> 6
+    return jnp.clip(pred, 0, 255).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mc_chroma_qpel(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
+                   n: int = 8):
+    """Chroma MC for arbitrary luma quarter-pel MVs (eighth-pel chroma,
+    spec 8.5.3.3.3.2)."""
+    h, w = ref_plane.shape
+    hc, wc = h // n, w // n
+    nb = hc * wc
+    pad = 56
+    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+    mvc_x = mv_luma_qpel[:, 0]          # chroma mv in 1/8 units == luma qpel
+    mvc_y = mv_luma_qpel[:, 1]
+    ix = mvc_x >> 3
+    iy = mvc_y >> 3
+    fx = mvc_x & 7
+    fy = mvc_y & 7
+    bx = (jnp.arange(nb) % wc) * n
+    by = (jnp.arange(nb) // wc) * n
+    x0 = bx + ix + pad - 1
+    y0 = by + iy + pad - 1
+    ar = jnp.arange(n + 3)
+    yi = y0[:, None, None] + ar[None, :, None]
+    xi = x0[:, None, None] + ar[None, None, :]
+    blk = refp[yi, xi]                  # [nb, n+3, n+3]
+
+    hs = [_filter_axis2(blk, CHROMA_FILTERS[p], n) if p else
+          (blk[:, :, 1:1 + n] << 6) for p in range(8)]
+    hor = jnp.take_along_axis(jnp.stack(hs, 1),
+                              fx[:, None, None, None], 1)[:, 0]
+    vs = []
+    for p in range(8):
+        if p == 0:
+            vs.append(hor[:, 1:1 + n, :])
+        else:
+            vs.append(_filter_axis1(hor, CHROMA_FILTERS[p], n) >> 6)
+    pred14 = jnp.take_along_axis(jnp.stack(vs, 1),
+                                 fy[:, None, None, None], 1)[:, 0]
+    pred = (pred14 + 32) >> 6
+    return jnp.clip(pred, 0, 255).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def subpel_refine(ref_plane: jax.Array, cur_blocks: jax.Array,
+                  mv_int: jax.Array, lam: jax.Array, n: int = 16):
+    """Exhaustive +-2 quarter-pel refinement around the integer MV.
+
+    Evaluates all 25 qpel positions (the reference's subme ladder does
+    iterative hpel->qpel, `motion.cpp:40-55`; on TPU the full 5x5 qpel
+    neighborhood is computed batched from one window).  Returns refined
+    mv_qpel [nb, 2] and its SSD.
+    """
+    hc, wc = cur_blocks.shape[:2]
+    nb = hc * wc
+    cur = cur_blocks.reshape(nb, n, n)
+    h, w = ref_plane.shape
+    pad = 88
+    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+    bx = (jnp.arange(nb) % wc) * n
+    by = (jnp.arange(nb) // wc) * n
+    # window covering int offsets {-1, 0} plus filter taps: start at -4
+    x0 = bx + mv_int[:, 0] + pad - 4
+    y0 = by + mv_int[:, 1] + pad - 4
+    ar = jnp.arange(n + 8)
+    yi = y0[:, None, None] + ar[None, :, None]
+    xi = x0[:, None, None] + ar[None, None, :]
+    blk = refp[yi, xi]                  # [nb, n+8, n+8]
+
+    # candidate axis positions (qpel delta): -2..2 -> (int_off, phase)
+    deltas = [(-2, -1, 2), (-1, -1, 3), (0, 0, 0), (1, 0, 1), (2, 0, 2)]
+    hs = []
+    for dq, io, ph in deltas:
+        base = 4 + io - 3               # window col of tap 0
+        sub = blk[:, :, base:base + n + 7]
+        if ph == 0:
+            hs.append(sub[:, :, 3:3 + n] << 6)
+        else:
+            hs.append(_filter_axis2(sub, LUMA_FILTERS[ph], n))
+    costs = []
+    mvs = []
+    for yi_, (dqy, ioy, phy) in enumerate(deltas):
+        basey = 4 + ioy - 3
+        for xi_, (dqx, _, _) in enumerate(deltas):
+            hor = hs[xi_][:, basey:basey + n + 7, :]
+            if phy == 0:
+                pred14 = hor[:, 3:3 + n, :]
+            else:
+                pred14 = _filter_axis1(hor, LUMA_FILTERS[phy], n) >> 6
+            pred = jnp.clip((pred14 + 32) >> 6, 0, 255)
+            ssd = jnp.sum((pred - cur) ** 2, axis=(1, 2)) \
+                .astype(jnp.float32)
+            costs.append(ssd)
+            mvs.append((dqx, dqy))
+    cost = jnp.stack(costs, 1)          # [nb, 25]
+    dmv = jnp.asarray(mvs, jnp.int32)   # [25, 2]
+    mvq_base = mv_int * 4
+    cand_mv = mvq_base[:, None, :] + dmv[None]
+    rate = _mvd_bits_f(cand_mv)
+    best = jnp.argmin(cost + lam * rate, axis=1)
+    mv_out = jnp.take_along_axis(cand_mv, best[:, None, None], 1)[:, 0]
+    ssd_out = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
+    return mv_out, ssd_out
+
+
+def _mvd_bits_f(mvd):
+    a = jnp.abs(mvd).astype(jnp.float32)
+    egv = jnp.maximum(a - 2.0, 0.0)
+    kf = jnp.floor(jnp.log2(egv / 2.0 + 1.0)) + 1.0
+    per = jnp.where(a == 0, 1.0, jnp.where(a == 1, 3.0, 3.0 + 2.0 * kf))
+    return jnp.sum(per, axis=-1)

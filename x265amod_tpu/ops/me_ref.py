@@ -47,3 +47,66 @@ def mc_chroma_halfpel_np(ref: np.ndarray, x0: int, y0: int,
     else:
         out = ((vfilt(hfilt(blk)) >> 6) + 32) >> 6
     return np.clip(out, 0, 255).astype(np.int32)
+
+
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int64)
+
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int64)
+
+
+def mc_luma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                    mv_qy: int, n: int = 16) -> np.ndarray:
+    """Quarter-pel luma MC oracle (spec 8.5.3.3.3.1, 8-bit)."""
+    h, w = ref.shape
+    ix, iy = mv_qx >> 2, mv_qy >> 2
+    fx, fy = mv_qx & 3, mv_qy & 3
+    ys = np.clip(np.arange(y0 + iy - 3, y0 + iy + n + 4), 0, h - 1)
+    xs = np.clip(np.arange(x0 + ix - 3, x0 + ix + n + 4), 0, w - 1)
+    blk = ref[np.ix_(ys, xs)].astype(np.int64)   # [n+7, n+7]
+    if fx == 0:
+        hor = blk[:, 3:3 + n] << 6
+    else:
+        t = LUMA_FILTERS[fx]
+        hor = sum(t[k] * blk[:, k:k + n] for k in range(8))
+    if fy == 0:
+        pred14 = hor[3:3 + n, :]
+    else:
+        t = LUMA_FILTERS[fy]
+        pred14 = sum(t[k] * hor[k:k + n, :] for k in range(8)) >> 6
+    return np.clip((pred14 + 32) >> 6, 0, 255).astype(np.int32)
+
+
+def mc_chroma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                      mv_qy: int, n: int = 8) -> np.ndarray:
+    """Eighth-pel chroma MC oracle (luma qpel MV; spec 8.5.3.3.3.2)."""
+    h, w = ref.shape
+    ix, iy = mv_qx >> 3, mv_qy >> 3
+    fx, fy = mv_qx & 7, mv_qy & 7
+    ys = np.clip(np.arange(y0 + iy - 1, y0 + iy + n + 2), 0, h - 1)
+    xs = np.clip(np.arange(x0 + ix - 1, x0 + ix + n + 2), 0, w - 1)
+    blk = ref[np.ix_(ys, xs)].astype(np.int64)   # [n+3, n+3]
+    if fx == 0:
+        hor = blk[:, 1:1 + n] << 6
+    else:
+        t = CHROMA_FILTERS[fx]
+        hor = sum(t[k] * blk[:, k:k + n] for k in range(4))
+    if fy == 0:
+        pred14 = hor[1:1 + n, :]
+    else:
+        t = CHROMA_FILTERS[fy]
+        pred14 = sum(t[k] * hor[k:k + n, :] for k in range(4)) >> 6
+    return np.clip((pred14 + 32) >> 6, 0, 255).astype(np.int32)

@@ -432,7 +432,7 @@ def _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_cb, qp_cr,
 
 from ..models.mvpred import (MAX_MERGE, amvp_candidates_scalar,
                              merge_candidates_scalar, neighbor_state)
-from ..ops.me_ref import mc_chroma_halfpel_np, mc_luma_int_np
+from ..ops.me_ref import mc_chroma_qpel_np, mc_luma_qpel_np
 
 
 def _decode_mvd(d: CabacDecoder) -> tuple[int, int]:
@@ -481,10 +481,11 @@ def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
     x0, y0 = cx * 16, cy * 16
 
     def inter_recon(mv_q, lv_y, lv_cb, lv_cr):
-        mvx, mvy = mv_q[0] >> 2, mv_q[1] >> 2
-        py = mc_luma_int_np(ref_y, x0, y0, mvx, mvy, 16)
-        pcb = mc_chroma_halfpel_np(ref_cb, x0 // 2, y0 // 2, mvx, mvy, 8)
-        pcr = mc_chroma_halfpel_np(ref_cr, x0 // 2, y0 // 2, mvx, mvy, 8)
+        py = mc_luma_qpel_np(ref_y, x0, y0, mv_q[0], mv_q[1], 16)
+        pcb = mc_chroma_qpel_np(ref_cb, x0 // 2, y0 // 2, mv_q[0],
+                                mv_q[1], 8)
+        pcr = mc_chroma_qpel_np(ref_cr, x0 // 2, y0 // 2, mv_q[0],
+                                mv_q[1], 8)
         ry = np.clip(py + (inv_transform_np(dequant_np(lv_y, qp))
                            if lv_y.any() else 0), 0, 255)
         rcb = np.clip(pcb + (inv_transform_np(dequant_np(lv_cb, qp_cb))
