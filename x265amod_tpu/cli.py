@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     ap.add_argument("--input-res", default=None)
     ap.add_argument("--fps", default=None)
     ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--crf", type=float, default=None)
+    ap.add_argument("--bitrate", type=int, default=None,
+                    help="target bitrate in kbps (ABR)")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--recon", default=None,
@@ -60,6 +63,14 @@ def main(argv=None) -> int:
         param_parse(p, "fps", args.fps)
     if args.qp is not None:
         p.qp = args.qp
+        p.rc_mode = "cqp"
+    if args.crf is not None:
+        p.crf = args.crf
+        p.rc_mode = "crf"
+    if args.bitrate is not None:
+        p.bitrate = args.bitrate
+        p.rc_mode = "abr"
+
     if args.keyint is not None:
         p.keyint = args.keyint
     i = 0

@@ -26,6 +26,7 @@ from ..cabac.syntax import encode_inter_ctu16, encode_intra_ctu16
 from ..utils.params import Param, check_params
 from .intra_frame import IntraFrameEncoder
 from .inter_frame import MAX_MERGE, InterFrameEncoder
+from .ratecontrol import RateControl
 
 
 @dataclass
@@ -91,6 +92,7 @@ class Encoder:
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
         self._ref_dev = None       # device recon planes of last frame
+        self.rc = RateControl(param)
 
     def headers(self) -> bytes:
         return (wrap_nal(NAL_VPS, write_vps(self.sps))
@@ -101,12 +103,12 @@ class Encoder:
 
     def _dispatch(self, y, cb, cr, return_recon):
         t0 = time.time()
-        qp = self.param.qp
         yp = _pad_to_ctu(np.asarray(y), 16)
         cbp = _pad_to_ctu(np.asarray(cb), 8)
         crp = _pad_to_ctu(np.asarray(cr), 8)
         is_idr = (self.poc % max(self.param.keyint, 1) == 0) or \
             self._ref_dev is None or not self.inter_enabled
+        qp = self.rc.frame_qp("I" if is_idr else "P")
         poc = self.poc
         self.poc += 1
         if is_idr:
@@ -116,11 +118,11 @@ class Encoder:
                 yp, cbp, crp, qp, want_recon=True)
             if self.inter_enabled:
                 self._ref_dev = dev_out[5:8]
-            return ("I", dev_out, t0, return_recon, poc)
+            return ("I", dev_out, t0, return_recon, poc, qp)
         dev_out = self.inter_encoder.encode_async(
             yp, cbp, crp, self._ref_dev, qp, want_recon=return_recon)
         self._ref_dev = dev_out[9:12]
-        return ("P", dev_out, t0, return_recon, poc)
+        return ("P", dev_out, t0, return_recon, poc, qp)
 
     def encode_pipelined(self, frames, return_recon: bool = False):
         """Generator with a 2-deep frame pipeline (TPU analog of the
@@ -144,8 +146,7 @@ class Encoder:
     # -- host side -------------------------------------------------------
 
     def _finish(self, pending) -> EncodeOutput:
-        slice_type, dev_out, t0, return_recon, poc = pending
-        qp = self.param.qp
+        slice_type, dev_out, t0, return_recon, poc, qp = pending
         w, h = self.param.width, self.param.height
         if slice_type == "I":
             res = self.frame_encoder.collect(dev_out,
@@ -178,6 +179,7 @@ class Encoder:
             enc_time=time.time() - t0)
         self.frame_stats.append(stats)
         self.total_bits += stats.bits
+        self.rc.update(stats.bits, slice_type, qp)
         recon = None
         if return_recon and res.recon_y is not None:
             recon = (res.recon_y[:h, :w], res.recon_cb[:h // 2, :w // 2],
