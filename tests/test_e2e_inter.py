@@ -30,6 +30,7 @@ def _moving_scene(w, h, n, seed=0):
 def test_lowdelay_p_bitexact(qp):
     w, h = 96, 64
     p = param_default_preset("medium")
+    p.bframes = 0   # low-delay P config under test
     p.width, p.height = w, h
     p.qp = qp
     p.keyint = 8
@@ -59,6 +60,7 @@ def test_lowdelay_p_bitexact(qp):
 def test_static_scene_mostly_skip():
     w, h = 64, 48
     p = param_default_preset("medium")
+    p.bframes = 0   # low-delay P config under test
     p.width, p.height = w, h
     p.qp = 30
     p.keyint = 100
@@ -86,6 +88,7 @@ def test_static_scene_mostly_skip():
 def test_keyint_idr_cadence():
     w, h = 48, 32
     p = param_default_preset("medium")
+    p.bframes = 0   # low-delay P config under test
     p.width, p.height = w, h
     p.qp = 32
     p.keyint = 2

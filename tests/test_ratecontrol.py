@@ -28,6 +28,7 @@ def test_abr_converges():
     w, h, n = 96, 64, 24
     target = 250  # kbps
     p = param_default_preset("medium")
+    p.bframes = 0   # low-delay P config under test
     p.width, p.height = w, h
     p.fps_num, p.fps_den = 25, 1
     p.bitrate = target
@@ -49,6 +50,7 @@ def test_crf_monotonic():
     sizes = []
     for crf in (22, 30, 38):
         p = param_default_preset("medium")
+        p.bframes = 0   # low-delay P config under test
         p.width, p.height = w, h
         p.rc_mode = "crf"
         p.crf = crf
@@ -63,6 +65,7 @@ def test_crf_monotonic():
 
 def test_crf_i_frame_qp_offset():
     p = param_default_preset("medium")
+    p.bframes = 0   # low-delay P config under test
     p.width = p.height = 64
     p.rc_mode = "crf"
     p.crf = 30

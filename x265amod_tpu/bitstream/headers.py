@@ -58,6 +58,8 @@ class SpsInfo:
     level_idc: int = 0
     profile_idc: int = 1      # 1 = Main, 2 = Main10
     num_negative_ref: int = 0  # simple low-delay RPS size (0 = all intra)
+    max_num_reorder: int = 0   # > 0 when B frames reorder output
+    max_dec_buffering: int = 0 # DPB size - 1 (0 -> derived from refs)
 
     @property
     def ctb_size(self) -> int:
@@ -121,8 +123,9 @@ def write_vps(sps: SpsInfo) -> bytes:
     bw.write(0xFFFF, 16)                # vps_reserved_0xffff_16bits
     _write_profile_tier_level(bw, sps)
     bw.write_flag(0)                    # vps_sub_layer_ordering_info_present
-    bw.write_ue(max(1, sps.num_negative_ref))  # vps_max_dec_pic_buffering_m1
-    bw.write_ue(0)                      # vps_max_num_reorder_pics
+    bw.write_ue(max(1, sps.num_negative_ref,
+                    sps.max_dec_buffering))  # vps_max_dec_pic_buffering_m1
+    bw.write_ue(sps.max_num_reorder)    # vps_max_num_reorder_pics
     bw.write_ue(0)                      # vps_max_latency_increase_plus1
     bw.write(0, 6)                      # vps_max_layer_id
     bw.write_ue(0)                      # vps_num_layer_sets_minus1
@@ -153,8 +156,9 @@ def write_sps(sps: SpsInfo) -> bytes:
     bw.write_ue(sps.bit_depth - 8)
     bw.write_ue(sps.log2_max_poc_lsb - 4)
     bw.write_flag(0)                    # sps_sub_layer_ordering_info_present
-    bw.write_ue(max(1, sps.num_negative_ref))  # max_dec_pic_buffering_minus1
-    bw.write_ue(0)                      # sps_max_num_reorder_pics
+    bw.write_ue(max(1, sps.num_negative_ref,
+                    sps.max_dec_buffering))  # max_dec_pic_buffering_minus1
+    bw.write_ue(sps.max_num_reorder)    # sps_max_num_reorder_pics
     bw.write_ue(0)                      # sps_max_latency_increase_plus1
     bw.write_ue(sps.log2_min_cb_size - 3)
     bw.write_ue(sps.log2_ctb_size - sps.log2_min_cb_size)
@@ -237,9 +241,18 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
                        num_entry_points: int = 0,
                        entry_point_offsets: list[int] | None = None,
                        sao_luma: bool = False, sao_chroma: bool = False,
+                       rps_neg: list[tuple[int, int]] | None = None,
+                       rps_pos: list[tuple[int, int]] | None = None,
+                       max_merge: int = 2,
                        ) -> BitWriter:
     """Write slice segment header; returns the open BitWriter so the
-    caller can byte-align and splice the CABAC payload."""
+    caller can byte-align and splice the CABAC payload.
+
+    rps_neg/rps_pos: inline short-term RPS (spec 7.3.7) as lists of
+    (distance, used_by_curr) with distance = |poc - ref_poc| > 0 in
+    ascending order.  When None, a simple low-delay RPS of
+    sps.num_negative_ref immediately-previous pictures is written.
+    """
     from ..bitstream.nal import NAL_IDR_W_RADL, NAL_IDR_N_LP, NAL_CRA_NUT
     bw = BitWriter()
     bw.write_flag(1)                    # first_slice_segment_in_pic_flag
@@ -251,14 +264,23 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
     is_idr = nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
     if not is_idr:
         bw.write(poc % (1 << sps.log2_max_poc_lsb), sps.log2_max_poc_lsb)
-        # short_term_ref_pic_set_sps_flag=0, inline RPS: simple low-delay
-        bw.write_flag(0)
-        nneg = sps.num_negative_ref
-        bw.write_ue(nneg)               # num_negative_pics
-        bw.write_ue(0)                  # num_positive_pics
-        for i in range(nneg):
-            bw.write_ue(0)              # delta_poc_s0_minus1 (prev, prev-1..)
-            bw.write_flag(1)            # used_by_curr_pic_s0_flag
+        bw.write_flag(0)                # short_term_ref_pic_set_sps_flag
+        if rps_neg is None:
+            rps_neg = [(i + 1, 1) for i in range(sps.num_negative_ref)]
+        if rps_pos is None:
+            rps_pos = []
+        bw.write_ue(len(rps_neg))       # num_negative_pics
+        bw.write_ue(len(rps_pos))       # num_positive_pics
+        prev = 0
+        for dist, used in rps_neg:
+            bw.write_ue(dist - prev - 1)    # delta_poc_s0_minus1
+            bw.write_flag(used)             # used_by_curr_pic_s0_flag
+            prev = dist
+        prev = 0
+        for dist, used in rps_pos:
+            bw.write_ue(dist - prev - 1)    # delta_poc_s1_minus1
+            bw.write_flag(used)             # used_by_curr_pic_s1_flag
+            prev = dist
         if sps.temporal_mvp:
             bw.write_flag(1)            # slice_temporal_mvp_enabled_flag
     if sps.sao_enabled:
@@ -266,10 +288,11 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
         bw.write_flag(1 if sao_chroma else 0)
     if st != 2:
         bw.write_flag(0)                # num_ref_idx_active_override_flag
+        if st == 0:
+            bw.write_flag(0)            # mvd_l1_zero_flag
         if sps.temporal_mvp and st == 1:
             bw.write_flag(0)            # collocated_from_l0 defaults; omit
-        # five_minus_max_num_merge_cand (pipeline uses MaxNumMergeCand=2)
-        bw.write_ue(5 - 2)
+        bw.write_ue(5 - max_merge)      # five_minus_max_num_merge_cand
     bw.write_se(slice_qp - pps.init_qp)
     if pps.entropy_coding_sync:
         bw.write_ue(num_entry_points)

@@ -44,6 +44,7 @@ CTX_RQT_ROOT_CBF = CTX_OFFSET["rqt_root_cbf"]
 CTX_MVD = CTX_OFFSET["abs_mvd_greater_flag"]
 CTX_MVP = CTX_OFFSET["mvp_flag"]
 CTX_REF_IDX = CTX_OFFSET["ref_idx"]
+CTX_INTER_DIR = CTX_OFFSET["inter_pred_idc"]
 
 
 # ---- shared derivations ----------------------------------------------------
@@ -400,6 +401,43 @@ def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
     # P slice, 1 active ref: no inter_pred_idc / ref_idx bins
     encode_mvd(enc, ctu["mvd"][0], ctu["mvd"][1])
     enc.encode_bin(CTX_MVP, ctu["mvp_idx"])
+    _encode_residual_root(enc, ctu)
+
+
+def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
+                           cand_a_intra_mode: int) -> None:
+    mpms = mpm_list(cand_a_intra_mode, 1)
+    mode = ctu["luma_mode"]
+    if mode in mpms:
+        enc.encode_bin(CTX_PREV_INTRA, 1)
+        idx = mpms.index(mode)
+        enc.encode_bypass(1 if idx else 0)
+        if idx:
+            enc.encode_bypass(idx - 1)
+    else:
+        enc.encode_bin(CTX_PREV_INTRA, 0)
+        rem = mode
+        for m in sorted(mpms, reverse=True):
+            if rem > m:
+                rem -= 1
+        enc.encode_bypass_bins(rem, 5)
+    enc.encode_bin(CTX_CHROMA_PRED, 0)    # DM
+    cbf_cb = int(ctu["levels_cb"].any())
+    cbf_cr = int(ctu["levels_cr"].any())
+    cbf_y = int(ctu["levels_y"].any())
+    enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
+    enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
+    enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+    if cbf_y:
+        residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+    if cbf_cb:
+        residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+    if cbf_cr:
+        residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+
+
+def _encode_residual_root(enc: CabacEncoder, ctu: dict) -> None:
+    """rqt_root_cbf + transform tree for a non-merge inter CU."""
     cbf_cb = int(ctu["levels_cb"].any())
     cbf_cr = int(ctu["levels_cr"].any())
     cbf_y = int(ctu["levels_y"].any())
@@ -418,3 +456,40 @@ def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
             residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
         if cbf_cr:
             residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+
+
+def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
+                   left_skip: int, above_skip: int,
+                   cand_a_intra_mode: int, max_merge: int = 2) -> None:
+    """Encode one B-slice CTU (CU16 2Nx2N).
+
+    ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx;
+    inter_dir (1 = L0, 2 = L1, 3 = BI); mvd0/mvd1 (x, y); mvp0/mvp1;
+    luma_mode; levels_y/cb/cr.  One active ref per list, so no ref_idx
+    bins (spec 7.3.8.6: signaled only when num_ref_idx_active > 1).
+    """
+    skip = 1 if ctu["kind"] == "skip" else 0
+    enc.encode_bin(CTX_CU_SKIP + left_skip + above_skip, skip)
+    if skip:
+        encode_merge_idx(enc, ctu["merge_idx"], max_merge)
+        return
+    intra = ctu["kind"] == "intra"
+    enc.encode_bin(CTX_PRED_MODE, 1 if intra else 0)
+    enc.encode_bin(CTX_PART_MODE, 1)   # PART_2Nx2N
+    if intra:
+        _encode_intra_in_inter(enc, ctu, cand_a_intra_mode)
+        return
+    enc.encode_bin(CTX_MERGE_FLAG, 0)
+    # inter_pred_idc (spec 9.3.4.2.2: bin0 ctx = CtDepth (0 for CU=CTU),
+    # bin1 ctx = 4); binarization: BI -> '1', L0 -> '00', L1 -> '01'
+    d = ctu["inter_dir"]
+    enc.encode_bin(CTX_INTER_DIR + 0, 1 if d == 3 else 0)
+    if d != 3:
+        enc.encode_bin(CTX_INTER_DIR + 4, 1 if d == 2 else 0)
+    if d != 2:                          # uses L0
+        encode_mvd(enc, ctu["mvd0"][0], ctu["mvd0"][1])
+        enc.encode_bin(CTX_MVP, ctu["mvp0"])
+    if d != 1:                          # uses L1 (mvd_l1_zero_flag = 0)
+        encode_mvd(enc, ctu["mvd1"][0], ctu["mvd1"][1])
+        enc.encode_bin(CTX_MVP, ctu["mvp1"])
+    _encode_residual_root(enc, ctu)

@@ -122,13 +122,23 @@ def main(argv=None) -> int:
                 return
             yield fr
 
+    # recon is produced in decode order; re-emit in display order
+    # (max reorder delay = bframes + 1)
+    import heapq
+    recon_heap: list = []
+    next_disp = 0
     for res in enc.encode_pipelined(frame_iter(),
                                     return_recon=bool(recon_out)):
         out.write(res.nals)
         written += len(res.nals)
         if recon_out:
-            for pl in res.recon:
-                recon_out.write(np.ascontiguousarray(pl).tobytes())
+            heapq.heappush(recon_heap,
+                           (res.stats.display_order, res.recon))
+            while recon_heap and recon_heap[0][0] == next_disp:
+                _, rec = heapq.heappop(recon_heap)
+                for pl in rec:
+                    recon_out.write(np.ascontiguousarray(pl).tobytes())
+                next_disp += 1
         if csv:
             s = res.stats
             csv.write(f"{s.poc},{s.slice_type},{s.qp},{s.bits},"

@@ -19,13 +19,16 @@ import numpy as np
 from ..bitstream.headers import (PpsInfo, SpsInfo, determine_level,
                                  write_pps, write_slice_header, write_sps,
                                  write_vps)
-from ..bitstream.nal import (NAL_IDR_W_RADL, NAL_TRAIL_R, wrap_nal,
-                             NAL_PPS, NAL_SPS, NAL_VPS)
+from ..bitstream.nal import (NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R,
+                             wrap_nal, NAL_PPS, NAL_SPS, NAL_VPS)
 from ..cabac.engine import CabacEncoder
-from ..cabac.syntax import encode_inter_ctu16, encode_intra_ctu16
+from ..cabac.syntax import (encode_b_ctu16, encode_inter_ctu16,
+                            encode_intra_ctu16)
 from ..utils.params import Param, check_params
+from .b_frame import BFrameEncoder
 from .intra_frame import IntraFrameEncoder
 from .inter_frame import MAX_MERGE, InterFrameEncoder
+from .mvpred import dist_scale_factor
 from .ratecontrol import RateControl
 
 
@@ -39,6 +42,7 @@ class FrameStats:
     psnr_cb: float
     psnr_cr: float
     enc_time: float
+    display_order: int = -1
 
 
 @dataclass
@@ -84,87 +88,286 @@ class Encoder:
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset)
+        self.bframes = param.bframes if self.inter_enabled else 0
+        if self.bframes:
+            import math
+            depth = max(1, math.ceil(math.log2(self.bframes + 1)))
+            self.sps.max_num_reorder = depth
+            self.sps.max_dec_buffering = depth + 2
         self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h,
                                                deblock=param.deblock)
         self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h) \
             if self.inter_enabled else None
-        self.poc = 0
+        self.b_encoder = BFrameEncoder(self.pad_w, self.pad_h) \
+            if self.bframes else None
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
-        self._ref_dev = None       # device recon planes of last frame
         self.rc = RateControl(param)
+        # GOP scheduler state (role of reference Lookahead slicetype
+        # output queue + DPB, encoder.cpp:2130/dpb.cpp)
+        self._disp_idx = 0         # global display counter
+        self._last_idr = 0         # display index of current CVS start
+        self._prev_anchor = None   # poc of previous anchor within CVS
+        self._gop_buf = []         # [(yp, cbp, crp, poc)] display order
+        self._dpb = {}             # poc -> device recon planes tuple
+        self._emitted_headers = False
 
     def headers(self) -> bytes:
-        return (wrap_nal(NAL_VPS, write_vps(self.sps))
-                + wrap_nal(NAL_SPS, write_sps(self.sps))
-                + wrap_nal(NAL_PPS, write_pps(self.pps)))
+        out = (wrap_nal(NAL_VPS, write_vps(self.sps))
+               + wrap_nal(NAL_SPS, write_sps(self.sps))
+               + wrap_nal(NAL_PPS, write_pps(self.pps)))
+        out += self._metadata_sei()
+        return out
 
-    # -- frame pipeline ------------------------------------------------
+    def _metadata_sei(self) -> bytes:
+        """Stream-level prefix SEI: info string, HDR static metadata,
+        alternative transfer characteristics (reference
+        frameencoder.cpp:706-830 SEI emission)."""
+        from ..bitstream import sei
+        msgs = []
+        p = self.param
+        if p.info:
+            txt = (b"x265amod-tpu - TPU-native HEVC encoder - "
+                   b"options: " + f"qp={p.qp} keyint={p.keyint} "
+                   f"bframes={p.bframes}".encode())
+            msgs.append((sei.SEI_USER_DATA_UNREGISTERED,
+                         sei.user_data_unregistered(txt)))
+        if p.master_display:
+            prim, wp, mx, mn = sei.parse_mastering_display_string(
+                p.master_display)
+            msgs.append((sei.SEI_MASTERING_DISPLAY,
+                         sei.mastering_display(prim, wp, mx, mn)))
+        if p.max_cll or p.max_fall:
+            msgs.append((sei.SEI_CONTENT_LIGHT_LEVEL,
+                         sei.content_light_level(p.max_cll, p.max_fall)))
+        if p.atc_sei >= 0:
+            msgs.append((sei.SEI_ALTERNATIVE_TRANSFER,
+                         sei.alternative_transfer(p.atc_sei)))
+        return sei.wrap_sei(msgs) if msgs else b""
 
-    def _dispatch(self, y, cb, cr, return_recon):
-        t0 = time.time()
+    # -- GOP planning (role of reference slicetypeDecide + DPB RPS) -----
+
+    def _plan_minigop(self, gop, anchor_is_idr: bool) -> list[dict]:
+        """gop: [(yp, cbp, crp, poc)] display order, last = anchor.
+        Returns plan entries in DECODE order with RPS lists attached
+        (spec 7.3.7 inline short-term RPS; reference dpb.cpp
+        computeRPS:311)."""
+        frames = {poc: (yp, cbp, crp) for (yp, cbp, crp, poc) in gop}
+        anchor = gop[-1][3]
+        prev = self._prev_anchor
+        plan = []
+        if anchor_is_idr:
+            plan.append(dict(poc=anchor, stype="I", ref0=None, ref1=None,
+                             is_ref=True))
+        else:
+            plan.append(dict(poc=anchor, stype="P", ref0=prev, ref1=None,
+                             is_ref=True))
+
+            def rec(lo, hi):
+                if hi - lo < 2:
+                    return
+                mid = (lo + hi) // 2
+                plan.append(dict(poc=mid, stype="B", ref0=lo, ref1=hi,
+                                 is_ref=(hi - lo > 2)))
+                rec(lo, mid)
+                rec(mid, hi)
+            if prev is not None:
+                rec(prev, anchor)
+        available = {prev} if (prev is not None and not anchor_is_idr) \
+            else set()
+        for i, e in enumerate(plan):
+            cur_refs = {r for r in (e["ref0"], e["ref1"])
+                        if r is not None}
+            future = {anchor}
+            for f in plan[i + 1:]:
+                for r in (f["ref0"], f["ref1"]):
+                    if r is not None:
+                        future.add(r)
+            # RPS may only list pictures already decoded at this point
+            retained = ((future | cur_refs) & available) - {e["poc"]}
+            assert cur_refs <= available, "reference precedes decode"
+            if e["is_ref"]:
+                available.add(e["poc"])
+            p = e["poc"]
+            e["rps_neg"] = [(p - q, 1 if q in cur_refs else 0)
+                            for q in sorted(retained, reverse=True)
+                            if q < p]
+            e["rps_pos"] = [(q - p, 1 if q in cur_refs else 0)
+                            for q in sorted(retained) if q > p]
+            e["arrays"] = frames[e["poc"]]
+            e["last_in_gop"] = (i == len(plan) - 1)
+            e["anchor_poc"] = anchor
+            e["display"] = self._last_idr + e["poc"]
+            e["first_in_stream"] = not self._emitted_headers
+            self._emitted_headers = True
+        self._prev_anchor = anchor
+        return plan
+
+    def _push_display_frame(self, y, cb, cr) -> list[dict]:
+        """Buffer one display-order frame; returns plan entries ready
+        to dispatch (decode order)."""
         yp = _pad_to_ctu(np.asarray(y), 16)
         cbp = _pad_to_ctu(np.asarray(cb), 8)
         crp = _pad_to_ctu(np.asarray(cr), 8)
-        is_idr = (self.poc % max(self.param.keyint, 1) == 0) or \
-            self._ref_dev is None or not self.inter_enabled
-        qp = self.rc.frame_qp("I" if is_idr else "P")
-        poc = self.poc
-        self.poc += 1
+        d = self._disp_idx
+        self._disp_idx += 1
+        entries = []
+        is_idr = (d % max(self.param.keyint, 1) == 0) or \
+            not self.inter_enabled
         if is_idr:
-            # intra path needs recon downloaded only if requested; the
-            # device recon is needed as reference either way
-            dev_out = self.frame_encoder.encode_async(
+            if self._gop_buf:
+                entries += self._plan_minigop(self._gop_buf, False)
+                self._gop_buf = []
+            self._last_idr = d
+            self._prev_anchor = None
+            entries += self._plan_minigop([(yp, cbp, crp, 0)], True)
+            return entries
+        poc = d - self._last_idr
+        self._gop_buf.append((yp, cbp, crp, poc))
+        if len(self._gop_buf) >= self.bframes + 1:
+            entries += self._plan_minigop(self._gop_buf, False)
+            self._gop_buf = []
+        return entries
+
+    def _flush_gop(self) -> list[dict]:
+        if not self._gop_buf:
+            return []
+        entries = self._plan_minigop(self._gop_buf, False)
+        self._gop_buf = []
+        return entries
+
+    # -- device dispatch -------------------------------------------------
+
+    def _dispatch_entry(self, e: dict, return_recon: bool):
+        t0 = time.time()
+        # the decoded-picture-hash SEI needs the recon on host
+        return_recon = return_recon or \
+            bool(self.param.decoded_picture_hash)
+        yp, cbp, crp = e["arrays"]
+        stype = e["stype"]
+        poc = e["poc"]
+        if stype == "I":
+            self._dpb = {}            # new CVS: POC numbering restarts
+            qp = self.rc.frame_qp("I")
+            dev = self.frame_encoder.encode_async(
                 yp, cbp, crp, qp, want_recon=True)
             if self.inter_enabled:
-                self._ref_dev = dev_out[5:8]
-            return ("I", dev_out, t0, return_recon, poc, qp)
-        dev_out = self.inter_encoder.encode_async(
-            yp, cbp, crp, self._ref_dev, qp, want_recon=return_recon)
-        self._ref_dev = dev_out[9:12]
-        return ("P", dev_out, t0, return_recon, poc, qp)
+                self._dpb[poc] = dev[5:8]
+        elif stype == "P":
+            qp = self.rc.frame_qp("P")
+            dev = self.inter_encoder.encode_async(
+                yp, cbp, crp, self._dpb[e["ref0"]], qp,
+                want_recon=return_recon)
+            self._dpb[poc] = dev[9:12]
+        else:
+            qp = self.rc.frame_qp("B" if e["is_ref"] else "b")
+            dsf0 = dist_scale_factor(poc, e["ref0"], e["ref1"])
+            dsf1 = dist_scale_factor(poc, e["ref1"], e["ref0"])
+            dev = self.b_encoder.encode_async(
+                yp, cbp, crp, self._dpb[e["ref0"]],
+                self._dpb[e["ref1"]], qp, dsf0, dsf1,
+                want_recon=return_recon)
+            if e["is_ref"]:
+                self._dpb[poc] = dev[12:15]
+        if e["last_in_gop"] and self.inter_enabled:
+            anchor = e["anchor_poc"]
+            if stype == "B" and e["is_ref"]:
+                # keep until both anchor and this Bref are consumed
+                self._dpb = {p: v for p, v in self._dpb.items()
+                             if p in (anchor, poc)}
+            else:
+                self._dpb = {p: v for p, v in self._dpb.items()
+                             if p == anchor}
+        return dict(entry=e, dev=dev, t0=t0, qp=qp,
+                    return_recon=return_recon)
+
+    # -- frame pipeline ------------------------------------------------
 
     def encode_pipelined(self, frames, return_recon: bool = False):
         """Generator with a 2-deep frame pipeline (TPU analog of the
         reference's frame threading, `doc/reST/threading.rst:123-215`).
-        For P GOPs the pipeline is still correct: dispatch N+1 only uses
-        device-resident recon handles (data dependencies resolved by
-        XLA's async queue, not host sync)."""
-        pending = None
+        Dispatches device work in decode order; B-frame data
+        dependencies resolve through XLA's async queue, not host sync.
+        NALs are yielded in decode order (standard for B streams)."""
+        from collections import deque
+        q = deque()
         for fr in frames:
-            cur = self._dispatch(*fr, return_recon)
-            if pending is not None:
-                yield self._finish(pending)
-            pending = cur
-        if pending is not None:
-            yield self._finish(pending)
+            for e in self._push_display_frame(*fr):
+                q.append(self._dispatch_entry(e, return_recon))
+                while len(q) > 2:
+                    yield self._finish(q.popleft())
+        for e in self._flush_gop():
+            q.append(self._dispatch_entry(e, return_recon))
+        while q:
+            yield self._finish(q.popleft())
+
+    def encode_push(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                    return_recon: bool = False) -> list[EncodeOutput]:
+        """Push one display frame; returns the (possibly empty) list of
+        completed encoded frames in decode order (delayed output, like
+        x265_encoder_encode's pipeline latency)."""
+        return [self._finish(self._dispatch_entry(e, return_recon))
+                for e in self._push_display_frame(y, cb, cr)]
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      return_recon: bool = False) -> EncodeOutput:
-        return self._finish(self._dispatch(y, cb, cr, return_recon))
+        """Single-in single-out convenience for zero-latency configs
+        (all-intra or bframes=0); B configs must use encode_push /
+        encode_pipelined + flush."""
+        outs = self.encode_push(y, cb, cr, return_recon)
+        assert len(outs) == 1, \
+            "encode_frame needs bframes=0; use encode_push/flush"
+        return outs[0]
+
+    def flush(self, return_recon: bool = False) -> list[EncodeOutput]:
+        """Drain buffered frames at end of stream."""
+        return [self._finish(self._dispatch_entry(e, return_recon))
+                for e in self._flush_gop()]
 
     # -- host side -------------------------------------------------------
 
     def _finish(self, pending) -> EncodeOutput:
-        slice_type, dev_out, t0, return_recon, poc, qp = pending
+        e = pending["entry"]
+        dev_out = pending["dev"]
+        t0 = pending["t0"]
+        qp = pending["qp"]
+        return_recon = pending["return_recon"]
+        slice_type = e["stype"]
+        poc = e["poc"]
         w, h = self.param.width, self.param.height
         if slice_type == "I":
             res = self.frame_encoder.collect(dev_out,
                                              want_recon=return_recon)
             payload = self._cabac_intra(res, qp)
             nal_type = NAL_IDR_W_RADL
-        else:
+        elif slice_type == "P":
             res = self.inter_encoder.collect(dev_out,
                                              want_recon=return_recon)
             payload = self._cabac_inter(res, qp)
             nal_type = NAL_TRAIL_R
+        else:
+            res = self.b_encoder.collect(dev_out,
+                                         want_recon=return_recon)
+            payload = self._cabac_b(res, qp)
+            nal_type = NAL_TRAIL_R if e["is_ref"] else NAL_TRAIL_N
 
-        bw = write_slice_header(self.sps, self.pps, slice_type, qp,
-                                nal_type, poc=poc)
+        bw = write_slice_header(
+            self.sps, self.pps,
+            "B" if slice_type == "B" else slice_type, qp, nal_type,
+            poc=poc, rps_neg=e.get("rps_neg"), rps_pos=e.get("rps_pos"),
+            max_merge=MAX_MERGE)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
-        if self.param.repeat_headers or poc == 0:
+        if self.param.repeat_headers or e.get("first_in_stream"):
             nal = self.headers() + nal
+        if self.param.decoded_picture_hash and res.recon_y is not None:
+            from ..bitstream import sei
+            nal += sei.wrap_sei(
+                [(sei.SEI_DECODED_PICTURE_HASH,
+                  sei.decoded_picture_hash(
+                      (res.recon_y, res.recon_cb, res.recon_cr),
+                      self.param.decoded_picture_hash - 1))],
+                suffix=True)
 
         def sse_psnr(sse, npix):
             mse = sse / max(npix, 1)
@@ -176,7 +379,8 @@ class Encoder:
             psnr_y=sse_psnr(float(res.sse[0]), npix_y),
             psnr_cb=sse_psnr(float(res.sse[1]), npix_y // 4),
             psnr_cr=sse_psnr(float(res.sse[2]), npix_y // 4),
-            enc_time=time.time() - t0)
+            enc_time=time.time() - t0,
+            display_order=e.get("display", poc))
         self.frame_stats.append(stats)
         self.total_bits += stats.bits
         self.rc.update(stats.bits, slice_type, qp)
@@ -236,6 +440,40 @@ class Encoder:
                     if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
                 encode_inter_ctu16(enc, ctu, left_skip, above_skip,
                                    left_intra_mode, MAX_MERGE)
+                enc.encode_terminate(
+                    1 if (cy == hc - 1 and cx == wc - 1) else 0)
+        return enc.finish()
+
+    def _cabac_b(self, res, qp) -> bytes:
+        enc = CabacEncoder()
+        enc.init_contexts("B", qp)
+        hc, wc = res.kinds.shape
+        for cy in range(hc):
+            for cx in range(wc):
+                kind = int(res.kinds[cy, cx])
+                ctu = {
+                    "kind": ("skip", "inter", "intra")[kind],
+                    "merge_idx": int(res.merge_idx[cy, cx]),
+                    "inter_dir": int(res.inter_dir[cy, cx]),
+                    "mvd0": (int(res.mvd0[cy, cx, 0]),
+                             int(res.mvd0[cy, cx, 1])),
+                    "mvp0": int(res.mvp0[cy, cx]),
+                    "mvd1": (int(res.mvd1[cy, cx, 0]),
+                             int(res.mvd1[cy, cx, 1])),
+                    "mvp1": int(res.mvp1[cy, cx]),
+                    "luma_mode": int(res.modes[cy, cx]),
+                    "levels_y": res.levels_y[cy, cx],
+                    "levels_cb": res.levels_cb[cy, cx],
+                    "levels_cr": res.levels_cr[cy, cx],
+                }
+                left_skip = int(res.kinds[cy, cx - 1] == 0) if cx > 0 \
+                    else 0
+                above_skip = int(res.kinds[cy - 1, cx] == 0) if cy > 0 \
+                    else 0
+                left_intra_mode = int(res.modes[cy, cx - 1]) \
+                    if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
+                encode_b_ctu16(enc, ctu, left_skip, above_skip,
+                               left_intra_mode, MAX_MERGE)
                 enc.encode_terminate(
                     1 if (cy == hc - 1 and cx == wc - 1) else 0)
         return enc.finish()

@@ -86,6 +86,119 @@ def neighbor_state(pred_map: np.ndarray, mv_map: np.ndarray,
     return a1, b1, b0, b2
 
 
+# ---------------------------------------------------------------------------
+# B-slice motion (two reference lists, one active ref per list)
+#
+# Neighbor motion is represented as None (unavailable/intra) or a tuple
+# (dir, mv0, mv1): dir bit0 = uses L0, bit1 = uses L1; mv of an unused
+# list is stored as (0, 0) so canonical comparison is a direct tuple
+# compare (refIdx is always 0 per list).
+# ---------------------------------------------------------------------------
+
+
+def dist_scale_factor(poc_cur: int, poc_target_ref: int,
+                      poc_other_ref: int) -> int:
+    """Temporal MV scaling factor (spec 8.5.3.2.8): scales a motion
+    vector pointing at poc_other_ref so it points at poc_target_ref."""
+    tb = int(np.clip(poc_cur - poc_target_ref, -128, 127))
+    td = int(np.clip(poc_cur - poc_other_ref, -128, 127))
+    if td == 0:
+        return 256           # identity (same picture)
+    tx = ((16384 + (abs(td) >> 1)) // abs(td)) * (1 if td > 0 else -1)
+    return int(np.clip((tb * tx + 32) >> 6, -4096, 4095))
+
+
+def scale_mv(mv, dsf: int):
+    """Apply a distance scale factor to one MV (spec 8.5.3.2.8)."""
+    def one(v):
+        x = dsf * int(v)
+        return int(np.clip(
+            (1 if x >= 0 else -1) * ((abs(x) + 127) >> 8), -32768, 32767))
+    return (one(mv[0]), one(mv[1]))
+
+
+def _canon_b(n):
+    d, mv0, mv1 = n
+    return (d,
+            tuple(mv0) if (d & 1) else (0, 0),
+            tuple(mv1) if (d & 2) else (0, 0))
+
+
+def merge_candidates_b_scalar(a1, b1, b0, b2, max_merge: int = MAX_MERGE):
+    """B-slice merge list (spec 8.5.3.2.3): spatial A1/B1/B0/B2 with
+    pairwise pruning on full motion, zero-bi fill (8.5.3.2.5).  With
+    MaxNumMergeCand == 2 the combined-bi stage (8.5.3.2.4) can never
+    contribute (it requires >= 2 original candidates, which already
+    fill the list), so it is omitted."""
+    cands = []
+    ca = _canon_b(a1) if a1 is not None else None
+    cb1 = _canon_b(b1) if b1 is not None else None
+    if ca is not None:
+        cands.append(ca)
+    if cb1 is not None and cb1 != ca:
+        cands.append(cb1)
+    if b0 is not None and _canon_b(b0) != cb1:
+        cands.append(_canon_b(b0))
+    if len(cands) < 4 and b2 is not None:
+        cb2 = _canon_b(b2)
+        if cb2 != ca and cb2 != cb1:
+            cands.append(cb2)
+    cands = cands[:max_merge]
+    while len(cands) < max_merge:
+        cands.append((3, (0, 0), (0, 0)))
+    return cands
+
+
+def amvp_candidates_b_scalar(a1, b1, b0, b2, list_x: int, dsf_cross: int):
+    """AMVP list for list X in a B slice (spec 8.5.3.2.6/2.7, HM
+    fillMvpCand order), single ref per list.
+
+    A neighbor using list X always points at the target reference (same
+    slice, one ref per list) -> taken as-is; a neighbor using only the
+    other list contributes its MV scaled by dsf_cross (8.5.3.2.8).
+    """
+    def mvp_of(n):
+        d, mv0, mv1 = n
+        if d & (1 << list_x):
+            return tuple(mv0 if list_x == 0 else mv1)
+        return scale_mv(mv1 if list_x == 0 else mv0, dsf_cross)
+
+    cands = []
+    if a1 is not None:
+        cands.append(mvp_of(a1))
+    is_scaled = a1 is not None
+    for n in (b0, b1, b2):          # B pass 1: same-list neighbors only
+        if n is not None and (n[0] & (1 << list_x)):
+            cands.append(tuple(n[1] if list_x == 0 else n[2]))
+            break
+    if not is_scaled:               # B scaled pass (only when A absent)
+        for n in (b0, b1, b2):
+            if n is not None:
+                cands.append(mvp_of(n))
+                break
+    if len(cands) >= 2 and cands[0] == cands[1]:
+        cands = cands[:1]
+    cands = cands[:2]
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands
+
+
+def neighbor_state_b(dir_map: np.ndarray, mv0_map: np.ndarray,
+                     mv1_map: np.ndarray, cx: int, cy: int, wc: int):
+    """Scalar neighbor fetch for the B decoder: (a1, b1, b0, b2)."""
+    def get(x, y):
+        if x < 0 or y < 0 or x >= wc:
+            return None
+        d = int(dir_map[y, x])
+        if d == 0:
+            return None
+        return (d, (int(mv0_map[y, x, 0]), int(mv0_map[y, x, 1])),
+                (int(mv1_map[y, x, 0]), int(mv1_map[y, x, 1])))
+    return (get(cx - 1, cy), get(cx, cy - 1), get(cx + 1, cy - 1),
+            get(cx - 1, cy - 1))
+
+
 def mvd_bits(mvd_x: int, mvd_y: int) -> int:
     """Exact MVD bin count (for RD bit estimates)."""
     def one(v):

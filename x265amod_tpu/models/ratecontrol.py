@@ -44,6 +44,7 @@ class RateControl:
         self.wanted_bits = 0.0
         self.actual_bits = 0.0
         self.ip_offset = 6.0 * math.log2(max(param.ip_factor, 1.01))
+        self.pb_offset = 6.0 * math.log2(max(param.pb_factor, 1.01))
         if self.mode == "abr":
             self.target_per_frame = param.bitrate * 1000.0 / self.fps
             bpp = self.target_per_frame / max(
@@ -67,6 +68,10 @@ class RateControl:
                      self.last_qp + self.param.qp_step)
         if slice_type == "I":
             qp -= self.ip_offset
+        elif slice_type == "B":      # referenced B (pyramid mid-level)
+            qp += 0.5 * self.pb_offset
+        elif slice_type == "b":      # non-referenced B (pyramid leaf)
+            qp += self.pb_offset
         qp = int(round(min(max(qp, 0.0), 51.0)))
         return qp
 
@@ -75,7 +80,7 @@ class RateControl:
         self.actual_bits += bits
         if self.mode == "abr":
             self.wanted_bits += self.target_per_frame
-            if slice_type != "I":
+            if slice_type == "P":
                 self.last_qp = qp
 
     def summary(self) -> dict:

@@ -212,13 +212,14 @@ def _filter_axis1(blk, taps, n):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
-    """Quarter-pel luma MC for all blocks (spec 8.5.3.3.3.1).
+def mc_luma_qpel14(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
+    """Quarter-pel luma MC for all blocks (spec 8.5.3.3.3.1), returning
+    the 14-bit intermediate prediction (before uni rounding) so that
+    bi-prediction can combine two of them per 8.5.3.3.4.3.
 
     ref_plane [H, W] int32, mv_qpel [nb, 2].  Computes all 4x4 phase
     planes from one gathered window and selects per block — gather-light
-    and fully batched.  8-bit precision: stage1 shift 0, stage2 shift 6,
-    final uni rounding (pred14 + 32) >> 6.
+    and fully batched.  8-bit precision: stage1 shift 0, stage2 shift 6.
     """
     h, w = ref_plane.shape
     hc, wc = h // n, w // n
@@ -253,16 +254,30 @@ def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
     vsel = jnp.stack(vs, 1)
     pred14 = jnp.take_along_axis(
         vsel, fy[:, None, None, None], axis=1)[:, 0]
-    # when fy==0, pred14 = hor slice which is already 14-bit; final round
-    pred = (pred14 + 32) >> 6
-    return jnp.clip(pred, 0, 255).astype(jnp.int32)
+    # when fy==0, pred14 = hor slice which is already 14-bit
+    return pred14.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def mc_chroma_qpel(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
-                   n: int = 8):
+def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
+    """Uni-directional quarter-pel luma MC: 14-bit intermediate + final
+    uni rounding (spec 8.5.3.3.4.2: (pred14 + 32) >> 6, clipped)."""
+    pred14 = mc_luma_qpel14(ref_plane, mv_qpel, n)
+    return jnp.clip((pred14 + 32) >> 6, 0, 255).astype(jnp.int32)
+
+
+def bi_combine(pred14_a: jax.Array, pred14_b: jax.Array) -> jax.Array:
+    """Default bi-prediction combine (spec 8.5.3.3.4.3, 8-bit):
+    Clip((predL0 + predL1 + 64) >> 7)."""
+    return jnp.clip((pred14_a + pred14_b + 64) >> 7, 0, 255) \
+        .astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mc_chroma_qpel14(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
+                     n: int = 8):
     """Chroma MC for arbitrary luma quarter-pel MVs (eighth-pel chroma,
-    spec 8.5.3.3.3.2)."""
+    spec 8.5.3.3.3.2), returning the 14-bit intermediate prediction."""
     h, w = ref_plane.shape
     hc, wc = h // n, w // n
     nb = hc * wc
@@ -295,8 +310,15 @@ def mc_chroma_qpel(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
             vs.append(_filter_axis1(hor, CHROMA_FILTERS[p], n) >> 6)
     pred14 = jnp.take_along_axis(jnp.stack(vs, 1),
                                  fy[:, None, None, None], 1)[:, 0]
-    pred = (pred14 + 32) >> 6
-    return jnp.clip(pred, 0, 255).astype(jnp.int32)
+    return pred14.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def mc_chroma_qpel(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
+                   n: int = 8):
+    """Uni-directional chroma MC with final uni rounding."""
+    pred14 = mc_chroma_qpel14(ref_plane, mv_luma_qpel, n)
+    return jnp.clip((pred14 + 32) >> 6, 0, 255).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -68,9 +68,10 @@ CHROMA_FILTERS = np.array([
 ], dtype=np.int64)
 
 
-def mc_luma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
-                    mv_qy: int, n: int = 16) -> np.ndarray:
-    """Quarter-pel luma MC oracle (spec 8.5.3.3.3.1, 8-bit)."""
+def mc_luma_qpel14_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                      mv_qy: int, n: int = 16) -> np.ndarray:
+    """Quarter-pel luma MC oracle, 14-bit intermediate (spec
+    8.5.3.3.3.1, 8-bit: stage1 shift 0, stage2 shift 6)."""
     h, w = ref.shape
     ix, iy = mv_qx >> 2, mv_qy >> 2
     fx, fy = mv_qx & 3, mv_qy & 3
@@ -87,12 +88,19 @@ def mc_luma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
     else:
         t = LUMA_FILTERS[fy]
         pred14 = sum(t[k] * hor[k:k + n, :] for k in range(8)) >> 6
+    return pred14
+
+
+def mc_luma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                    mv_qy: int, n: int = 16) -> np.ndarray:
+    """Quarter-pel luma MC oracle, uni-pred rounded (8.5.3.3.4.2)."""
+    pred14 = mc_luma_qpel14_np(ref, x0, y0, mv_qx, mv_qy, n)
     return np.clip((pred14 + 32) >> 6, 0, 255).astype(np.int32)
 
 
-def mc_chroma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
-                      mv_qy: int, n: int = 8) -> np.ndarray:
-    """Eighth-pel chroma MC oracle (luma qpel MV; spec 8.5.3.3.3.2)."""
+def mc_chroma_qpel14_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                        mv_qy: int, n: int = 8) -> np.ndarray:
+    """Eighth-pel chroma MC oracle, 14-bit intermediate (8.5.3.3.3.2)."""
     h, w = ref.shape
     ix, iy = mv_qx >> 3, mv_qy >> 3
     fx, fy = mv_qx & 7, mv_qy & 7
@@ -109,4 +117,17 @@ def mc_chroma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
     else:
         t = CHROMA_FILTERS[fy]
         pred14 = sum(t[k] * hor[k:k + n, :] for k in range(4)) >> 6
+    return pred14
+
+
+def mc_chroma_qpel_np(ref: np.ndarray, x0: int, y0: int, mv_qx: int,
+                      mv_qy: int, n: int = 8) -> np.ndarray:
+    """Eighth-pel chroma MC oracle, uni-pred rounded."""
+    pred14 = mc_chroma_qpel14_np(ref, x0, y0, mv_qx, mv_qy, n)
     return np.clip((pred14 + 32) >> 6, 0, 255).astype(np.int32)
+
+
+def bi_combine_np(pred14_a: np.ndarray, pred14_b: np.ndarray) -> np.ndarray:
+    """Default bi-prediction combine (spec 8.5.3.3.4.3, 8-bit)."""
+    return np.clip((pred14_a + pred14_b + 64) >> 7, 0, 255) \
+        .astype(np.int32)

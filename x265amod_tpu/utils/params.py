@@ -99,6 +99,13 @@ class Param:
     hrd: bool = False
     info: bool = True
     temporal_layers: int = 1
+    # --- SEI / metadata (reference x265.h masteringDisplayColorVolume,
+    # maxCLL/maxFALL, decodedPictureHashSEI, preferredTransferCharacteristics)
+    decoded_picture_hash: int = 0     # 0=off 1=md5 2=crc 3=checksum
+    master_display: str = ""          # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
+    max_cll: int = 0
+    max_fall: int = 0
+    atc_sei: int = -1                 # preferred transfer characteristics
     # --- logging (aMod extended progress is in the CLI) ---
     log_level: int = 2
     csv: str = ""
@@ -209,7 +216,14 @@ def param_parse(p: Param, name: str, value: str | None = None) -> None:
         "rect": "rect", "amp": "amp", "max-merge": "max_merge",
         "tu-intra-depth": "tu_intra_depth",
         "tu-inter-depth": "tu_inter_depth",
+        "hash": "decoded_picture_hash",
+        "master-display": "master_display",
+        "max-cll": "_maxcll", "atc-sei": "atc_sei",
     }
+    if name == "max-cll":
+        cll, fall = value.split(",")
+        p.max_cll, p.max_fall = int(cll), int(fall)
+        return
     if name == "input-res":
         w, h = value.lower().split("x")
         p.width, p.height = int(w), int(h)

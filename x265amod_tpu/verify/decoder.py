@@ -271,11 +271,14 @@ class DecodedFrame:
 
 
 def decode_stream(stream: bytes) -> list[DecodedFrame]:
-    """Decode an Annex-B stream; returns cropped planes per frame."""
+    """Decode an Annex-B stream; returns cropped planes per frame in
+    OUTPUT (display) order: frames are reordered by (CVS index, POC),
+    the normative output order for the emitted streams."""
     from ..bitstream.nal import NAL_TRAIL_R, NAL_TRAIL_N
     sps = pps = None
-    frames = []
-    last_ref = None
+    out = []          # (cvs_idx, poc, frame)
+    dpb: dict[int, DecodedFrame] = {}
+    cvs = -1
     for nal_type, _tid, rbsp in split_annexb(stream):
         if nal_type == NAL_VPS:
             continue
@@ -285,17 +288,60 @@ def decode_stream(stream: bytes) -> list[DecodedFrame]:
             pps = parse_pps(rbsp)
         elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
             assert sps and pps
+            cvs += 1
+            dpb = {}
             fr = _decode_idr_frame(rbsp, sps, pps, nal_type)
-            frames.append(fr)
-            last_ref = fr
+            fr.poc = 0
+            dpb[0] = fr
+            out.append((cvs, 0, fr))
         elif nal_type in (NAL_TRAIL_R, NAL_TRAIL_N):
             assert sps and pps
-            fr = _decode_p_frame(rbsp, sps, pps, last_ref)
-            frames.append(fr)
-            last_ref = fr
+            fr = _decode_inter_frame(rbsp, sps, pps, dpb)
+            if nal_type == NAL_TRAIL_R:
+                dpb[fr.poc] = fr
+            out.append((cvs, fr.poc, fr))
+        elif nal_type in (39, 40):     # prefix / suffix SEI
+            _handle_sei(rbsp, out[-1][2] if out else None)
         else:
             raise AssertionError(f"unsupported NAL type {nal_type}")
-    return frames
+    out.sort(key=lambda t: (t[0], t[1]))
+    return [f for _, _, f in out]
+
+
+def _handle_sei(rbsp: bytes, last_frame: DecodedFrame | None) -> None:
+    """Parse SEI messages; VERIFY decoded-picture-hash SEIs against the
+    most recently decoded picture (spec D.3.19) — a failed hash means
+    the encoder's recon diverged from the normative decode."""
+    from ..bitstream import sei as S_sei
+    pos = 0
+    # strip rbsp trailing: keep scanning while a full message fits
+    while pos < len(rbsp) - 1:
+        ptype = 0
+        while rbsp[pos] == 255:
+            ptype += 255
+            pos += 1
+        ptype += rbsp[pos]
+        pos += 1
+        size = 0
+        while rbsp[pos] == 255:
+            size += 255
+            pos += 1
+        size += rbsp[pos]
+        pos += 1
+        payload = rbsp[pos:pos + size]
+        pos += size
+        if ptype == S_sei.SEI_DECODED_PICTURE_HASH:
+            assert last_frame is not None, "hash SEI before any slice"
+            ht, digests = S_sei.parse_decoded_picture_hash(payload)
+            planes = (last_frame.full_y, last_frame.full_cb,
+                      last_frame.full_cr)
+            expect = S_sei.decoded_picture_hash(planes, ht)
+            got = bytes([ht]) + b"".join(digests)
+            assert got == expect, \
+                f"decoded picture hash mismatch (type {ht})"
+        # other SEI types: parsed and skipped (metadata carriage)
+        if pos < len(rbsp) and rbsp[pos] == 0x80:
+            break                       # rbsp_trailing_bits
 
 
 def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
@@ -580,25 +626,182 @@ def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
     maps["imode"][cy, cx] = -1
 
 
-def _decode_p_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
-                    ref: DecodedFrame | None) -> DecodedFrame:
-    assert ref is not None, "P frame without reference"
+def _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
+                    cr_pl, ref0, ref1, dsf0, dsf1, maps, pad):
+    """Decode one B-slice CTU; maps carry dir/mv0/mv1 motion state."""
+    from ..models.mvpred import (amvp_candidates_b_scalar,
+                                 merge_candidates_b_scalar,
+                                 neighbor_state_b)
+    from ..ops.me_ref import (bi_combine_np, mc_chroma_qpel14_np,
+                              mc_luma_qpel14_np)
+    skip_l = int(maps["skip"][cy, cx - 1]) if cx > 0 else 0
+    skip_a = int(maps["skip"][cy - 1, cx]) if cy > 0 else 0
+    skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
+    r0y, r0cb, r0cr = ref0
+    r1y, r1cb, r1cr = ref1
+    x0, y0 = cx * 16, cy * 16
+
+    def mc_plane(refa, refb, dirv, mv0, mv1, px, py, n, luma):
+        mc = mc_luma_qpel14_np if luma else mc_chroma_qpel14_np
+        if dirv == 3:
+            p0 = mc(refa, px, py, mv0[0], mv0[1], n)
+            p1 = mc(refb, px, py, mv1[0], mv1[1], n)
+            return bi_combine_np(p0, p1)
+        mv = mv0 if dirv == 1 else mv1
+        ref = refa if dirv == 1 else refb
+        p14 = mc(ref, px, py, mv[0], mv[1], n)
+        return np.clip((p14 + 32) >> 6, 0, 255).astype(np.int32)
+
+    def inter_recon(dirv, mv0, mv1, lv_y, lv_cb, lv_cr):
+        py = mc_plane(r0y, r1y, dirv, mv0, mv1, x0, y0, 16, True)
+        pcb = mc_plane(r0cb, r1cb, dirv, mv0, mv1, x0 // 2, y0 // 2, 8,
+                       False)
+        pcr = mc_plane(r0cr, r1cr, dirv, mv0, mv1, x0 // 2, y0 // 2, 8,
+                       False)
+        ry = np.clip(py + (inv_transform_np(dequant_np(lv_y, qp))
+                           if lv_y.any() else 0), 0, 255)
+        rcb = np.clip(pcb + (inv_transform_np(dequant_np(lv_cb, qp_cb))
+                             if lv_cb.any() else 0), 0, 255)
+        rcr = np.clip(pcr + (inv_transform_np(dequant_np(lv_cr, qp_cr))
+                             if lv_cr.any() else 0), 0, 255)
+        y_pl[pad + y0:pad + y0 + 16, pad + x0:pad + x0 + 16] = ry
+        hp = pad // 2
+        cb_pl[hp + y0 // 2:hp + y0 // 2 + 8,
+              hp + x0 // 2:hp + x0 // 2 + 8] = rcb
+        cr_pl[hp + y0 // 2:hp + y0 // 2 + 8,
+              hp + x0 // 2:hp + x0 // 2 + 8] = rcr
+
+    def set_motion(dirv, mv0, mv1, is_skip):
+        maps["dir"][cy, cx] = dirv
+        maps["mv0"][cy, cx] = mv0 if (dirv & 1) else (0, 0)
+        maps["mv1"][cy, cx] = mv1 if (dirv & 2) else (0, 0)
+        maps["skip"][cy, cx] = is_skip
+        maps["imode"][cy, cx] = -1
+
+    z8 = np.zeros((8, 8), np.int32)
+    z16 = np.zeros((16, 16), np.int32)
+    nbs = neighbor_state_b(maps["dir"], maps["mv0"], maps["mv1"],
+                           cx, cy, wc)
+    a1, b1, b0, b2 = nbs
+    if skip:
+        midx = _decode_merge_idx(d, MAX_MERGE)
+        cands = merge_candidates_b_scalar(a1, b1, b0, b2, MAX_MERGE)
+        dirv, mv0, mv1 = cands[midx]
+        inter_recon(dirv, mv0, mv1, z16, z8, z8)
+        set_motion(dirv, mv0, mv1, 1)
+        return
+    intra = d.decode_bin(S.CTX_PRED_MODE)
+    assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
+    if intra:
+        li = int(maps["imode"][cy, cx - 1]) if cx > 0 else -1
+        mpms = S.mpm_list(li if li >= 0 else 1, 1)
+        if d.decode_bin(S.CTX_PREV_INTRA):
+            idx = 0
+            if d.decode_bypass():
+                idx = 1 + d.decode_bypass()
+            mode = mpms[idx]
+        else:
+            rem = d.decode_bypass_bins(5)
+            for m in sorted(mpms):
+                if rem >= m:
+                    rem += 1
+            mode = rem
+        assert d.decode_bin(S.CTX_CHROMA_PRED) == 0
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else z16
+        resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
+            else z8
+        resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr \
+            else z8
+        avail_l, avail_t = cx > 0, cy > 0
+        avail_tr = cy > 0 and cx < wc - 1
+        _intra_recon_block(y_pl, pad + x0, pad + y0, 16, mode, 0,
+                           resi_y, avail_l, avail_t, avail_tr)
+        hp = pad // 2
+        _intra_recon_block(cb_pl, hp + x0 // 2, hp + y0 // 2, 8, mode, 1,
+                           resi_cb, avail_l, avail_t, avail_tr)
+        _intra_recon_block(cr_pl, hp + x0 // 2, hp + y0 // 2, 8, mode, 2,
+                           resi_cr, avail_l, avail_t, avail_tr)
+        maps["dir"][cy, cx] = 0
+        maps["mv0"][cy, cx] = (0, 0)
+        maps["mv1"][cy, cx] = (0, 0)
+        maps["skip"][cy, cx] = 0
+        maps["imode"][cy, cx] = mode
+        return
+    assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
+        "non-skip merge unsupported in v1"
+    # inter_pred_idc (9.3.4.2.2: bin0 ctx CtDepth=0; bin1 ctx 4)
+    if d.decode_bin(S.CTX_INTER_DIR + 0):
+        dirv = 3
+    else:
+        dirv = 2 if d.decode_bin(S.CTX_INTER_DIR + 4) else 1
+    mv0 = mv1 = (0, 0)
+    if dirv != 2:
+        mvd0 = _decode_mvd(d)
+        mvp0 = d.decode_bin(S.CTX_MVP)
+        amvp = amvp_candidates_b_scalar(a1, b1, b0, b2, 0, dsf0)
+        mv0 = (amvp[mvp0][0] + mvd0[0], amvp[mvp0][1] + mvd0[1])
+    if dirv != 1:
+        mvd1 = _decode_mvd(d)
+        mvp1 = d.decode_bin(S.CTX_MVP)
+        amvp = amvp_candidates_b_scalar(a1, b1, b0, b2, 1, dsf1)
+        mv1 = (amvp[mvp1][0] + mvd1[0], amvp[mvp1][1] + mvd1[1])
+    root = d.decode_bin(S.CTX_RQT_ROOT_CBF)
+    ly, lcb, lcr = z16, z8, z8
+    if root:
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
+            if (cbf_cb or cbf_cr) else 1
+        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+    inter_recon(dirv, mv0, mv1, ly, lcb, lcr)
+    set_motion(dirv, mv0, mv1, 0)
+
+
+def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
+                        dpb: dict[int, DecodedFrame]) -> DecodedFrame:
+    """Decode a P or B slice using the POC-keyed DPB; prunes the DPB to
+    the parsed RPS (spec 8.3.2 behavior for short-term sets)."""
+    from ..models.mvpred import dist_scale_factor
     r = BitReader(rbsp)
     assert r.read_flag() == 1
     assert r.read_ue() == 0
     st = r.read_ue()
-    assert st == 1, "only P inter slices supported"
-    poc_lsb = r.read(8)   # log2_max_poc_lsb = 8 in this pipeline
+    assert st in (0, 1), "expected inter slice"
+    poc = r.read(8)   # log2_max_poc_lsb = 8 in this pipeline
     assert r.read_flag() == 0          # st_rps_sps_flag (inline RPS)
     num_neg = r.read_ue()
     num_pos = r.read_ue()
-    assert num_pos == 0 and num_neg >= 1
+    neg = []                           # (poc_ref, used)
+    prev = 0
     for _ in range(num_neg):
-        r.read_ue()
-        r.read_flag()
+        dist = prev + r.read_ue() + 1
+        prev = dist
+        neg.append((poc - dist, r.read_flag()))
+    pos = []
+    prev = 0
+    for _ in range(num_pos):
+        dist = prev + r.read_ue() + 1
+        prev = dist
+        pos.append((poc + dist, r.read_flag()))
+    retained = {p for p, _ in neg} | {p for p, _ in pos}
+    for p in retained:
+        assert p in dpb, f"RPS references poc {p} not in DPB"
+    stale = [p for p in dpb if p not in retained]
+    for p in stale:
+        del dpb[p]
     if sps.sao:
         r.read_flag(); r.read_flag()
     assert r.read_flag() == 0          # num_ref_idx_active_override
+    if st == 0:
+        assert r.read_flag() == 0      # mvd_l1_zero_flag
     five_minus = r.read_ue()
     max_merge = 5 - five_minus
     qp = pps.init_qp + r.read_se()
@@ -607,7 +810,15 @@ def _decode_p_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     r.byte_align()
     payload = rbsp[r.bit_pos // 8:]
 
-    d = CabacDecoder(payload, "P", qp)
+    # reference list construction (spec 8.3.4, 1 active ref per list):
+    # L0[0] = nearest used past picture; L1[0] = nearest used future
+    used_neg = sorted((p for p, u in neg if u), reverse=True)
+    used_pos = sorted(p for p, u in pos if u)
+    assert used_neg, "inter slice without a used past reference"
+    ref0_poc = used_neg[0]
+    ref0 = dpb[ref0_poc]
+    ref0_pl = (ref0.full_y, ref0.full_cb, ref0.full_cr)
+
     wc = -(-sps.width // 16)
     hc = -(-sps.height // 16)
     pad = 16
@@ -616,25 +827,50 @@ def _decode_p_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     cr_pl = np.zeros_like(cb_pl)
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-    maps = {
-        "inter": np.zeros((hc, wc), np.int32),
-        "skip": np.zeros((hc, wc), np.int32),
-        "mv": np.zeros((hc, wc, 2), np.int32),
-        "imode": np.full((hc, wc), -1, np.int32),
-    }
-    # reference planes: full padded picture from the ref DecodedFrame
-    ref_planes = (ref.full_y, ref.full_cb, ref.full_cr)
     assert max_merge == MAX_MERGE
-    for cy in range(hc):
-        for cx in range(wc):
-            _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
-                            y_pl, cb_pl, cr_pl, ref_planes, maps, pad)
-            eos = d.decode_terminate()
-            is_last = (cy == hc - 1 and cx == wc - 1)
-            assert eos == (1 if is_last else 0), \
-                f"end_of_slice mismatch at CTU ({cx},{cy})"
+
+    if st == 1:
+        maps = {
+            "inter": np.zeros((hc, wc), np.int32),
+            "skip": np.zeros((hc, wc), np.int32),
+            "mv": np.zeros((hc, wc, 2), np.int32),
+            "imode": np.full((hc, wc), -1, np.int32),
+        }
+        d = CabacDecoder(payload, "P", qp)
+        for cy in range(hc):
+            for cx in range(wc):
+                _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                                y_pl, cb_pl, cr_pl, ref0_pl, maps, pad)
+                eos = d.decode_terminate()
+                is_last = (cy == hc - 1 and cx == wc - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice mismatch at CTU ({cx},{cy})"
+    else:
+        assert used_pos, "B slice without a used future reference"
+        ref1_poc = used_pos[0]
+        ref1 = dpb[ref1_poc]
+        ref1_pl = (ref1.full_y, ref1.full_cb, ref1.full_cr)
+        dsf0 = dist_scale_factor(poc, ref0_poc, ref1_poc)
+        dsf1 = dist_scale_factor(poc, ref1_poc, ref0_poc)
+        maps = {
+            "dir": np.zeros((hc, wc), np.int32),
+            "skip": np.zeros((hc, wc), np.int32),
+            "mv0": np.zeros((hc, wc, 2), np.int32),
+            "mv1": np.zeros((hc, wc, 2), np.int32),
+            "imode": np.full((hc, wc), -1, np.int32),
+        }
+        d = CabacDecoder(payload, "B", qp)
+        for cy in range(hc):
+            for cx in range(wc):
+                _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                                y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
+                                dsf0, dsf1, maps, pad)
+                eos = d.decode_terminate()
+                is_last = (cy == hc - 1 and cx == wc - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice mismatch at CTU ({cx},{cy})"
     if not pps.deblock_disabled:
-        raise AssertionError("deblock for P frames not in v1 decoder")
+        raise AssertionError("deblock for inter frames not in v1 decoder")
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
@@ -643,6 +879,6 @@ def _decode_p_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                 pad // 2:pad // 2 + wc * 8].astype(np.uint8)
     out = DecodedFrame(y=fy[:h, :w], cb=fcb[:h // 2, :w // 2],
                        cr=fcr[:h // 2, :w // 2],
-                       modes=maps["imode"], poc=poc_lsb)
+                       modes=maps["imode"], poc=poc)
     out.full_y, out.full_cb, out.full_cr = fy, fcb, fcr
     return out
