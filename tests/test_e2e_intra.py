@@ -60,6 +60,7 @@ def test_multiframe_stream():
     p = param_default_preset("ultrafast")
     p.width, p.height = 48, 32
     p.qp = 30
+    p.bframes = 0   # zero-latency single-in single-out under test
     enc = Encoder(p)
     stream = b""
     recons = []

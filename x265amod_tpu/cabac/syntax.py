@@ -45,6 +45,39 @@ CTX_MVD = CTX_OFFSET["abs_mvd_greater_flag"]
 CTX_MVP = CTX_OFFSET["mvp_flag"]
 CTX_REF_IDX = CTX_OFFSET["ref_idx"]
 CTX_INTER_DIR = CTX_OFFSET["inter_pred_idc"]
+CTX_CU_QP_DELTA = CTX_OFFSET["cu_qp_delta_abs"]
+
+
+def encode_cu_qp_delta(enc: CabacEncoder, delta: int) -> None:
+    """cu_qp_delta_abs/sign (spec 7.3.8.10, binarization 9.3.3.10:
+    TU(5) prefix with ctx0 / ctx1, EG0 bypass suffix, bypass sign)."""
+    a = abs(delta)
+    prefix = min(a, 5)
+    for k in range(prefix):
+        enc.encode_bin(CTX_CU_QP_DELTA + (0 if k == 0 else 1), 1)
+    if prefix < 5:
+        enc.encode_bin(CTX_CU_QP_DELTA + (0 if prefix == 0 else 1), 0)
+    if a >= 5:
+        _write_ep_exgolomb(enc, a - 5, 0)
+    if a:
+        enc.encode_bypass(1 if delta < 0 else 0)
+
+
+def decode_cu_qp_delta(d) -> int:
+    """Decoder twin of encode_cu_qp_delta."""
+    a = 0
+    while a < 5 and d.decode_bin(CTX_CU_QP_DELTA + (0 if a == 0 else 1)):
+        a += 1
+    if a == 5:
+        k = 0
+        while d.decode_bypass():
+            k += 1
+        rem = (1 << k) - 1 + (d.decode_bypass_bins(k) if k else 0)
+        a += rem
+    if a == 0:
+        return 0
+    sign = d.decode_bypass()
+    return -a if sign else a
 
 
 # ---- shared derivations ----------------------------------------------------
@@ -271,10 +304,13 @@ def _write_remaining(enc: CabacEncoder, value: int, rice: int) -> None:
 def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
                        luma_levels: np.ndarray, cb_levels: np.ndarray,
                        cr_levels: np.ndarray, cand_a: int,
-                       cand_b: int = 1) -> None:
+                       cand_b: int = 1,
+                       qp_delta: int | None = None) -> None:
     """Encode one 16x16 I-slice CTU: CU (2Nx2N intra) + TU16 luma/TU8
     chroma residuals.  cand_a = left CU luma mode (DC if unavailable),
     cand_b = above (always DC at CTU boundary with 16px CTUs).
+    qp_delta: cu_qp_delta to signal when coefficients are coded (None
+    when pps cu_qp_delta_enabled is off).
     """
     # split_cu_flag not present (log2CbSize == MinCbLog2SizeY)
     # part_mode: 1 => PART_2Nx2N (signaled because log2CbSize == MinCb)
@@ -302,6 +338,8 @@ def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
     enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cb)
     enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cr)
     enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)   # trafoDepth==0 -> ctx 1
+    if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+        encode_cu_qp_delta(enc, qp_delta)
     if cbf_y:
         residual_coding(enc, luma_levels, 4, 0, 0)
     if cbf_cb:
@@ -352,7 +390,8 @@ def encode_merge_idx(enc: CabacEncoder, idx: int, max_merge: int) -> None:
 
 def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
                        left_skip: int, above_skip: int,
-                       cand_a_intra_mode: int, max_merge: int = 2) -> None:
+                       cand_a_intra_mode: int, max_merge: int = 2,
+                       qp_delta: int | None = None) -> None:
     """Encode one P-slice CTU.
 
     ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx; mvd (x,y);
@@ -389,6 +428,8 @@ def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
         enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
         enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
         enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+        if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, qp_delta)
         if cbf_y:
             residual_coding(enc, ctu["levels_y"], 4, 0, 0)
         if cbf_cb:
@@ -401,11 +442,12 @@ def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
     # P slice, 1 active ref: no inter_pred_idc / ref_idx bins
     encode_mvd(enc, ctu["mvd"][0], ctu["mvd"][1])
     enc.encode_bin(CTX_MVP, ctu["mvp_idx"])
-    _encode_residual_root(enc, ctu)
+    _encode_residual_root(enc, ctu, qp_delta)
 
 
 def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
-                           cand_a_intra_mode: int) -> None:
+                           cand_a_intra_mode: int,
+                           qp_delta: int | None = None) -> None:
     mpms = mpm_list(cand_a_intra_mode, 1)
     mode = ctu["luma_mode"]
     if mode in mpms:
@@ -428,6 +470,8 @@ def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
     enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
     enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
     enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+    if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+        encode_cu_qp_delta(enc, qp_delta)
     if cbf_y:
         residual_coding(enc, ctu["levels_y"], 4, 0, 0)
     if cbf_cb:
@@ -436,7 +480,8 @@ def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
         residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
 
 
-def _encode_residual_root(enc: CabacEncoder, ctu: dict) -> None:
+def _encode_residual_root(enc: CabacEncoder, ctu: dict,
+                          qp_delta: int | None = None) -> None:
     """rqt_root_cbf + transform tree for a non-merge inter CU."""
     cbf_cb = int(ctu["levels_cb"].any())
     cbf_cr = int(ctu["levels_cr"].any())
@@ -450,6 +495,8 @@ def _encode_residual_root(enc: CabacEncoder, ctu: dict) -> None:
             enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
         else:
             assert cbf_y, "rqt_root_cbf=1 with no coded blocks"
+        if qp_delta is not None:
+            encode_cu_qp_delta(enc, qp_delta)
         if cbf_y:
             residual_coding(enc, ctu["levels_y"], 4, 0, 0)
         if cbf_cb:
@@ -460,7 +507,8 @@ def _encode_residual_root(enc: CabacEncoder, ctu: dict) -> None:
 
 def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
                    left_skip: int, above_skip: int,
-                   cand_a_intra_mode: int, max_merge: int = 2) -> None:
+                   cand_a_intra_mode: int, max_merge: int = 2,
+                   qp_delta: int | None = None) -> None:
     """Encode one B-slice CTU (CU16 2Nx2N).
 
     ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx;
@@ -477,7 +525,7 @@ def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
     enc.encode_bin(CTX_PRED_MODE, 1 if intra else 0)
     enc.encode_bin(CTX_PART_MODE, 1)   # PART_2Nx2N
     if intra:
-        _encode_intra_in_inter(enc, ctu, cand_a_intra_mode)
+        _encode_intra_in_inter(enc, ctu, cand_a_intra_mode, qp_delta)
         return
     enc.encode_bin(CTX_MERGE_FLAG, 0)
     # inter_pred_idc (spec 9.3.4.2.2: bin0 ctx = CtDepth (0 for CU=CTU),
@@ -492,4 +540,64 @@ def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
     if d != 1:                          # uses L1 (mvd_l1_zero_flag = 0)
         encode_mvd(enc, ctu["mvd1"][0], ctu["mvd1"][1])
         enc.encode_bin(CTX_MVP, ctu["mvp1"])
-    _encode_residual_root(enc, ctu)
+    _encode_residual_root(enc, ctu, qp_delta)
+
+
+# ---- SAO syntax (spec 7.3.8.3, luma component) ------------------------------
+
+def encode_sao_luma(enc: CabacEncoder, type_idx: int, eo_class: int,
+                    band_pos: int, offsets, left_avail: bool,
+                    up_avail: bool) -> None:
+    """Per-CTU SAO parameters, luma only (slice_sao_chroma = 0).
+    v1 codes explicit params (merge flags = 0); offsets are SIGNED
+    (EO signs are inferred from the category, BO signs are coded)."""
+    if left_avail:
+        enc.encode_bin(CTX_SAO_MERGE, 0)     # sao_merge_left_flag
+    if up_avail:
+        enc.encode_bin(CTX_SAO_MERGE, 0)     # sao_merge_up_flag
+    enc.encode_bin(CTX_SAO_TYPE, 1 if type_idx else 0)
+    if not type_idx:
+        return
+    enc.encode_bypass(1 if type_idx == 2 else 0)   # 1 -> EO, 0 -> BO
+    for k in range(4):
+        a = abs(int(offsets[k]))
+        for _ in range(a):
+            enc.encode_bypass(1)
+        if a < 7:                            # TR cMax = 7 (8-bit)
+            enc.encode_bypass(0)
+    if type_idx == 1:                        # BO: signs + band position
+        for k in range(4):
+            if offsets[k]:
+                enc.encode_bypass(1 if offsets[k] < 0 else 0)
+        enc.encode_bypass_bins(band_pos, 5)
+    else:                                    # EO: class (2 bits)
+        enc.encode_bypass_bins(eo_class, 2)
+
+
+def decode_sao_luma(d, left_avail: bool, up_avail: bool):
+    """Decoder twin; returns (type_idx, eo_class, band_pos,
+    offsets[4] signed)."""
+    if left_avail:
+        assert d.decode_bin(CTX_SAO_MERGE) == 0, "sao merge unsupported"
+    if up_avail:
+        assert d.decode_bin(CTX_SAO_MERGE) == 0, "sao merge unsupported"
+    offsets = [0, 0, 0, 0]
+    if not d.decode_bin(CTX_SAO_TYPE):
+        return 0, 0, 0, offsets
+    type_idx = 2 if d.decode_bypass() else 1
+    for k in range(4):
+        a = 0
+        while a < 7 and d.decode_bypass():
+            a += 1
+        offsets[k] = a
+    eo_class = band_pos = 0
+    if type_idx == 1:
+        for k in range(4):
+            if offsets[k] and d.decode_bypass():
+                offsets[k] = -offsets[k]
+        band_pos = d.decode_bypass_bins(5)
+    else:
+        eo_class = d.decode_bypass_bins(2)
+        offsets[2] = -offsets[2]             # cat 3/4 inferred negative
+        offsets[3] = -offsets[3]
+    return type_idx, eo_class, band_pos, offsets

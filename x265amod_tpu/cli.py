@@ -159,6 +159,7 @@ def main(argv=None) -> int:
             sys.stderr.flush()
 
     out.close()
+    enc.close()   # 2-pass stats file etc.
     if recon_out:
         recon_out.close()
     if csv:

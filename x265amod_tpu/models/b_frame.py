@@ -29,7 +29,7 @@ import numpy as np
 from ..ops.intra import predict_all_modes_batch, substitute_refs
 from ..ops.me import (bi_combine, mc_chroma_qpel14, mc_luma_qpel14,
                       me_ssd_grid, subpel_refine)
-from ..ops.quant import chroma_qp, dequant, quant
+from ..ops.quant import chroma_qp, dequant, derive_qp_maps, quant
 from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import _diag_schedule
 from .inter_frame import SEARCH_RANGE, _mvd_bits, _rbits_proxy
@@ -55,6 +55,10 @@ class BFrameResult:
     recon_y: np.ndarray | None = None
     recon_cb: np.ndarray | None = None
     recon_cr: np.ndarray | None = None
+    sao_type: np.ndarray | None = None
+    sao_eo_class: np.ndarray | None = None
+    sao_band_pos: np.ndarray | None = None
+    sao_offsets: np.ndarray | None = None
 
 
 def _scale_mv_vec(mv, dsf):
@@ -72,11 +76,12 @@ class BFrameEncoder:
     """Per-resolution compiled B-frame encoder (one ref per list)."""
 
     def __init__(self, width: int, height: int,
-                 lambda_scale: float = 0.85):
+                 lambda_scale: float = 0.85, sao: bool = False):
         assert width % 16 == 0 and height % 16 == 0
         self.width, self.height = width, height
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
+        self.sao = sao
         diags = _diag_schedule(self.wc, self.hc)
         self.n_diags = len(diags)
         self.bmax = max(len(d) for d in diags)
@@ -104,7 +109,8 @@ class BFrameEncoder:
 
     # ------------------------------------------------------------------
     def _encode(self, y, cb, cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
-                qp, qp_c, lam, dsf0, dsf1, wr=False):
+                qp_blk, qpc_blk, lam_blk, dsf0, dsf1, wr=False):
+        # qp_blk/qpc_blk [n] int32, lam_blk [n] f32 (per-CTU raster)
         wc, hc = self.wc, self.hc
         n = hc * wc
         y = y.astype(jnp.int32)
@@ -134,11 +140,12 @@ class BFrameEncoder:
 
         def best_mv(ref_plane):
             grid = me_ssd_grid(oy, ref_plane, SEARCH_RANGE)
-            cost = grid + lam * mvbits_grid[None]
+            cost = grid + lam_blk[:, None, None] * mvbits_grid[None]
             flat = jnp.argmin(cost.reshape(n, -1), axis=1)
             mv_int = jnp.stack([flat % s - SEARCH_RANGE,
                                 flat // s - SEARCH_RANGE], 1)
-            mv_q, _ = subpel_refine(ref_plane, oy, mv_int, lam, 16)
+            mv_q, _ = subpel_refine(ref_plane, oy, mv_int,
+                                    lam_blk[:, None], 16)
             return grid, mv_q
 
         grid0, mv0_me = best_mv(r0y)
@@ -148,9 +155,13 @@ class BFrameEncoder:
         p14_0 = mc_luma_qpel14(r0y, mv0_me, 16)
         p14_1 = mc_luma_qpel14(r1y, mv1_me, 16)
 
+        qp3 = qp_blk[:, None, None]
+        qpc3 = qpc_blk[:, None, None]
+
         def coded_dist(pred):
-            lv = quant(fwd_transform(oy_flat - pred), qp, intra=False)
-            rec = jnp.clip(pred + inv_transform(dequant(lv, qp)), 0, 255)
+            lv = quant(fwd_transform(oy_flat - pred), qp3, intra=False)
+            rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
+                           0, 255)
             d = jnp.sum((rec - oy_flat) ** 2, axis=(1, 2)) \
                 .astype(jnp.float32)
             return d, _rbits_proxy(lv)
@@ -175,13 +186,15 @@ class BFrameEncoder:
         tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
                                       16, wc)
         preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
-        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp)
-        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp)),
+        qp4 = qp_blk[:, None, None, None]
+        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp4)
+        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp4)),
                          0, 255)
         ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
                         axis=(2, 3)).astype(jnp.float32)
         rb_i = _rbits_proxy(lv_i)
-        dist_intra_est = jnp.min(ssd_i + lam * (rb_i + 6.0), axis=1)
+        dist_intra_est = jnp.min(
+            ssd_i + lam_blk[:, None] * (rb_i + 6.0), axis=1)
 
         # ---- 4. decide scan -------------------------------------------------
         # neighbor maps: dir (0=not inter), mv0, mv1 (unused lists zeroed)
@@ -203,12 +216,13 @@ class BFrameEncoder:
                      self._to_slots(d_l1), self._to_slots(rb_l1),
                      self._to_slots(d_bi), self._to_slots(rb_bi),
                      self._to_slots(dist_intra_est),
-                     self._to_slots(mv0_me), self._to_slots(mv1_me))
+                     self._to_slots(mv0_me), self._to_slots(mv1_me),
+                     self._to_slots(lam_blk))
 
         def decide_body(state, xs):
             dir_map, mv0_map, mv1_map, skip_map = state
             (coords_d, val, dl0, rl0, dl1, rl1, dbi, rbi, d_intra,
-             mv0me, mv1me) = xs
+             mv0me, mv1me, lam) = xs
             cx = coords_d[:, 0]
             cy = coords_d[:, 1]
             ctu_idx = cy * wc + cx
@@ -382,21 +396,22 @@ class BFrameEncoder:
         pred_y = mc_select(r0y, r1y, mc_luma_qpel14, 16)
         pred_cb = mc_select(r0cb, r1cb, mc_chroma_qpel14, 8)
         pred_cr = mc_select(r0cr, r1cr, mc_chroma_qpel14, 8)
-        lv_y_int = quant(fwd_transform(oy_flat - pred_y), qp, intra=False)
-        lv_cb_int = quant(fwd_transform(ocb_flat - pred_cb), qp_c,
+        lv_y_int = quant(fwd_transform(oy_flat - pred_y), qp3,
+                         intra=False)
+        lv_cb_int = quant(fwd_transform(ocb_flat - pred_cb), qpc3,
                           intra=False)
-        lv_cr_int = quant(fwd_transform(ocr_flat - pred_cr), qp_c,
+        lv_cr_int = quant(fwd_transform(ocr_flat - pred_cr), qpc3,
                           intra=False)
         is_skip = (kinds == 0)
         lv_y_int = jnp.where(is_skip[:, None, None], 0, lv_y_int)
         lv_cb_int = jnp.where(is_skip[:, None, None], 0, lv_cb_int)
         lv_cr_int = jnp.where(is_skip[:, None, None], 0, lv_cr_int)
         rec_y_int = jnp.clip(
-            pred_y + inv_transform(dequant(lv_y_int, qp)), 0, 255)
+            pred_y + inv_transform(dequant(lv_y_int, qp3)), 0, 255)
         rec_cb_int = jnp.clip(
-            pred_cb + inv_transform(dequant(lv_cb_int, qp_c)), 0, 255)
+            pred_cb + inv_transform(dequant(lv_cb_int, qpc3)), 0, 255)
         rec_cr_int = jnp.clip(
-            pred_cr + inv_transform(dequant(lv_cr_int, qp_c)), 0, 255)
+            pred_cr + inv_transform(dequant(lv_cr_int, qpc3)), 0, 255)
 
         # ---- 6. commit scan -------------------------------------------------
         yb = jnp.full((hc + 1, wc, 16, 16), 128, jnp.int32)
@@ -412,7 +427,9 @@ class BFrameEncoder:
                      self._to_slots(rec_cb_int),
                      self._to_slots(rec_cr_int),
                      self._to_slots(lv_y_int), self._to_slots(lv_cb_int),
-                     self._to_slots(lv_cr_int))
+                     self._to_slots(lv_cr_int),
+                     self._to_slots(qp_blk), self._to_slots(qpc_blk),
+                     self._to_slots(lam_blk))
 
         def gather_refs(blocks, cx, cy, bn):
             cyu = jnp.maximum(cy - 1, 0)
@@ -430,8 +447,9 @@ class BFrameEncoder:
             t, l, c = substitute_refs(traw, lraw, craw, cx, cy, bn, wc)
             preds = predict_all_modes_batch(t, l, c, bn, c_idx)
             coeff = fwd_transform(orig[:, None] - preds)
-            levels = quant(coeff, qpv)
-            rec = jnp.clip(preds + inv_transform(dequant(levels, qpv)),
+            qpb = qpv[:, None, None, None]
+            levels = quant(coeff, qpb)
+            rec = jnp.clip(preds + inv_transform(dequant(levels, qpb)),
                            0, 255)
             ssd = jnp.sum((rec - orig[:, None]) ** 2, axis=(2, 3))
             return levels, rec, ssd
@@ -443,11 +461,12 @@ class BFrameEncoder:
         def commit_body(state, xs):
             yb, cbb, crb, imode_map = state
             (coords_d, val, kind, oy_d, ocb_d, ocr_d, ry_d, rcb_d, rcr_d,
-             lvy_d, lvcb_d, lvcr_d) = xs
+             lvy_d, lvcb_d, lvcr_d, qp_d, qpc_d, lam) = xs
             cx = coords_d[:, 0]
             cy = coords_d[:, 1]
 
-            levels, rec, ssd = intra_chain(yb, oy_d, cx, cy, 16, 0, qp)
+            levels, rec, ssd = intra_chain(yb, oy_d, cx, cy, 16, 0,
+                                           qp_d)
             rb = _rbits_proxy(levels)
             cxl = jnp.maximum(cx - 1, 0)
             left_intra = (cx > 0) & (inter_map_final[cy, cxl] == 0)
@@ -460,14 +479,16 @@ class BFrameEncoder:
                 modes35 == mpm0[:, None], 2.0,
                 jnp.where((modes35 == 1) | (modes35 == mpm2[:, None]),
                           3.0, 6.0))
-            cost = ssd.astype(jnp.float32) + lam * (rb + mbits)
+            cost = ssd.astype(jnp.float32) + lam[:, None] * (rb + mbits)
             best = jnp.argmin(cost, axis=1)
             bi = best[:, None, None, None]
             ilv_y = jnp.take_along_axis(levels, bi, 1)[:, 0]
             irec_y = jnp.take_along_axis(rec, bi, 1)[:, 0]
 
-            lv_c1, rec_c1, _ = intra_chain(cbb, ocb_d, cx, cy, 8, 1, qp_c)
-            lv_c2, rec_c2, _ = intra_chain(crb, ocr_d, cx, cy, 8, 2, qp_c)
+            lv_c1, rec_c1, _ = intra_chain(cbb, ocb_d, cx, cy, 8, 1,
+                                           qpc_d)
+            lv_c2, rec_c2, _ = intra_chain(crb, ocr_d, cx, cy, 8, 2,
+                                           qpc_d)
             ilv_cb = jnp.take_along_axis(lv_c1, bi, 1)[:, 0]
             irec_cb = jnp.take_along_axis(rec_c1, bi, 1)[:, 0]
             ilv_cr = jnp.take_along_axis(lv_c2, bi, 1)[:, 0]
@@ -510,6 +531,13 @@ class BFrameEncoder:
         rec_y = to_plane(yb, 16, self.height, self.width)
         rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import sao_analyse, sao_apply
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam_blk, 16)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off)
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
@@ -520,20 +548,23 @@ class BFrameEncoder:
                 mvd1.astype(jnp.int16), mvp1.astype(jnp.uint8),
                 modes_r, ly_r, lcb_r, lcr_r, sse,
                 rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8))
+                rec_cr.astype(jnp.uint8)) + sao_out
 
     # ------------------------------------------------------------------
     def encode_async(self, y, cb, cr, ref0_dev, ref1_dev, qp: int,
-                     dsf0: int, dsf1: int, want_recon: bool = False):
-        lam = self.lambda_scale * 2.0 ** ((qp - 12) / 3.0)
-        qpc = chroma_qp(qp)
+                     dsf0: int, dsf1: int, want_recon: bool = False,
+                     qp_offsets: np.ndarray | None = None):
+        qp_map, qcb, _, lam = derive_qp_maps(
+            qp, qp_offsets, self.hc, self.wc, self.lambda_scale)
         step = self._step_recon if want_recon else self._step
         r0y, r0cb, r0cr = ref0_dev
         r1y, r1cb, r1cr = ref1_dev
         return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
                     jnp.asarray(cr, jnp.uint8), r0y, r0cb, r0cr,
-                    r1y, r1cb, r1cr, jnp.int32(qp), jnp.int32(qpc),
-                    jnp.float32(lam), jnp.int32(dsf0), jnp.int32(dsf1))
+                    r1y, r1cb, r1cr, jnp.asarray(qp_map.reshape(-1)),
+                    jnp.asarray(qcb.reshape(-1)),
+                    jnp.asarray(lam.reshape(-1)),
+                    jnp.int32(dsf0), jnp.int32(dsf1))
 
     def collect(self, outs, want_recon: bool = False) -> BFrameResult:
         hc, wc = self.hc, self.wc
@@ -557,4 +588,7 @@ class BFrameEncoder:
             res.recon_y = np.asarray(outs[12])
             res.recon_cb = np.asarray(outs[13])
             res.recon_cr = np.asarray(outs[14])
+        if self.sao:
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = [np.asarray(a) for a in outs[15:19]]
         return res

@@ -28,6 +28,7 @@ from ..utils.params import Param, check_params
 from .b_frame import BFrameEncoder
 from .intra_frame import IntraFrameEncoder
 from .inter_frame import MAX_MERGE, InterFrameEncoder
+from .lookahead import Lookahead
 from .mvpred import dist_scale_factor
 from .ratecontrol import RateControl
 
@@ -83,11 +84,25 @@ class Encoder:
             conf_win_bottom=(self.pad_h - h) // 2,
             fps_num=param.fps_num, fps_den=param.fps_den,
             level_idc=determine_level(self.pad_w, self.pad_h, fps),
-            num_negative_ref=1 if self.inter_enabled else 0)
+            num_negative_ref=1 if self.inter_enabled else 0,
+            sao_enabled=param.sao)
+        self.use_lookahead = (param.aq_mode > 0 or param.cutree) and \
+            self.inter_enabled or (param.aq_mode > 0 and
+                                   not self.inter_enabled)
         self.pps = PpsInfo(init_qp=26,
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
-                           tc_offset_div2=param.deblock_tc_offset)
+                           tc_offset_div2=param.deblock_tc_offset,
+                           cu_qp_delta_enabled=self.use_lookahead)
+        if self.use_lookahead and param.deblock:
+            param.deblock = False    # deblock+per-CU QP lands later
+            self.pps.deblocking_disabled = True
+        self.lookahead = Lookahead(
+            self.pad_w, self.pad_h, strength=param.aq_strength,
+            depth=max(2, min(param.rc_lookahead, 24)),
+            cutree=param.cutree and self.inter_enabled,
+            min_keyint=max(param.min_keyint, 2)) \
+            if self.use_lookahead else None
         self.bframes = param.bframes if self.inter_enabled else 0
         if self.bframes:
             import math
@@ -95,10 +110,13 @@ class Encoder:
             self.sps.max_num_reorder = depth
             self.sps.max_dec_buffering = depth + 2
         self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h,
-                                               deblock=param.deblock)
-        self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h) \
+                                               deblock=param.deblock,
+                                               sao=param.sao)
+        self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h,
+                                               sao=param.sao) \
             if self.inter_enabled else None
-        self.b_encoder = BFrameEncoder(self.pad_w, self.pad_h) \
+        self.b_encoder = BFrameEncoder(self.pad_w, self.pad_h,
+                                       sao=param.sao) \
             if self.bframes else None
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
@@ -111,6 +129,9 @@ class Encoder:
         self._gop_buf = []         # [(yp, cbp, crp, poc)] display order
         self._dpb = {}             # poc -> device recon planes tuple
         self._emitted_headers = False
+        self._la_store = {}        # display idx -> padded arrays
+        self._la_next = 0
+        self._qp_off = {}          # display idx -> per-CTU qp offsets
 
     def headers(self) -> bytes:
         out = (wrap_nal(NAL_VPS, write_vps(self.sps))
@@ -198,21 +219,38 @@ class Encoder:
             e["last_in_gop"] = (i == len(plan) - 1)
             e["anchor_poc"] = anchor
             e["display"] = self._last_idr + e["poc"]
+            e["qp_off"] = self._qp_off.pop(e["display"], None)
             e["first_in_stream"] = not self._emitted_headers
             self._emitted_headers = True
         self._prev_anchor = anchor
         return plan
 
     def _push_display_frame(self, y, cb, cr) -> list[dict]:
-        """Buffer one display-order frame; returns plan entries ready
-        to dispatch (decode order)."""
+        """Buffer one display-order frame through the lookahead (when
+        enabled); returns plan entries ready to dispatch."""
         yp = _pad_to_ctu(np.asarray(y), 16)
         cbp = _pad_to_ctu(np.asarray(cb), 8)
         crp = _pad_to_ctu(np.asarray(cr), 8)
+        if self.lookahead is None:
+            return self._admit(yp, cbp, crp, False, None)
+        self._la_store[self._la_next] = (yp, cbp, crp)
+        self._la_next += 1
+        entries = []
+        for fa in self.lookahead.push(yp, cbp, crp):
+            entries += self._admit(*self._la_frame(fa))
+        return entries
+
+    def _la_frame(self, fa):
+        yp, cbp, crp = self._la_store.pop(fa.display)
+        return yp, cbp, crp, fa.is_scenecut, \
+            self.lookahead.ctu_qp_offsets(fa)
+
+    def _admit(self, yp, cbp, crp, scenecut: bool, qp_off) -> list[dict]:
+        """GOP admission of one analysed display frame."""
         d = self._disp_idx
         self._disp_idx += 1
         entries = []
-        is_idr = (d % max(self.param.keyint, 1) == 0) or \
+        is_idr = (d % max(self.param.keyint, 1) == 0) or scenecut or \
             not self.inter_enabled
         if is_idr:
             if self._gop_buf:
@@ -220,9 +258,12 @@ class Encoder:
                 self._gop_buf = []
             self._last_idr = d
             self._prev_anchor = None
-            entries += self._plan_minigop([(yp, cbp, crp, 0)], True)
+            gop = [(yp, cbp, crp, 0)]
+            self._qp_off[d] = qp_off
+            entries += self._plan_minigop(gop, True)
             return entries
         poc = d - self._last_idr
+        self._qp_off[d] = qp_off
         self._gop_buf.append((yp, cbp, crp, poc))
         if len(self._gop_buf) >= self.bframes + 1:
             entries += self._plan_minigop(self._gop_buf, False)
@@ -230,10 +271,13 @@ class Encoder:
         return entries
 
     def _flush_gop(self) -> list[dict]:
-        if not self._gop_buf:
-            return []
-        entries = self._plan_minigop(self._gop_buf, False)
-        self._gop_buf = []
+        entries = []
+        if self.lookahead is not None:
+            for fa in self.lookahead.flush():
+                entries += self._admit(*self._la_frame(fa))
+        if self._gop_buf:
+            entries += self._plan_minigop(self._gop_buf, False)
+            self._gop_buf = []
         return entries
 
     # -- device dispatch -------------------------------------------------
@@ -246,18 +290,19 @@ class Encoder:
         yp, cbp, crp = e["arrays"]
         stype = e["stype"]
         poc = e["poc"]
+        qp_off = e.get("qp_off")
         if stype == "I":
             self._dpb = {}            # new CVS: POC numbering restarts
             qp = self.rc.frame_qp("I")
             dev = self.frame_encoder.encode_async(
-                yp, cbp, crp, qp, want_recon=True)
+                yp, cbp, crp, qp, want_recon=True, qp_offsets=qp_off)
             if self.inter_enabled:
                 self._dpb[poc] = dev[5:8]
         elif stype == "P":
             qp = self.rc.frame_qp("P")
             dev = self.inter_encoder.encode_async(
                 yp, cbp, crp, self._dpb[e["ref0"]], qp,
-                want_recon=return_recon)
+                want_recon=return_recon, qp_offsets=qp_off)
             self._dpb[poc] = dev[9:12]
         else:
             qp = self.rc.frame_qp("B" if e["is_ref"] else "b")
@@ -266,9 +311,13 @@ class Encoder:
             dev = self.b_encoder.encode_async(
                 yp, cbp, crp, self._dpb[e["ref0"]],
                 self._dpb[e["ref1"]], qp, dsf0, dsf1,
-                want_recon=return_recon)
+                want_recon=return_recon, qp_offsets=qp_off)
             if e["is_ref"]:
                 self._dpb[poc] = dev[12:15]
+        if self.pps.cu_qp_delta_enabled:
+            from ..ops.quant import derive_qp_maps
+            hc, wc = self.pad_h // 16, self.pad_w // 16
+            e["qp_map"] = derive_qp_maps(qp, qp_off, hc, wc, 1.0)[0]
         if e["last_in_gop"] and self.inter_enabled:
             anchor = e["anchor_poc"]
             if stype == "B" and e["is_ref"]:
@@ -324,6 +373,11 @@ class Encoder:
         return [self._finish(self._dispatch_entry(e, return_recon))
                 for e in self._flush_gop()]
 
+    def close(self) -> None:
+        """End-of-encode bookkeeping (x265_encoder_close analog):
+        writes the pass-1 rate-control stats file when applicable."""
+        self.rc.write_stats()
+
     # -- host side -------------------------------------------------------
 
     def _finish(self, pending) -> EncodeOutput:
@@ -335,27 +389,29 @@ class Encoder:
         slice_type = e["stype"]
         poc = e["poc"]
         w, h = self.param.width, self.param.height
+        qp_map = e.get("qp_map")
         if slice_type == "I":
             res = self.frame_encoder.collect(dev_out,
                                              want_recon=return_recon)
-            payload = self._cabac_intra(res, qp)
+            payload = self._cabac_intra(res, qp, qp_map)
             nal_type = NAL_IDR_W_RADL
         elif slice_type == "P":
             res = self.inter_encoder.collect(dev_out,
                                              want_recon=return_recon)
-            payload = self._cabac_inter(res, qp)
+            payload = self._cabac_inter(res, qp, qp_map)
             nal_type = NAL_TRAIL_R
         else:
             res = self.b_encoder.collect(dev_out,
                                          want_recon=return_recon)
-            payload = self._cabac_b(res, qp)
+            payload = self._cabac_b(res, qp, qp_map)
             nal_type = NAL_TRAIL_R if e["is_ref"] else NAL_TRAIL_N
 
         bw = write_slice_header(
             self.sps, self.pps,
             "B" if slice_type == "B" else slice_type, qp, nal_type,
             poc=poc, rps_neg=e.get("rps_neg"), rps_pos=e.get("rps_pos"),
-            max_merge=MAX_MERGE)
+            max_merge=MAX_MERGE, sao_luma=self.param.sao,
+            sao_chroma=False)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
         if self.param.repeat_headers or e.get("first_in_stream"):
@@ -390,36 +446,77 @@ class Encoder:
                      res.recon_cr[:h // 2, :w // 2])
         return EncodeOutput(nal, stats, recon)
 
-    def _cabac_intra(self, res, qp) -> bytes:
-        from ..native import encode_islice_ctu16
-        payload = encode_islice_ctu16(res.modes, res.levels_y,
-                                      res.levels_cb, res.levels_cr, qp)
-        if payload is not None:
-            return payload
+    def _qp_deltas(self, res, qp, qp_map):
+        """Per-CTU cu_qp_delta values (spec 8.6.1 with QG == CTB): a
+        delta is signaled only on CTUs with coded coefficients; the
+        predictor is the previous signaled QP (raster order).  Returns
+        None (AQ off) or an [hc, wc] int array (value meaningless where
+        nothing is coded)."""
+        if qp_map is None:
+            return None
+        hc, wc = qp_map.shape
+        deltas = np.zeros((hc, wc), np.int32)
+        prev = qp
+        for cy in range(hc):
+            for cx in range(wc):
+                coded = res.levels_y[cy, cx].any() or \
+                    res.levels_cb[cy, cx].any() or \
+                    res.levels_cr[cy, cx].any()
+                if coded:
+                    deltas[cy, cx] = int(qp_map[cy, cx]) - prev
+                    prev = int(qp_map[cy, cx])
+        return deltas
+
+    def _sao_ctu(self, enc, res, cy, cx):
+        if res.sao_type is None:
+            return
+        from ..cabac.syntax import encode_sao_luma
+        wc = self.pad_w // 16
+        k = cy * wc + cx
+        encode_sao_luma(enc, int(res.sao_type[k]),
+                        int(res.sao_eo_class[k]),
+                        int(res.sao_band_pos[k]), res.sao_offsets[k],
+                        cx > 0, cy > 0)
+
+    def _cabac_intra(self, res, qp, qp_map=None) -> bytes:
+        if qp_map is None and not self.param.sao:
+            from ..native import encode_islice_ctu16
+            payload = encode_islice_ctu16(res.modes, res.levels_y,
+                                          res.levels_cb, res.levels_cr,
+                                          qp)
+            if payload is not None:
+                return payload
+        deltas = self._qp_deltas(res, qp, qp_map)
         enc = CabacEncoder()
         enc.init_contexts("I", qp)
         hc, wc = res.modes.shape
         for cy in range(hc):
             for cx in range(wc):
+                self._sao_ctu(enc, res, cy, cx)
                 left_mode = int(res.modes[cy, cx - 1]) if cx > 0 else 1
                 encode_intra_ctu16(
                     enc, int(res.modes[cy, cx]), res.levels_y[cy, cx],
                     res.levels_cb[cy, cx], res.levels_cr[cy, cx],
-                    left_mode, 1)
+                    left_mode, 1,
+                    qp_delta=None if deltas is None
+                    else int(deltas[cy, cx]))
                 enc.encode_terminate(
                     1 if (cy == hc - 1 and cx == wc - 1) else 0)
         return enc.finish()
 
-    def _cabac_inter(self, res, qp) -> bytes:
-        from ..native import encode_pslice_ctu16
-        payload = encode_pslice_ctu16(res, qp)
-        if payload is not None:
-            return payload
+    def _cabac_inter(self, res, qp, qp_map=None) -> bytes:
+        if qp_map is None and not self.param.sao:
+            from ..native import encode_pslice_ctu16
+            payload = encode_pslice_ctu16(res, qp)
+            if payload is not None:
+                return payload
+        deltas = self._qp_deltas(res, qp, qp_map)
         enc = CabacEncoder()
         enc.init_contexts("P", qp)
         hc, wc = res.kinds.shape
         for cy in range(hc):
             for cx in range(wc):
+                self._sao_ctu(enc, res, cy, cx)
                 kind = int(res.kinds[cy, cx])
                 ctu = {
                     "kind": ("skip", "inter", "intra")[kind],
@@ -439,17 +536,21 @@ class Encoder:
                 left_intra_mode = int(res.modes[cy, cx - 1]) \
                     if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
                 encode_inter_ctu16(enc, ctu, left_skip, above_skip,
-                                   left_intra_mode, MAX_MERGE)
+                                   left_intra_mode, MAX_MERGE,
+                                   qp_delta=None if deltas is None
+                                   else int(deltas[cy, cx]))
                 enc.encode_terminate(
                     1 if (cy == hc - 1 and cx == wc - 1) else 0)
         return enc.finish()
 
-    def _cabac_b(self, res, qp) -> bytes:
+    def _cabac_b(self, res, qp, qp_map=None) -> bytes:
+        deltas = self._qp_deltas(res, qp, qp_map)
         enc = CabacEncoder()
         enc.init_contexts("B", qp)
         hc, wc = res.kinds.shape
         for cy in range(hc):
             for cx in range(wc):
+                self._sao_ctu(enc, res, cy, cx)
                 kind = int(res.kinds[cy, cx])
                 ctu = {
                     "kind": ("skip", "inter", "intra")[kind],
@@ -473,7 +574,9 @@ class Encoder:
                 left_intra_mode = int(res.modes[cy, cx - 1]) \
                     if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
                 encode_b_ctu16(enc, ctu, left_skip, above_skip,
-                               left_intra_mode, MAX_MERGE)
+                               left_intra_mode, MAX_MERGE,
+                               qp_delta=None if deltas is None
+                               else int(deltas[cy, cx]))
                 enc.encode_terminate(
                     1 if (cy == hc - 1 and cx == wc - 1) else 0)
         return enc.finish()

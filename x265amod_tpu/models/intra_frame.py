@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.intra import predict_all_modes_batch, substitute_refs
-from ..ops.quant import chroma_qp, dequant, quant
+from ..ops.quant import chroma_qp, dequant, derive_qp_maps, quant
 from ..ops.transforms import fwd_transform, inv_transform
 
 
@@ -59,17 +59,24 @@ class FrameResult:
     recon_y: np.ndarray | None = None   # padded planes (uint8), opt-in
     recon_cb: np.ndarray | None = None
     recon_cr: np.ndarray | None = None
+    # SAO params per CTU (raster), None when SAO off
+    sao_type: np.ndarray | None = None
+    sao_eo_class: np.ndarray | None = None
+    sao_band_pos: np.ndarray | None = None
+    sao_offsets: np.ndarray | None = None
 
 
 class IntraFrameEncoder:
     """Per-resolution compiled wavefront encoder (one jit per size)."""
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
-                 lambda_scale: float = 0.57, deblock: bool = False):
+                 lambda_scale: float = 0.57, deblock: bool = False,
+                 sao: bool = False):
         assert width % 16 == 0 and height % 16 == 0, \
             "caller pads to CTU multiple"
         self.width, self.height = width, height
         self.deblock = deblock
+        self.sao = sao
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         diags = _diag_schedule(self.wc, self.hc)
@@ -101,9 +108,10 @@ class IntraFrameEncoder:
 
     # ---- device code ------------------------------------------------------
 
-    def _encode_frame(self, y, cb, cr, qp, qp_cb, qp_cr, lam,
-                      want_recon=False):
-        """y: [H, W] uint8/int32, cb/cr: [H/2, W/2]."""
+    def _encode_frame(self, y, cb, cr, qp_map, qpcb_map, qpcr_map,
+                      lam_map, want_recon=False):
+        """y: [H, W] uint8/int32, cb/cr: [H/2, W/2]; qp/lambda maps
+        are per-CTU [hc, wc] (uniform when AQ off)."""
         wc, hc, bmax = self.wc, self.hc, self.bmax
         y = y.astype(jnp.int32)
         cb = cb.astype(jnp.int32)
@@ -136,6 +144,7 @@ class IntraFrameEncoder:
             return top_raw, left_raw, corner
 
         def analyse_plane(blocks, orig_blocks, cx, cy, n, c_idx, qpv):
+            # qpv: per-lane QP [B] -> broadcast over [B, 35, n, n]
             traw, lraw, craw = gather_refs(blocks, cx, cy, n)
             top, left, corner = substitute_refs(traw, lraw, craw, cx, cy,
                                                 n, wc)
@@ -143,8 +152,9 @@ class IntraFrameEncoder:
             orig = orig_blocks[cy, cx]               # [B, n, n]
             resi = orig[:, None] - preds
             coeff = fwd_transform(resi)
-            levels = quant(coeff, qpv)
-            rec_resi = inv_transform(dequant(levels, qpv))
+            qpb = qpv[:, None, None, None]
+            levels = quant(coeff, qpb)
+            rec_resi = inv_transform(dequant(levels, qpb))
             recon = jnp.clip(preds + rec_resi, 0, 255)
             ssd = jnp.sum((recon - orig[:, None]) ** 2, axis=(2, 3))
             return preds, levels, recon, ssd
@@ -155,8 +165,10 @@ class IntraFrameEncoder:
             cx = coords_d[:, 0]
             cy = coords_d[:, 1]
 
+            qp_lane = qp_map[cy, cx]
+            lam_lane = lam_map[cy, cx]
             preds, levels, recon, ssd = analyse_plane(
-                yb, oy, cx, cy, 16, 0, qp)
+                yb, oy, cx, cy, 16, 0, qp_lane)
 
             # ---- mode decision: SSD + lambda * estimated bits ----
             absl = jnp.abs(levels).astype(jnp.float32)
@@ -174,7 +186,8 @@ class IntraFrameEncoder:
                 modes35 == mpm0[:, None], 2.0,
                 jnp.where((modes35 == mpm1[:, None])
                           | (modes35 == mpm2[:, None]), 3.0, 6.0))
-            cost = ssd.astype(jnp.float32) + lam * (rbits + mbits)
+            cost = ssd.astype(jnp.float32) \
+                + lam_lane[:, None] * (rbits + mbits)
             best = jnp.argmin(cost, axis=1)
 
             bi = best[:, None, None, None]
@@ -190,8 +203,8 @@ class IntraFrameEncoder:
                 lvb = jnp.take_along_axis(lv, bi, axis=1)[:, 0]
                 rcb = jnp.take_along_axis(rc, bi, axis=1)[:, 0]
                 return blocks.at[safe_cy, cx].set(rcb), lvb
-            cbb, lv_cb = do_chroma(cbb, ocb, qp_cb)
-            crb, lv_cr = do_chroma(crb, ocr, qp_cr)
+            cbb, lv_cb = do_chroma(cbb, ocb, qpcb_map[cy, cx])
+            crb, lv_cr = do_chroma(crb, ocr, qpcr_map[cy, cx])
 
             ys = (best.astype(jnp.int32), lv_y.astype(jnp.int16),
                   lv_cb.astype(jnp.int16), lv_cr.astype(jnp.int16))
@@ -210,11 +223,18 @@ class IntraFrameEncoder:
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
         if self.deblock:
             # in-loop filter on the full frame (intra prediction above
-            # used the unfiltered blocks, per spec)
+            # used the unfiltered blocks, per spec); uniform-QP only
             from ..ops.deblock import deblock_chroma, deblock_luma
-            rec_y = deblock_luma(rec_y, qp)
-            rec_cb = deblock_chroma(rec_cb, qp_cb)
-            rec_cr = deblock_chroma(rec_cr, qp_cr)
+            rec_y = deblock_luma(rec_y, qp_map[0, 0])
+            rec_cb = deblock_chroma(rec_cb, qpcb_map[0, 0])
+            rec_cr = deblock_chroma(rec_cr, qpcr_map[0, 0])
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import sao_analyse, sao_apply
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam_map.reshape(-1), 16)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off)
 
         # pack scan outputs to dense raster order on device (one static
         # take — outside the loop, so it compiles to an efficient slice
@@ -232,24 +252,27 @@ class IntraFrameEncoder:
         if want_recon:
             return (modes_r, ly_r, lcb_r, lcr_r, sse,
                     rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                    rec_cr.astype(jnp.uint8))
-        return (modes_r, ly_r, lcb_r, lcr_r, sse)
+                    rec_cr.astype(jnp.uint8)) + sao_out
+        return (modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out
 
     # ---- host wrapper -----------------------------------------------------
 
     def encode_async(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                     qp: int, want_recon: bool = False):
+                     qp: int, want_recon: bool = False,
+                     qp_offsets: np.ndarray | None = None):
         """Dispatch the device step; returns device arrays immediately
         (JAX async dispatch) so frame-level pipelining can overlap the
         next frame's compute with this frame's D2H transfers — the TPU
-        analog of the reference's frame-thread pipeline."""
-        lam = self.lambda_scale * 2.0 ** ((qp - 12) / 3.0)
-        qcb = chroma_qp(qp)
+        analog of the reference's frame-thread pipeline.
+
+        qp_offsets: optional per-CTU AQ/CU-tree offsets [hc, wc]."""
+        qp_map, qcb, qcr, lam = derive_qp_maps(
+            qp, qp_offsets, self.hc, self.wc, self.lambda_scale)
         step = self._step_recon if want_recon else self._step
         return step(
             jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
-            jnp.asarray(cr, jnp.uint8), jnp.int32(qp),
-            jnp.int32(qcb), jnp.int32(qcb), jnp.float32(lam))
+            jnp.asarray(cr, jnp.uint8), jnp.asarray(qp_map),
+            jnp.asarray(qcb), jnp.asarray(qcr), jnp.asarray(lam))
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
         outs = [np.asarray(a) for a in outs]
@@ -261,8 +284,13 @@ class IntraFrameEncoder:
             lcb_r.reshape(hc, wc, 8, 8).astype(np.int32),
             lcr_r.reshape(hc, wc, 8, 8).astype(np.int32),
             sse)
+        rest = outs[5:]
         if want_recon:
-            res.recon_y, res.recon_cb, res.recon_cr = outs[5:]
+            res.recon_y, res.recon_cb, res.recon_cr = rest[:3]
+            rest = rest[3:]
+        if self.sao:
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = [np.asarray(a) for a in rest]
         return res
 
     def encode(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

@@ -33,6 +33,16 @@ def chroma_qp(qp_y: int, chroma_offset: int = 0) -> int:
     return int(_CHROMA_QP_TAB[q - 30])
 
 
+def chroma_qp_np(qp_y: np.ndarray, chroma_offset: int = 0) -> np.ndarray:
+    """Vectorized chroma QP mapping (spec Table 8-10) for per-CTU QP
+    maps."""
+    q = np.clip(np.asarray(qp_y, np.int32) + chroma_offset, 0, 57)
+    out = np.where(q < 30, q,
+                   np.where(q > 43, q - 6,
+                            _CHROMA_QP_TAB[np.clip(q - 30, 0, 13)]))
+    return out.astype(np.int32)
+
+
 def quant_params(qp: int, log2_tr_size: int, bit_depth: int = 8,
                  intra: bool = True):
     """Returns (scale, qbits, offset) for forward quant."""
@@ -89,14 +99,16 @@ def quant(coeff: jax.Array, qp, bit_depth: int = 8,
     log2n = n.bit_length() - 1
     if isinstance(qp, (int, np.integer)):
         return _quant_impl(coeff, int(qp), log2n, bit_depth, intra)
-    # traced qp path
+    # traced qp path: qp may be a scalar or an array broadcastable to
+    # coeff's shape (per-CU adaptive QP) — jnp ops broadcast, lax don't
     transform_shift = 15 - bit_depth - log2n
     qbits = 14 + qp // 6 + transform_shift
-    scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
-    offset = (171 if intra else 85) * (1 << (qbits - 9).astype(jnp.int32))
+    scale = jnp.asarray(QUANT_SCALES, jnp.int64)[qp % 6]
+    offset = (171 if intra else 85) * \
+        jnp.left_shift(jnp.int64(1), (qbits - 9).astype(jnp.int64))
     c = coeff.astype(jnp.int64)
-    mag = jax.lax.shift_right_arithmetic(
-        jnp.abs(c) * scale + offset, qbits.astype(jnp.int64))
+    mag = jnp.right_shift(jnp.abs(c) * scale + offset,
+                          qbits.astype(jnp.int64))
     level = jnp.sign(c) * mag
     return jnp.clip(level, -32768, 32767).astype(jnp.int32)
 
@@ -116,7 +128,25 @@ def dequant(level: jax.Array, qp, bit_depth: int = 8) -> jax.Array:
     if isinstance(qp, (int, np.integer)):
         return _dequant_impl(level, int(qp), log2n, bit_depth)
     bd_shift = bit_depth + log2n - 5
-    scale = (jnp.asarray(INV_QUANT_SCALES, jnp.int64)[qp % 6] * 16
-             ) << (qp // 6).astype(jnp.int64)
+    scale = jnp.left_shift(
+        jnp.asarray(INV_QUANT_SCALES, jnp.int64)[qp % 6] * 16,
+        (qp // 6).astype(jnp.int64))
     d = (level.astype(jnp.int64) * scale + (1 << (bd_shift - 1))) >> bd_shift
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
+
+
+def derive_qp_maps(qp: int, offsets, hc: int, wc: int,
+                   lambda_scale: float, cb_offset: int = 0,
+                   cr_offset: int = 0):
+    """Host helper: per-CTU QP maps from a frame QP + AQ/CU-tree offset
+    map (None -> uniform).  Returns numpy (qp_map, qp_cb, qp_cr, lam)
+    each [hc, wc]."""
+    if offsets is None:
+        qp_map = np.full((hc, wc), int(qp), np.int32)
+    else:
+        qp_map = np.clip(int(qp) + np.rint(np.asarray(offsets)),
+                         0, 51).astype(np.int32)
+        assert qp_map.shape == (hc, wc), (qp_map.shape, hc, wc)
+    lam = (lambda_scale * 2.0 ** ((qp_map - 12) / 3.0)).astype(np.float32)
+    return (qp_map, chroma_qp_np(qp_map, cb_offset),
+            chroma_qp_np(qp_map, cr_offset), lam)

@@ -68,6 +68,7 @@ class Param:
     crf: float = 28.0
     bitrate: int = 0                  # kbps; 0 = CRF/CQP
     rc_mode: str = "cqp"              # cqp / crf / abr
+    scenecut: int = 40                # adaptive I threshold (0 = off)
     aq_mode: int = 0
     aq_strength: float = 1.0
     cutree: bool = False
@@ -83,6 +84,8 @@ class Param:
     vbv_maxrate: int = 0
     vbv_bufsize: int = 0
     vbv_init: float = 0.9
+    pass_num: int = 0                 # --pass 1/2 (2-pass rate control)
+    stats_file: str = ""              # --stats
     # --- loop filters ---
     deblock: bool = False             # v1: off (PPS-disabled, conformant)
     deblock_tc_offset: int = 0
@@ -219,6 +222,8 @@ def param_parse(p: Param, name: str, value: str | None = None) -> None:
         "hash": "decoded_picture_hash",
         "master-display": "master_display",
         "max-cll": "_maxcll", "atc-sei": "atc_sei",
+        "pass": "pass_num", "stats": "stats_file",
+        "scenecut": "scenecut",
     }
     if name == "max-cll":
         cll, fall = value.split(",")

@@ -344,6 +344,34 @@ def _handle_sei(rbsp: bytes, last_frame: DecodedFrame | None) -> None:
             break                       # rbsp_trailing_bits
 
 
+class _SaoState:
+    """Per-slice SAO parameter collection + normative apply
+    (spec 7.3.8.3 parse + 8.7.3 application, luma only)."""
+
+    def __init__(self, hc: int, wc: int):
+        self.hc, self.wc = hc, wc
+        n = hc * wc
+        self.type = np.zeros(n, np.int32)
+        self.eo = np.zeros(n, np.int32)
+        self.bp = np.zeros(n, np.int32)
+        self.off = np.zeros((n, 4), np.int32)
+
+    def parse(self, d, cx: int, cy: int) -> None:
+        t, eo, bp, offs = S.decode_sao_luma(d, cx > 0, cy > 0)
+        k = cy * self.wc + cx
+        self.type[k] = t
+        self.eo[k] = eo
+        self.bp[k] = bp
+        self.off[k] = offs
+
+    def apply(self, y_pl: np.ndarray, pad: int, hc: int, wc: int
+              ) -> None:
+        from ..ops.sao import sao_apply_np
+        region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
+        y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = sao_apply_np(
+            region, self.type, self.eo, self.bp, self.off, 16)
+
+
 def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                       nal_type: int) -> DecodedFrame:
     assert sps.log2_ctb == 4 and sps.log2_min_cb == 4, \
@@ -354,8 +382,10 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     assert r.read_ue() == 0            # pps id
     st = r.read_ue()
     assert st == 2, "only I slices in v1 decoder"
+    sao_luma = 0
     if sps.sao:
-        r.read_flag(); r.read_flag()
+        sao_luma = r.read_flag()
+        assert r.read_flag() == 0, "sao chroma unsupported"
     qp = pps.init_qp + r.read_se()
     assert not pps.entropy_sync
     assert r.read_flag() == 1          # byte_alignment stop bit
@@ -372,16 +402,22 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     modes = np.full((hc, wc), -1, dtype=np.int32)
     qp_c_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_c_cr = chroma_qp(qp, pps.cr_qp_offset)
+    qpctx = {"prev": qp}
+    sao = _SaoState(hc, wc) if sao_luma else None
 
     for cy in range(hc):
         for cx in range(wc):
-            _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_c_cb, qp_c_cr,
+            if sao is not None:
+                sao.parse(d, cx, cy)
+            _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
                           y_pl, cb_pl, cr_pl, modes, pad)
             eos = d.decode_terminate()
             is_last = (cy == hc - 1 and cx == wc - 1)
             assert eos == (1 if is_last else 0), \
                 f"end_of_slice mismatch at CTU ({cx},{cy})"
     if not pps.deblock_disabled:
+        assert not pps.cu_qp_delta, \
+            "deblock with per-CU QP not wired up yet"
         from ..ops.deblock import deblock_chroma_np, deblock_luma_np
         ph, pw = hc * 16, wc * 16
         y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_np(
@@ -391,6 +427,8 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb)
         cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
             cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
+    if sao is not None:
+        sao.apply(y_pl, pad, hc, wc)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
@@ -424,7 +462,16 @@ def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
     plane[y0:y0 + n, x0:x0 + n] = rec
 
 
-def _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+def _cu_qp_update(d, pps, qpctx, any_cbf: int) -> int:
+    """Derive this CU's QpY (spec 8.6.1 with QG == CTB): parse
+    cu_qp_delta when enabled and coefficients are coded; predictor is
+    the previous QG's QP (left/above fall outside the CTB)."""
+    if pps.cu_qp_delta and any_cbf:
+        qpctx["prev"] += S.decode_cu_qp_delta(d)
+    return qpctx["prev"]
+
+
+def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
                   y_pl, cb_pl, cr_pl, modes, pad):
     # CU syntax (mirror of cabac.syntax.encode_intra_ctu16)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_NxN unsupported"
@@ -445,6 +492,9 @@ def _decode_ctu16(d, sps, cx, cy, wc, hc, qp, qp_cb, qp_cr,
     cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
     cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
     cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+    qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     ly = decode_residual(d, 4, 0, 0) if cbf_y else \
         np.zeros((16, 16), np.int32)
     lcb = decode_residual(d, 3, 1, 0) if cbf_cb else \
@@ -517,9 +567,12 @@ def _decode_merge_idx(d: CabacDecoder, max_merge: int) -> int:
     return idx
 
 
-def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
+def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
                     cr_pl, ref, maps, pad):
     """Decode one P-slice CTU; maps: dict of per-CTU state arrays."""
+    qp = qpctx["prev"]
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     skip_l = int(maps["skip"][cy, cx - 1]) if cx > 0 else 0
     skip_a = int(maps["skip"][cy - 1, cx]) if cy > 0 else 0
     skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
@@ -578,6 +631,9 @@ def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
         cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
         ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
         lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
@@ -616,6 +672,9 @@ def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
             if (cbf_cb or cbf_cr) else 1
+        qp = _cu_qp_update(d, pps, qpctx, 1)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
         ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
         lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
@@ -626,9 +685,12 @@ def _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
     maps["imode"][cy, cx] = -1
 
 
-def _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
+def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
                     cr_pl, ref0, ref1, dsf0, dsf1, maps, pad):
     """Decode one B-slice CTU; maps carry dir/mv0/mv1 motion state."""
+    qp = qpctx["prev"]
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     from ..models.mvpred import (amvp_candidates_b_scalar,
                                  merge_candidates_b_scalar,
                                  neighbor_state_b)
@@ -710,6 +772,9 @@ def _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
         cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
         ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
         lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
@@ -758,6 +823,9 @@ def _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr, y_pl, cb_pl,
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
             if (cbf_cb or cbf_cr) else 1
+        qp = _cu_qp_update(d, pps, qpctx, 1)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
         ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
         lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
@@ -797,8 +865,10 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     stale = [p for p in dpb if p not in retained]
     for p in stale:
         del dpb[p]
+    sao_luma = 0
     if sps.sao:
-        r.read_flag(); r.read_flag()
+        sao_luma = r.read_flag()
+        assert r.read_flag() == 0, "sao chroma unsupported"
     assert r.read_flag() == 0          # num_ref_idx_active_override
     if st == 0:
         assert r.read_flag() == 0      # mvd_l1_zero_flag
@@ -837,9 +907,13 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "imode": np.full((hc, wc), -1, np.int32),
         }
         d = CabacDecoder(payload, "P", qp)
+        qpctx = {"prev": qp}
+        sao = _SaoState(hc, wc) if sao_luma else None
         for cy in range(hc):
             for cx in range(wc):
-                _decode_p_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                if sao is not None:
+                    sao.parse(d, cx, cy)
+                _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc,
                                 y_pl, cb_pl, cr_pl, ref0_pl, maps, pad)
                 eos = d.decode_terminate()
                 is_last = (cy == hc - 1 and cx == wc - 1)
@@ -860,9 +934,13 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "imode": np.full((hc, wc), -1, np.int32),
         }
         d = CabacDecoder(payload, "B", qp)
+        qpctx = {"prev": qp}
+        sao = _SaoState(hc, wc) if sao_luma else None
         for cy in range(hc):
             for cx in range(wc):
-                _decode_b_ctu16(d, cx, cy, wc, hc, qp, qp_cb, qp_cr,
+                if sao is not None:
+                    sao.parse(d, cx, cy)
+                _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
                                 y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
                                 dsf0, dsf1, maps, pad)
                 eos = d.decode_terminate()
@@ -871,6 +949,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                     f"end_of_slice mismatch at CTU ({cx},{cy})"
     if not pps.deblock_disabled:
         raise AssertionError("deblock for inter frames not in v1 decoder")
+    if sao is not None:
+        sao.apply(y_pl, pad, hc, wc)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
