@@ -146,12 +146,19 @@ class CabacEncoder:
 class CabacDecoder:
     """Normative arithmetic decoding process (spec 9.3.2, 9.3.4.3)."""
 
-    def __init__(self, data: bytes, slice_type: str, qp: int) -> None:
+    def __init__(self, data: bytes, slice_type: str, qp: int,
+                 states=None) -> None:
         self._data = data
         self._bitpos = 0
         self.range = 510
         self.offset = self._read_bits(9)
-        self.ctx = init_context_states(slice_type, qp)
+        # states: WPP context inheritance (spec 9.3.1 sync from the
+        # above-right CTB's stored snapshot) instead of fresh init
+        self.ctx = states.copy() if states is not None \
+            else init_context_states(slice_type, qp)
+
+    def save_contexts(self):
+        return self.ctx.copy()
 
     def _read_bits(self, n: int) -> int:
         v = 0

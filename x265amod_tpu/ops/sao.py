@@ -114,7 +114,7 @@ def sao_analyse(orig: jnp.ndarray, rec: jnp.ndarray, lam,
             e = _block_sum(diff * m, ctu).reshape(n)
             cnt = _block_sum(m, ctu).reshape(n)
             sign = 1 if c <= 2 else -1     # cat1/2 >=0, cat3/4 <=0
-            off, d = best_offset(e, cnt, sign)
+            off, d = best_offset(e, cnt, sign, lam_b)
             offs_k.append(off)
             dist_k += d
         eo_dist.append(dist_k + lam_b * 5.0)   # type+eo_class bins
@@ -131,8 +131,9 @@ def sao_analyse(orig: jnp.ndarray, rec: jnp.ndarray, lam,
     onehot = jax.nn.one_hot(band, N_BANDS, dtype=jnp.float32)
     e_b = _block_sum3(diff[..., None] * onehot, ctu).reshape(n, N_BANDS)
     c_b = _block_sum3(onehot, ctu).reshape(n, N_BANDS)
-    off_b, d_b = best_offset(e_b, c_b, 1)      # per band, sign free:
-    off_bn, d_bn = best_offset(e_b, c_b, -1)
+    lam_b2 = lam_b[:, None]
+    off_b, d_b = best_offset(e_b, c_b, 1, lam_b2)   # per band, +
+    off_bn, d_bn = best_offset(e_b, c_b, -1, lam_b2)
     use_neg = d_bn < d_b
     off_band = jnp.where(use_neg, off_bn, off_b)         # [n, 32]
     d_band = jnp.minimum(d_b, d_bn)
