@@ -90,6 +90,7 @@ class PpsInfo:
     cr_qp_offset: int = 0
     weighted_pred: bool = False
     loop_filter_across_slices: bool = True
+    transquant_bypass: bool = False     # lossless coding
 
 
 def _write_profile_tier_level(bw: BitWriter, sps: SpsInfo) -> None:
@@ -217,7 +218,7 @@ def write_pps(pps: PpsInfo) -> bytes:
     bw.write_flag(0)                    # pps_slice_chroma_qp_offsets_present
     bw.write_flag(1 if pps.weighted_pred else 0)
     bw.write_flag(0)                    # weighted_bipred_flag
-    bw.write_flag(0)                    # transquant_bypass_enabled_flag
+    bw.write_flag(1 if pps.transquant_bypass else 0)
     bw.write_flag(0)                    # tiles_enabled_flag
     bw.write_flag(1 if pps.entropy_coding_sync else 0)
     bw.write_flag(1 if pps.loop_filter_across_slices else 0)

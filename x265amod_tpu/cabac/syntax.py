@@ -46,6 +46,7 @@ CTX_MVP = CTX_OFFSET["mvp_flag"]
 CTX_REF_IDX = CTX_OFFSET["ref_idx"]
 CTX_INTER_DIR = CTX_OFFSET["inter_pred_idc"]
 CTX_CU_QP_DELTA = CTX_OFFSET["cu_qp_delta_abs"]
+CTX_TQ_BYPASS = CTX_OFFSET["cu_transquant_bypass_flag"]
 
 
 def encode_cu_qp_delta(enc: CabacEncoder, delta: int) -> None:
@@ -305,13 +306,18 @@ def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
                        luma_levels: np.ndarray, cb_levels: np.ndarray,
                        cr_levels: np.ndarray, cand_a: int,
                        cand_b: int = 1,
-                       qp_delta: int | None = None) -> None:
+                       qp_delta: int | None = None,
+                       tq_bypass: int | None = None) -> None:
     """Encode one 16x16 I-slice CTU: CU (2Nx2N intra) + TU16 luma/TU8
     chroma residuals.  cand_a = left CU luma mode (DC if unavailable),
     cand_b = above (always DC at CTU boundary with 16px CTUs).
     qp_delta: cu_qp_delta to signal when coefficients are coded (None
     when pps cu_qp_delta_enabled is off).
+    tq_bypass: None when pps transquant_bypass disabled; else 0/1
+    (cu_transquant_bypass_flag, spec 7.3.8.5 first CU syntax element).
     """
+    if tq_bypass is not None:
+        enc.encode_bin(CTX_TQ_BYPASS, tq_bypass)
     # split_cu_flag not present (log2CbSize == MinCbLog2SizeY)
     # part_mode: 1 => PART_2Nx2N (signaled because log2CbSize == MinCb)
     enc.encode_bin(CTX_PART_MODE, 1)

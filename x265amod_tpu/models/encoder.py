@@ -93,7 +93,14 @@ class Encoder:
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset,
-                           cu_qp_delta_enabled=self.use_lookahead)
+                           cu_qp_delta_enabled=self.use_lookahead,
+                           entropy_coding_sync=param.wpp,
+                           transquant_bypass=param.lossless)
+        if param.lossless:
+            assert not self.inter_enabled, \
+                "lossless is wired for all-intra (keyint=1) in v1"
+            assert not param.sao and not param.deblock, \
+                "lossless bypasses the loop filters"
         if self.use_lookahead and param.deblock:
             param.deblock = False    # deblock+per-CU QP lands later
             self.pps.deblocking_disabled = True
@@ -111,7 +118,8 @@ class Encoder:
             self.sps.max_dec_buffering = depth + 2
         self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h,
                                                deblock=param.deblock,
-                                               sao=param.sao)
+                                               sao=param.sao,
+                                               lossless=param.lossless)
         self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h,
                                                sao=param.sao) \
             if self.inter_enabled else None
@@ -393,17 +401,17 @@ class Encoder:
         if slice_type == "I":
             res = self.frame_encoder.collect(dev_out,
                                              want_recon=return_recon)
-            payload = self._cabac_intra(res, qp, qp_map)
+            payload, entry_offs = self._cabac_intra(res, qp, qp_map)
             nal_type = NAL_IDR_W_RADL
         elif slice_type == "P":
             res = self.inter_encoder.collect(dev_out,
                                              want_recon=return_recon)
-            payload = self._cabac_inter(res, qp, qp_map)
+            payload, entry_offs = self._cabac_inter(res, qp, qp_map)
             nal_type = NAL_TRAIL_R
         else:
             res = self.b_encoder.collect(dev_out,
                                          want_recon=return_recon)
-            payload = self._cabac_b(res, qp, qp_map)
+            payload, entry_offs = self._cabac_b(res, qp, qp_map)
             nal_type = NAL_TRAIL_R if e["is_ref"] else NAL_TRAIL_N
 
         bw = write_slice_header(
@@ -411,7 +419,8 @@ class Encoder:
             "B" if slice_type == "B" else slice_type, qp, nal_type,
             poc=poc, rps_neg=e.get("rps_neg"), rps_pos=e.get("rps_pos"),
             max_merge=MAX_MERGE, sao_luma=self.param.sao,
-            sao_chroma=False)
+            sao_chroma=False, num_entry_points=len(entry_offs),
+            entry_point_offsets=entry_offs or None)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
         if self.param.repeat_headers or e.get("first_in_stream"):
@@ -456,8 +465,11 @@ class Encoder:
             return None
         hc, wc = qp_map.shape
         deltas = np.zeros((hc, wc), np.int32)
+        wpp = self.pps.entropy_coding_sync
         prev = qp
         for cy in range(hc):
+            if wpp:
+                prev = qp   # spec 8.6.1: qPY_PREV resets per CTU row
             for cx in range(wc):
                 coded = res.levels_y[cy, cx].any() or \
                     res.levels_cb[cy, cx].any() or \
@@ -478,108 +490,139 @@ class Encoder:
                         int(res.sao_band_pos[k]), res.sao_offsets[k],
                         cx > 0, cy > 0)
 
-    def _cabac_intra(self, res, qp, qp_map=None) -> bytes:
-        if qp_map is None and not self.param.sao:
+    def _encode_slice_payload(self, slice_type, qp, hc, wc, ctu_fn):
+        """Drives the per-CTU syntax callback over the slice.
+
+        Plain mode: one CABAC stream.  WPP mode (entropy_coding_sync):
+        one substream per CTU row with context inheritance from the
+        above-right CTU (state saved after column 1, spec 9.3.1 /
+        reference frameencoder.cpp:1595-1597), end_of_subset_one_bit
+        terminators, and byte-aligned entry points.  Returns
+        (payload_bytes, entry_point_lengths)."""
+        wpp = self.pps.entropy_coding_sync and hc > 1
+        if not wpp:
+            enc = CabacEncoder()
+            enc.init_contexts(slice_type, qp)
+            for cy in range(hc):
+                for cx in range(wc):
+                    ctu_fn(enc, cy, cx)
+                    enc.encode_terminate(
+                        1 if (cy == hc - 1 and cx == wc - 1) else 0)
+            return enc.finish(), []
+        subs = []
+        row_init = None
+        for cy in range(hc):
+            enc = CabacEncoder()
+            if cy == 0 or row_init is None:
+                enc.init_contexts(slice_type, qp)
+            else:
+                enc.load_contexts(row_init)
+            for cx in range(wc):
+                ctu_fn(enc, cy, cx)
+                if cx == 1:
+                    row_init = enc.save_contexts()
+                enc.encode_terminate(
+                    1 if (cy == hc - 1 and cx == wc - 1) else 0)
+            if cy < hc - 1:
+                enc.encode_terminate(1)    # end_of_subset_one_bit
+            subs.append(enc.finish())
+        return b"".join(subs), [len(s) for s in subs[:-1]]
+
+    def _cabac_intra(self, res, qp, qp_map=None):
+        if qp_map is None and not self.param.sao and \
+                not self.pps.entropy_coding_sync and \
+                not self.param.lossless:
             from ..native import encode_islice_ctu16
             payload = encode_islice_ctu16(res.modes, res.levels_y,
                                           res.levels_cb, res.levels_cr,
                                           qp)
             if payload is not None:
-                return payload
+                return payload, []
         deltas = self._qp_deltas(res, qp, qp_map)
-        enc = CabacEncoder()
-        enc.init_contexts("I", qp)
         hc, wc = res.modes.shape
-        for cy in range(hc):
-            for cx in range(wc):
-                self._sao_ctu(enc, res, cy, cx)
-                left_mode = int(res.modes[cy, cx - 1]) if cx > 0 else 1
-                encode_intra_ctu16(
-                    enc, int(res.modes[cy, cx]), res.levels_y[cy, cx],
-                    res.levels_cb[cy, cx], res.levels_cr[cy, cx],
-                    left_mode, 1,
-                    qp_delta=None if deltas is None
-                    else int(deltas[cy, cx]))
-                enc.encode_terminate(
-                    1 if (cy == hc - 1 and cx == wc - 1) else 0)
-        return enc.finish()
 
-    def _cabac_inter(self, res, qp, qp_map=None) -> bytes:
-        if qp_map is None and not self.param.sao:
+        tqb = 1 if self.param.lossless else None
+
+        def ctu_fn(enc, cy, cx):
+            self._sao_ctu(enc, res, cy, cx)
+            left_mode = int(res.modes[cy, cx - 1]) if cx > 0 else 1
+            encode_intra_ctu16(
+                enc, int(res.modes[cy, cx]), res.levels_y[cy, cx],
+                res.levels_cb[cy, cx], res.levels_cr[cy, cx],
+                left_mode, 1,
+                qp_delta=None if deltas is None
+                else int(deltas[cy, cx]), tq_bypass=tqb)
+        return self._encode_slice_payload("I", qp, hc, wc, ctu_fn)
+
+    def _cabac_inter(self, res, qp, qp_map=None):
+        if qp_map is None and not self.param.sao and \
+                not self.pps.entropy_coding_sync:
             from ..native import encode_pslice_ctu16
             payload = encode_pslice_ctu16(res, qp)
             if payload is not None:
-                return payload
+                return payload, []
         deltas = self._qp_deltas(res, qp, qp_map)
-        enc = CabacEncoder()
-        enc.init_contexts("P", qp)
         hc, wc = res.kinds.shape
-        for cy in range(hc):
-            for cx in range(wc):
-                self._sao_ctu(enc, res, cy, cx)
-                kind = int(res.kinds[cy, cx])
-                ctu = {
-                    "kind": ("skip", "inter", "intra")[kind],
-                    "merge_idx": int(res.merge_idx[cy, cx]),
-                    "mvd": (int(res.mvd[cy, cx, 0]),
-                            int(res.mvd[cy, cx, 1])),
-                    "mvp_idx": int(res.mvp_idx[cy, cx]),
-                    "luma_mode": int(res.modes[cy, cx]),
-                    "levels_y": res.levels_y[cy, cx],
-                    "levels_cb": res.levels_cb[cy, cx],
-                    "levels_cr": res.levels_cr[cy, cx],
-                }
-                left_skip = int(res.kinds[cy, cx - 1] == 0) if cx > 0 \
-                    else 0
-                above_skip = int(res.kinds[cy - 1, cx] == 0) if cy > 0 \
-                    else 0
-                left_intra_mode = int(res.modes[cy, cx - 1]) \
-                    if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
-                encode_inter_ctu16(enc, ctu, left_skip, above_skip,
-                                   left_intra_mode, MAX_MERGE,
-                                   qp_delta=None if deltas is None
-                                   else int(deltas[cy, cx]))
-                enc.encode_terminate(
-                    1 if (cy == hc - 1 and cx == wc - 1) else 0)
-        return enc.finish()
 
-    def _cabac_b(self, res, qp, qp_map=None) -> bytes:
-        deltas = self._qp_deltas(res, qp, qp_map)
-        enc = CabacEncoder()
-        enc.init_contexts("B", qp)
-        hc, wc = res.kinds.shape
-        for cy in range(hc):
-            for cx in range(wc):
-                self._sao_ctu(enc, res, cy, cx)
-                kind = int(res.kinds[cy, cx])
-                ctu = {
-                    "kind": ("skip", "inter", "intra")[kind],
-                    "merge_idx": int(res.merge_idx[cy, cx]),
-                    "inter_dir": int(res.inter_dir[cy, cx]),
-                    "mvd0": (int(res.mvd0[cy, cx, 0]),
-                             int(res.mvd0[cy, cx, 1])),
-                    "mvp0": int(res.mvp0[cy, cx]),
-                    "mvd1": (int(res.mvd1[cy, cx, 0]),
-                             int(res.mvd1[cy, cx, 1])),
-                    "mvp1": int(res.mvp1[cy, cx]),
-                    "luma_mode": int(res.modes[cy, cx]),
-                    "levels_y": res.levels_y[cy, cx],
-                    "levels_cb": res.levels_cb[cy, cx],
-                    "levels_cr": res.levels_cr[cy, cx],
-                }
-                left_skip = int(res.kinds[cy, cx - 1] == 0) if cx > 0 \
-                    else 0
-                above_skip = int(res.kinds[cy - 1, cx] == 0) if cy > 0 \
-                    else 0
-                left_intra_mode = int(res.modes[cy, cx - 1]) \
-                    if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
-                encode_b_ctu16(enc, ctu, left_skip, above_skip,
+        def ctu_fn(enc, cy, cx):
+            self._sao_ctu(enc, res, cy, cx)
+            kind = int(res.kinds[cy, cx])
+            ctu = {
+                "kind": ("skip", "inter", "intra")[kind],
+                "merge_idx": int(res.merge_idx[cy, cx]),
+                "mvd": (int(res.mvd[cy, cx, 0]),
+                        int(res.mvd[cy, cx, 1])),
+                "mvp_idx": int(res.mvp_idx[cy, cx]),
+                "luma_mode": int(res.modes[cy, cx]),
+                "levels_y": res.levels_y[cy, cx],
+                "levels_cb": res.levels_cb[cy, cx],
+                "levels_cr": res.levels_cr[cy, cx],
+            }
+            left_skip = int(res.kinds[cy, cx - 1] == 0) if cx > 0 \
+                else 0
+            above_skip = int(res.kinds[cy - 1, cx] == 0) if cy > 0 \
+                else 0
+            left_intra_mode = int(res.modes[cy, cx - 1]) \
+                if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
+            encode_inter_ctu16(enc, ctu, left_skip, above_skip,
                                left_intra_mode, MAX_MERGE,
                                qp_delta=None if deltas is None
                                else int(deltas[cy, cx]))
-                enc.encode_terminate(
-                    1 if (cy == hc - 1 and cx == wc - 1) else 0)
-        return enc.finish()
+        return self._encode_slice_payload("P", qp, hc, wc, ctu_fn)
+
+    def _cabac_b(self, res, qp, qp_map=None):
+        deltas = self._qp_deltas(res, qp, qp_map)
+        hc, wc = res.kinds.shape
+
+        def ctu_fn(enc, cy, cx):
+            self._sao_ctu(enc, res, cy, cx)
+            kind = int(res.kinds[cy, cx])
+            ctu = {
+                "kind": ("skip", "inter", "intra")[kind],
+                "merge_idx": int(res.merge_idx[cy, cx]),
+                "inter_dir": int(res.inter_dir[cy, cx]),
+                "mvd0": (int(res.mvd0[cy, cx, 0]),
+                         int(res.mvd0[cy, cx, 1])),
+                "mvp0": int(res.mvp0[cy, cx]),
+                "mvd1": (int(res.mvd1[cy, cx, 0]),
+                         int(res.mvd1[cy, cx, 1])),
+                "mvp1": int(res.mvp1[cy, cx]),
+                "luma_mode": int(res.modes[cy, cx]),
+                "levels_y": res.levels_y[cy, cx],
+                "levels_cb": res.levels_cb[cy, cx],
+                "levels_cr": res.levels_cr[cy, cx],
+            }
+            left_skip = int(res.kinds[cy, cx - 1] == 0) if cx > 0 \
+                else 0
+            above_skip = int(res.kinds[cy - 1, cx] == 0) if cy > 0 \
+                else 0
+            left_intra_mode = int(res.modes[cy, cx - 1]) \
+                if (cx > 0 and res.kinds[cy, cx - 1] == 2) else 1
+            encode_b_ctu16(enc, ctu, left_skip, above_skip,
+                           left_intra_mode, MAX_MERGE,
+                           qp_delta=None if deltas is None
+                           else int(deltas[cy, cx]))
+        return self._encode_slice_payload("B", qp, hc, wc, ctu_fn)
 
     def summary(self) -> dict:
         n = len(self.frame_stats)

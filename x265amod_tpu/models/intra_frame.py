@@ -71,12 +71,13 @@ class IntraFrameEncoder:
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  lambda_scale: float = 0.57, deblock: bool = False,
-                 sao: bool = False):
+                 sao: bool = False, lossless: bool = False):
         assert width % 16 == 0 and height % 16 == 0, \
             "caller pads to CTU multiple"
         self.width, self.height = width, height
         self.deblock = deblock
         self.sao = sao
+        self.lossless = lossless
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         diags = _diag_schedule(self.wc, self.hc)
@@ -151,6 +152,13 @@ class IntraFrameEncoder:
             preds = predict_all_modes_batch(top, left, corner, n, c_idx)
             orig = orig_blocks[cy, cx]               # [B, n, n]
             resi = orig[:, None] - preds
+            if self.lossless:
+                # transquant bypass (spec 8.6.1 cuTransquantBypass):
+                # the residual IS the coded level array; recon == source
+                levels = resi
+                recon = jnp.broadcast_to(orig[:, None], preds.shape)
+                ssd = jnp.zeros(preds.shape[:2], jnp.int32)
+                return preds, levels, recon, ssd
             coeff = fwd_transform(resi)
             qpb = qpv[:, None, None, None]
             levels = quant(coeff, qpb)

@@ -54,6 +54,7 @@ class DecPps:
     cr_qp_offset: int = 0
     deblock_disabled: bool = True
     entropy_sync: bool = False
+    transquant_bypass: bool = False
 
 
 def _parse_ptl(r: BitReader) -> None:
@@ -120,7 +121,7 @@ def parse_pps(rbsp: bytes) -> DecPps:
     p.cr_qp_offset = r.read_se()
     assert r.read_flag() == 0
     r.read_flag(); r.read_flag()   # weighted pred flags
-    assert r.read_flag() == 0      # transquant bypass
+    p.transquant_bypass = bool(r.read_flag())
     assert r.read_flag() == 0      # tiles
     p.entropy_sync = bool(r.read_flag())
     r.read_flag()                  # loop filter across slices
@@ -344,6 +345,63 @@ def _handle_sei(rbsp: bytes, last_frame: DecodedFrame | None) -> None:
             break                       # rbsp_trailing_bits
 
 
+def _parse_entry_points(r: BitReader, pps: DecPps) -> list[int]:
+    """Slice header entry points (7.3.6.1) -> substream byte sizes."""
+    if not pps.entropy_sync:
+        return []
+    n_ep = r.read_ue()
+    if not n_ep:
+        return []
+    olen = r.read_ue() + 1
+    return [r.read(olen) + 1 for _ in range(n_ep)]
+
+
+def _slice_ctu_loop(payload: bytes, slice_type: str, qp: int,
+                    hc: int, wc: int, entry: list[int], qpctx,
+                    sao, ctu_fn) -> None:
+    """Runs ctu_fn(d, cx, cy) over the slice.  With entry points
+    (WPP), each CTU row is its own CABAC substream with context
+    inheritance from the above-right CTU (spec 9.3.1) and
+    end_of_subset_one_bit terminators; qPY_PREV resets per row
+    (spec 8.6.1)."""
+    if not entry:
+        d = CabacDecoder(payload, slice_type, qp)
+        for cy in range(hc):
+            for cx in range(wc):
+                if sao is not None:
+                    sao.parse(d, cx, cy)
+                ctu_fn(d, cx, cy)
+                eos = d.decode_terminate()
+                is_last = (cy == hc - 1 and cx == wc - 1)
+                assert eos == (1 if is_last else 0), \
+                    f"end_of_slice mismatch at CTU ({cx},{cy})"
+        return
+    bounds = [0]
+    for o in entry:
+        bounds.append(bounds[-1] + o)
+    bounds.append(len(payload))
+    assert len(bounds) == hc + 2 or len(bounds) - 1 == hc, \
+        (len(entry), hc)
+    row_init = None
+    for cy in range(hc):
+        sub = payload[bounds[cy]:bounds[cy + 1]]
+        d = CabacDecoder(sub, slice_type, qp,
+                         states=row_init if cy else None)
+        qpctx["prev"] = qp            # per-row qPY_PREV reset
+        for cx in range(wc):
+            if sao is not None:
+                sao.parse(d, cx, cy)
+            ctu_fn(d, cx, cy)
+            if cx == 1:
+                row_init = d.save_contexts()
+            eos = d.decode_terminate()
+            is_last = (cy == hc - 1 and cx == wc - 1)
+            assert eos == (1 if is_last else 0), \
+                f"end_of_slice mismatch at CTU ({cx},{cy})"
+        if cy < hc - 1:
+            assert d.decode_terminate() == 1, "end_of_subset missing"
+
+
 class _SaoState:
     """Per-slice SAO parameter collection + normative apply
     (spec 7.3.8.3 parse + 8.7.3 application, luma only)."""
@@ -387,12 +445,11 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         sao_luma = r.read_flag()
         assert r.read_flag() == 0, "sao chroma unsupported"
     qp = pps.init_qp + r.read_se()
-    assert not pps.entropy_sync
+    entry = _parse_entry_points(r, pps)
     assert r.read_flag() == 1          # byte_alignment stop bit
     r.byte_align()
     payload = rbsp[r.bit_pos // 8:]
 
-    d = CabacDecoder(payload, "I", qp)
     wc = -(-sps.width // 16)
     hc = -(-sps.height // 16)
     pad = 16
@@ -405,16 +462,11 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     qpctx = {"prev": qp}
     sao = _SaoState(hc, wc) if sao_luma else None
 
-    for cy in range(hc):
-        for cx in range(wc):
-            if sao is not None:
-                sao.parse(d, cx, cy)
-            _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
-                          y_pl, cb_pl, cr_pl, modes, pad)
-            eos = d.decode_terminate()
-            is_last = (cy == hc - 1 and cx == wc - 1)
-            assert eos == (1 if is_last else 0), \
-                f"end_of_slice mismatch at CTU ({cx},{cy})"
+    def ctu_fn(d, cx, cy):
+        _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
+                      y_pl, cb_pl, cr_pl, modes, pad)
+    _slice_ctu_loop(payload, "I", qp, hc, wc, entry, qpctx, sao,
+                    ctu_fn)
     if not pps.deblock_disabled:
         assert not pps.cu_qp_delta, \
             "deblock with per-CU QP not wired up yet"
@@ -474,6 +526,9 @@ def _cu_qp_update(d, pps, qpctx, any_cbf: int) -> int:
 def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
                   y_pl, cb_pl, cr_pl, modes, pad):
     # CU syntax (mirror of cabac.syntax.encode_intra_ctu16)
+    bypass = 0
+    if pps.transquant_bypass:
+        bypass = d.decode_bin(S.CTX_TQ_BYPASS)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_NxN unsupported"
     cand_a = int(modes[cy, cx - 1]) if cx > 0 else 1
     mpms = S.mpm_list(cand_a if cand_a >= 0 else 1, 1)
@@ -503,12 +558,16 @@ def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
         np.zeros((8, 8), np.int32)
     modes[cy, cx] = mode
 
-    resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
-        np.zeros((16, 16), np.int32)
-    resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb else \
-        np.zeros((8, 8), np.int32)
-    resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr else \
-        np.zeros((8, 8), np.int32)
+    if bypass:
+        # transquant bypass: levels ARE the residual samples
+        resi_y, resi_cb, resi_cr = ly, lcb, lcr
+    else:
+        resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
+            np.zeros((16, 16), np.int32)
+        resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
+            else np.zeros((8, 8), np.int32)
+        resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr \
+            else np.zeros((8, 8), np.int32)
 
     avail_l = cx > 0
     avail_t = cy > 0
@@ -875,7 +934,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     five_minus = r.read_ue()
     max_merge = 5 - five_minus
     qp = pps.init_qp + r.read_se()
-    assert not pps.entropy_sync
+    entry = _parse_entry_points(r, pps)
     assert r.read_flag() == 1
     r.byte_align()
     payload = rbsp[r.bit_pos // 8:]
@@ -906,19 +965,14 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "mv": np.zeros((hc, wc, 2), np.int32),
             "imode": np.full((hc, wc), -1, np.int32),
         }
-        d = CabacDecoder(payload, "P", qp)
         qpctx = {"prev": qp}
         sao = _SaoState(hc, wc) if sao_luma else None
-        for cy in range(hc):
-            for cx in range(wc):
-                if sao is not None:
-                    sao.parse(d, cx, cy)
-                _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc,
-                                y_pl, cb_pl, cr_pl, ref0_pl, maps, pad)
-                eos = d.decode_terminate()
-                is_last = (cy == hc - 1 and cx == wc - 1)
-                assert eos == (1 if is_last else 0), \
-                    f"end_of_slice mismatch at CTU ({cx},{cy})"
+
+        def ctu_fn(d, cx, cy):
+            _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc,
+                            y_pl, cb_pl, cr_pl, ref0_pl, maps, pad)
+        _slice_ctu_loop(payload, "P", qp, hc, wc, entry, qpctx, sao,
+                        ctu_fn)
     else:
         assert used_pos, "B slice without a used future reference"
         ref1_poc = used_pos[0]
@@ -933,20 +987,15 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "mv1": np.zeros((hc, wc, 2), np.int32),
             "imode": np.full((hc, wc), -1, np.int32),
         }
-        d = CabacDecoder(payload, "B", qp)
         qpctx = {"prev": qp}
         sao = _SaoState(hc, wc) if sao_luma else None
-        for cy in range(hc):
-            for cx in range(wc):
-                if sao is not None:
-                    sao.parse(d, cx, cy)
-                _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
-                                y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
-                                dsf0, dsf1, maps, pad)
-                eos = d.decode_terminate()
-                is_last = (cy == hc - 1 and cx == wc - 1)
-                assert eos == (1 if is_last else 0), \
-                    f"end_of_slice mismatch at CTU ({cx},{cy})"
+
+        def ctu_fn(d, cx, cy):
+            _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
+                            y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
+                            dsf0, dsf1, maps, pad)
+        _slice_ctu_loop(payload, "B", qp, hc, wc, entry, qpctx, sao,
+                        ctu_fn)
     if not pps.deblock_disabled:
         raise AssertionError("deblock for inter frames not in v1 decoder")
     if sao is not None:
