@@ -76,12 +76,14 @@ class BFrameEncoder:
     """Per-resolution compiled B-frame encoder (one ref per list)."""
 
     def __init__(self, width: int, height: int,
-                 lambda_scale: float = 0.85, sao: bool = False):
+                 lambda_scale: float = 0.85, sao: bool = False,
+                 deblock: bool = False):
         assert width % 16 == 0 and height % 16 == 0
         self.width, self.height = width, height
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         self.sao = sao
+        self.deblock = deblock
         diags = _diag_schedule(self.wc, self.hc)
         self.n_diags = len(diags)
         self.bmax = max(len(d) for d in diags)
@@ -531,6 +533,20 @@ class BFrameEncoder:
         rec_y = to_plane(yb, 16, self.height, self.width)
         rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
+        if self.deblock:
+            from ..ops.deblock import (bs_maps, deblock_chroma_bs,
+                                       deblock_luma_bs)
+            intra_m = (kinds == 2).reshape(hc, wc)
+            cbf_m = jnp.any(ly_r != 0, axis=(1, 2)).reshape(hc, wc)
+            dir_m = jnp.where(intra_m, 0,
+                              inter_dir.reshape(hc, wc))
+            mv0_m = mv0_fin.reshape(hc, wc, 2)
+            mv1_m = mv1_fin.reshape(hc, wc, 2)
+            bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
+                                 xp=jnp)
+            rec_y = deblock_luma_bs(rec_y, qp_blk[0], bs_v, bs_h)
+            rec_cb = deblock_chroma_bs(rec_cb, qpc_blk[0], bs_v, bs_h)
+            rec_cr = deblock_chroma_bs(rec_cr, qpc_blk[0], bs_v, bs_h)
         sao_out = ()
         if self.sao:
             from ..ops.sao import sao_analyse, sao_apply

@@ -74,10 +74,6 @@ class Encoder:
         self.pad_h = -(-h // ctu) * ctu
         fps = param.fps_num / max(param.fps_den, 1)
         self.inter_enabled = param.keyint != 1
-        if self.inter_enabled and param.deblock:
-            # boundary-strength derivation for inter frames lands with
-            # the deblock generalization; keep streams conformant
-            param.deblock = False
         self.sps = SpsInfo(
             width=self.pad_w, height=self.pad_h,
             conf_win_right=(self.pad_w - w) // 2,
@@ -89,11 +85,29 @@ class Encoder:
         self.use_lookahead = (param.aq_mode > 0 or param.cutree) and \
             self.inter_enabled or (param.aq_mode > 0 and
                                    not self.inter_enabled)
+        # analysis load substitutes for the lookahead (reuse level >= 1,
+        # reference setReuseLevel abrEncApp.cpp:218)
+        self._areader = None
+        self._awriter = None
+        if param.analysis_load:
+            from ..analysis import AnalysisReader
+            self._areader = AnalysisReader(param.analysis_load)
+            self.use_lookahead = False
+            has_qpoff = any(k.startswith("qpoff_")
+                            for k in self._areader._z.files)
+            self._loaded_qpoff = has_qpoff
+        else:
+            self._loaded_qpoff = False
+        if param.analysis_save:
+            from ..analysis import AnalysisWriter
+            self._awriter = AnalysisWriter(param.analysis_save,
+                                           param.analysis_reuse_level)
         self.pps = PpsInfo(init_qp=26,
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset,
-                           cu_qp_delta_enabled=self.use_lookahead,
+                           cu_qp_delta_enabled=self.use_lookahead
+                           or self._loaded_qpoff,
                            entropy_coding_sync=param.wpp,
                            transquant_bypass=param.lossless)
         if param.lossless:
@@ -121,10 +135,12 @@ class Encoder:
                                                sao=param.sao,
                                                lossless=param.lossless)
         self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h,
-                                               sao=param.sao) \
+                                               sao=param.sao,
+                                               deblock=param.deblock) \
             if self.inter_enabled else None
         self.b_encoder = BFrameEncoder(self.pad_w, self.pad_h,
-                                       sao=param.sao) \
+                                       sao=param.sao,
+                                       deblock=param.deblock) \
             if self.bframes else None
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
@@ -140,6 +156,8 @@ class Encoder:
         self._la_store = {}        # display idx -> padded arrays
         self._la_next = 0
         self._qp_off = {}          # display idx -> per-CTU qp offsets
+        self._scenecut_of = {}     # display idx -> scene-cut flag
+        self._close_of = {}        # display idx -> b-adapt GOP close
 
     def headers(self) -> bytes:
         out = (wrap_nal(NAL_VPS, write_vps(self.sps))
@@ -239,6 +257,10 @@ class Encoder:
         yp = _pad_to_ctu(np.asarray(y), 16)
         cbp = _pad_to_ctu(np.asarray(cb), 8)
         crp = _pad_to_ctu(np.asarray(cr), 8)
+        if self._areader is not None:
+            rec = self._areader.frame(self._disp_idx)
+            return self._admit(yp, cbp, crp, rec.is_scenecut,
+                               rec.qp_offsets, rec.gop_close)
         if self.lookahead is None:
             return self._admit(yp, cbp, crp, False, None)
         self._la_store[self._la_next] = (yp, cbp, crp)
@@ -250,12 +272,20 @@ class Encoder:
 
     def _la_frame(self, fa):
         yp, cbp, crp = self._la_store.pop(fa.display)
+        # b-adapt (fast heuristic, reference b-adapt 1): close the
+        # current mini-GOP when the new frame predicts poorly from its
+        # neighbor — B frames should not span low-correlation gaps
+        close = (self.param.b_adapt > 0 and self.bframes > 0
+                 and fa.pred_ratio > 0.35 and not fa.is_scenecut)
         return yp, cbp, crp, fa.is_scenecut, \
-            self.lookahead.ctu_qp_offsets(fa)
+            self.lookahead.ctu_qp_offsets(fa), close
 
-    def _admit(self, yp, cbp, crp, scenecut: bool, qp_off) -> list[dict]:
+    def _admit(self, yp, cbp, crp, scenecut: bool, qp_off,
+               close_gop: bool = False) -> list[dict]:
         """GOP admission of one analysed display frame."""
         d = self._disp_idx
+        self._scenecut_of[d] = bool(scenecut)
+        self._close_of[d] = bool(close_gop)
         self._disp_idx += 1
         entries = []
         is_idr = (d % max(self.param.keyint, 1) == 0) or scenecut or \
@@ -272,6 +302,9 @@ class Encoder:
             return entries
         poc = d - self._last_idr
         self._qp_off[d] = qp_off
+        if close_gop and self._gop_buf:
+            entries += self._plan_minigop(self._gop_buf, False)
+            self._gop_buf = []
         self._gop_buf.append((yp, cbp, crp, poc))
         if len(self._gop_buf) >= self.bframes + 1:
             entries += self._plan_minigop(self._gop_buf, False)
@@ -383,8 +416,10 @@ class Encoder:
 
     def close(self) -> None:
         """End-of-encode bookkeeping (x265_encoder_close analog):
-        writes the pass-1 rate-control stats file when applicable."""
+        writes the pass-1 rate-control stats and analysis files."""
         self.rc.write_stats()
+        if self._awriter is not None:
+            self._awriter.close()
 
     # -- host side -------------------------------------------------------
 
@@ -453,6 +488,23 @@ class Encoder:
         if return_recon and res.recon_y is not None:
             recon = (res.recon_y[:h, :w], res.recon_cb[:h // 2, :w // 2],
                      res.recon_cr[:h // 2, :w // 2])
+        if self._awriter is not None:
+            from ..analysis import FrameAnalysisRecord
+            rec = FrameAnalysisRecord(
+                display=e.get("display", poc),
+                slice_type="b" if (slice_type == "B"
+                                   and not e.get("is_ref", True))
+                else slice_type,
+                is_scenecut=self._scenecut_of.pop(
+                    e.get("display", poc), False),
+                gop_close=self._close_of.pop(
+                    e.get("display", poc), False),
+                qp_offsets=e.get("qp_off"))
+            if self._awriter.level >= 10:
+                rec.modes = getattr(res, "modes", None)
+                rec.kinds = getattr(res, "kinds", None)
+                rec.inter_dir = getattr(res, "inter_dir", None)
+            self._awriter.add(rec)
         return EncodeOutput(nal, stats, recon)
 
     def _qp_deltas(self, res, qp, qp_map):

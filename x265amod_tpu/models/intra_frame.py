@@ -257,11 +257,20 @@ class IntraFrameEncoder:
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2)])
+        # D2H compression: levels fit int8 at typical QPs -> transfer
+        # half the bytes; a per-frame flag selects the int16 fallback
+        # (the host fetches exactly one variant — JAX only moves
+        # arrays that are materialized)
+        fits8 = (jnp.max(jnp.abs(ly_r)) <= 127) & \
+            (jnp.max(jnp.abs(lcb_r)) <= 127) & \
+            (jnp.max(jnp.abs(lcr_r)) <= 127)
+        lv8 = (ly_r.astype(jnp.int8), lcb_r.astype(jnp.int8),
+               lcr_r.astype(jnp.int8), fits8)
         if want_recon:
             return (modes_r, ly_r, lcb_r, lcr_r, sse,
                     rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                    rec_cr.astype(jnp.uint8)) + sao_out
-        return (modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out
+                    rec_cr.astype(jnp.uint8)) + sao_out + lv8
+        return (modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out + lv8
 
     # ---- host wrapper -----------------------------------------------------
 
@@ -283,18 +292,31 @@ class IntraFrameEncoder:
             jnp.asarray(qcb), jnp.asarray(qcr), jnp.asarray(lam))
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
-        outs = [np.asarray(a) for a in outs]
-        modes_r, ly_r, lcb_r, lcr_r, sse = outs[:5]
         hc, wc = self.hc, self.wc
+        # last 4 outputs are the int8 transfer variant + fits flag;
+        # fetch the cheap variant unless the frame overflowed int8
+        ly8, lcb8, lcr8, fits8 = outs[-4:]
+        if bool(np.asarray(fits8)):
+            ly_r = np.asarray(ly8)
+            lcb_r = np.asarray(lcb8)
+            lcr_r = np.asarray(lcr8)
+        else:
+            ly_r = np.asarray(outs[1])
+            lcb_r = np.asarray(outs[2])
+            lcr_r = np.asarray(outs[3])
+        modes_r = np.asarray(outs[0])
+        sse = np.asarray(outs[4])
         res = FrameResult(
             modes_r.reshape(hc, wc).astype(np.int32),
             ly_r.reshape(hc, wc, 16, 16).astype(np.int32),
             lcb_r.reshape(hc, wc, 8, 8).astype(np.int32),
             lcr_r.reshape(hc, wc, 8, 8).astype(np.int32),
             sse)
-        rest = outs[5:]
+        rest = outs[5:-4]
         if want_recon:
-            res.recon_y, res.recon_cb, res.recon_cr = rest[:3]
+            res.recon_y = np.asarray(rest[0])
+            res.recon_cb = np.asarray(rest[1])
+            res.recon_cr = np.asarray(rest[2])
             rest = rest[3:]
         if self.sao:
             res.sao_type, res.sao_eo_class, res.sao_band_pos, \

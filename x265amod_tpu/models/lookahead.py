@@ -207,6 +207,7 @@ class FrameAnalysis:
     inter_cost: np.ndarray | None   # vs previous frame (None for first)
     mv: np.ndarray | None           # lowres MV field vs previous
     is_scenecut: bool = False
+    pred_ratio: float = 0.0         # inter/intra cost ratio (0 = first)
     cutree: np.ndarray | None = None   # [hb, wb] qp offsets (<= 0)
     lowres: object = None           # device lowres plane
 
@@ -259,10 +260,11 @@ class Lookahead:
         if fa.inter_cost is None:
             return True                      # first frame
         self._since_key += 1
-        if self._since_key < self.min_keyint:
-            return False
         isum = float(fa.intra_cost.sum()) + 1.0
         psum = float(np.minimum(fa.inter_cost, fa.intra_cost).sum())
+        fa.pred_ratio = psum / isum
+        if self._since_key < self.min_keyint:
+            return False
         # reference scenecut: P cost not much cheaper than I cost
         if psum > (1.0 - self.bias) * isum:
             self._since_key = 0

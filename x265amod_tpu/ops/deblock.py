@@ -169,19 +169,26 @@ def _edge_filter_luma_batch(p, q, beta, tc):
     """
     p0, p1, p2, p3 = p[..., 3], p[..., 2], p[..., 1], p[..., 0]
     q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # beta/tc may be scalars or per-segment arrays shaped [..., 1]
+    # (trailing axis broadcasting over the 4 lines); derive the
+    # segment-level view for decisions made per 4-line segment
+    beta = jnp.asarray(beta)
+    tc = jnp.asarray(tc)
+    beta_s = beta if beta.ndim == 0 else beta[..., 0]
+    tc_s = tc if tc.ndim == 0 else tc[..., 0]
     dp = jnp.abs(p2 - 2 * p1 + p0)        # [..., 4] per line
     dq = jnp.abs(q2 - 2 * q1 + q0)
     dp0, dp3 = dp[..., 0], dp[..., 3]
     dq0, dq3 = dq[..., 0], dq[..., 3]
     d = dp0 + dq0 + dp3 + dq3
-    on = (d < beta)[..., None]            # broadcast over lines
+    on = (d < beta_s)[..., None]          # broadcast over lines
 
     def strong_at(i):
-        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2))
+        return ((2 * (dp[..., i] + dq[..., i]) < (beta_s >> 2))
                 & (jnp.abs(p3[..., i] - p0[..., i])
-                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta >> 3))
+                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta_s >> 3))
                 & (jnp.abs(p0[..., i] - q0[..., i])
-                   < ((5 * tc + 1) >> 1)))
+                   < ((5 * tc_s + 1) >> 1)))
     strong = (strong_at(0) & strong_at(3))[..., None]
 
     c2 = lambda v, ref: jnp.clip(v, ref - 2 * tc, ref + 2 * tc)
@@ -197,8 +204,8 @@ def _edge_filter_luma_batch(p, q, beta, tc):
     delta = jnp.clip(delta0, -tc, tc)
     wp0 = jnp.clip(p0 + delta, 0, 255)
     wq0 = jnp.clip(q0 - delta, 0, 255)
-    dEp = ((dp0 + dp3) < ((beta + (beta >> 1)) >> 3))[..., None]
-    dEq = ((dq0 + dq3) < ((beta + (beta >> 1)) >> 3))[..., None]
+    dEp = ((dp0 + dp3) < ((beta_s + (beta_s >> 1)) >> 3))[..., None]
+    dEq = ((dq0 + dq3) < ((beta_s + (beta_s >> 1)) >> 3))[..., None]
     dpv = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1,
                    -(tc >> 1), tc >> 1)
     wp1 = jnp.clip(p1 + dpv, 0, 255)
@@ -270,3 +277,179 @@ def deblock_chroma(plane: jax.Array, qp_c, edge_step: int = 8):
     x = _vertical_pass_chroma(x, tc, edge_step)
     x = _vertical_pass_chroma(x.T, tc, edge_step).T
     return x.astype(plane.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-edge boundary strength (inter frames; spec 8.7.2.4)
+# ---------------------------------------------------------------------------
+#
+# With CU == PU == TU == 16, deblocking edges exist only on the CTU
+# grid, and every 4-sample segment of an edge shares one bS value
+# derived from the two adjacent CTUs:
+#   bS = 2  if either side is intra
+#   bS = 1  if either side has coded luma residual, the prediction
+#           directions differ (different reference sets / MV counts;
+#           one ref per list, L0 != L1 in POC), or any shared-list MV
+#           component differs by >= 4 quarter-pel
+#   bS = 0  otherwise (no filtering)
+
+def _bs_pair(intra_a, intra_b, cbf_a, cbf_b, dir_a, dir_b,
+             mv0_a, mv0_b, mv1_a, mv1_b, xp):
+    big0 = xp.any(xp.abs(mv0_a - mv0_b) >= 4, axis=-1)
+    big1 = xp.any(xp.abs(mv1_a - mv1_b) >= 4, axis=-1)
+    use0 = (dir_a & 1) == 1
+    use1 = (dir_a & 2) == 2
+    mm = (dir_a != dir_b) | (use0 & big0) | (use1 & big1)
+    bs1 = (cbf_a | cbf_b | mm)
+    return xp.where(intra_a | intra_b, 2,
+                    xp.where(bs1, 1, 0)).astype(xp.int32)
+
+
+def bs_maps(intra, cbf, dir_, mv0, mv1, xp=np):
+    """Vertical + horizontal bS maps from per-CTU coding state.
+
+    intra/cbf: [hc, wc] bool; dir_: [hc, wc] (0 also means intra);
+    mv0/mv1: [hc, wc, 2] qpel (zeroed for unused lists).
+    Returns (bs_v [hc, wc-1], bs_h [hc-1, wc])."""
+    bs_v = _bs_pair(intra[:, :-1], intra[:, 1:], cbf[:, :-1],
+                    cbf[:, 1:], dir_[:, :-1], dir_[:, 1:],
+                    mv0[:, :-1], mv0[:, 1:], mv1[:, :-1], mv1[:, 1:],
+                    xp)
+    bs_h = _bs_pair(intra[:-1, :], intra[1:, :], cbf[:-1, :],
+                    cbf[1:, :], dir_[:-1, :], dir_[1:, :],
+                    mv0[:-1, :], mv0[1:, :], mv1[:-1, :], mv1[1:, :],
+                    xp)
+    return bs_v, bs_h
+
+
+def _vertical_pass_luma_bs(x, qp, bs_v, edge_step,
+                           beta_offset=0, tc_offset=0):
+    """Like _vertical_pass_luma but with per-edge bS: bs_v [hc, wc-1]
+    (vertical edge left of CTU column j+1).  bS gates filtering by
+    forcing tc (and beta) to 0 on bS==0 edges — every filter update
+    degenerates to a no-op exactly as the spec's skip."""
+    h, w = x.shape
+    xs = np.arange(edge_step, w, edge_step)
+    if len(xs) == 0:
+        return x
+    cols = np.concatenate([np.arange(x0 - 4, x0 + 4) for x0 in xs])
+    win = x[:, cols].reshape(h, len(xs), 8).transpose(1, 0, 2)
+    seg = win.reshape(len(xs), h // 4, 4, 8)
+    segs_per_ctu = edge_step // 4
+    bs_e = jnp.repeat(bs_v.T, segs_per_ctu, axis=1)   # [n_edges, h//4]
+    beta = jnp.asarray(BETA_TABLE)[jnp.clip(qp + beta_offset, 0, 51)]
+    tc_idx = jnp.clip(qp + 2 * (bs_e - 1) + tc_offset, 0, 53)
+    tc = jnp.where(bs_e > 0, jnp.asarray(TC_TABLE)[tc_idx], 0)
+    beta = jnp.where(bs_e > 0, beta, 0)
+    fp, fq = _edge_filter_luma_batch(seg[..., :4], seg[..., 4:],
+                                     beta[..., None], tc[..., None])
+    out = jnp.concatenate([fp, fq], axis=-1) \
+        .reshape(len(xs), h, 8).transpose(1, 0, 2).reshape(h, -1)
+    return x.at[:, cols].set(out)
+
+
+@functools.partial(jax.jit, static_argnames=("edge_step",))
+def deblock_luma_bs(plane: jax.Array, qp, bs_v, bs_h,
+                    edge_step: int = 16):
+    """Deblock a luma plane with per-edge boundary strengths
+    (frame-uniform QP).  Vertical edges first, then horizontal
+    (normative order)."""
+    x = plane.astype(jnp.int32)
+    x = _vertical_pass_luma_bs(x, qp, bs_v, edge_step)
+    x = _vertical_pass_luma_bs(x.T, qp, bs_h.T, edge_step).T
+    return x.astype(plane.dtype)
+
+
+def _vertical_pass_chroma_bs(x, tc, bs_v, edge_step):
+    h, w = x.shape
+    xs = np.arange(edge_step, w, edge_step)
+    if len(xs) == 0:
+        return x
+    cols = np.concatenate([np.arange(x0 - 2, x0 + 2) for x0 in xs])
+    win = x[:, cols].reshape(h, len(xs), 4)
+    # chroma filters only bS == 2 edges (spec 8.7.2.5.5)
+    tce = jnp.where(bs_v.T == 2, tc, 0)              # [n_edges, hc]
+    tce = jnp.repeat(tce, edge_step, axis=1).T       # [h, n_edges]
+    p1, p0, q0, q1 = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tce, tce)
+    out = jnp.stack([p1, jnp.clip(p0 + delta, 0, 255),
+                     jnp.clip(q0 - delta, 0, 255), q1], axis=-1)
+    return x.at[:, cols].set(out.reshape(h, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("edge_step",))
+def deblock_chroma_bs(plane: jax.Array, qp_c, bs_v, bs_h,
+                      edge_step: int = 8):
+    tc = jnp.asarray(TC_TABLE)[jnp.clip(qp_c + 2, 0, 53)]
+    x = plane.astype(jnp.int32)
+    x = _vertical_pass_chroma_bs(x, tc, bs_v, edge_step)
+    x = _vertical_pass_chroma_bs(x.T, tc, bs_h.T, edge_step).T
+    return x.astype(plane.dtype)
+
+
+# ---- numpy twins (decoder oracle) -------------------------------------------
+
+def deblock_luma_bs_np(plane: np.ndarray, qp: int, bs_v: np.ndarray,
+                       bs_h: np.ndarray, edge_step: int = 16,
+                       beta_offset: int = 0, tc_offset: int = 0
+                       ) -> np.ndarray:
+    out = plane.astype(np.int64).copy()
+    h, w = out.shape
+    for j, x0 in enumerate(range(edge_step, w, edge_step)):
+        for y in range(0, h, 4):
+            bs = int(bs_v[y // edge_step, j])
+            if bs == 0:
+                continue
+            beta, tc = luma_params(qp, beta_offset, tc_offset, bs)
+            fp, fq = _filter_luma_segment(out[y:y + 4, x0 - 4:x0],
+                                          out[y:y + 4, x0:x0 + 4],
+                                          beta, tc)
+            out[y:y + 4, x0 - 4:x0] = fp
+            out[y:y + 4, x0:x0 + 4] = fq
+    for i, y0 in enumerate(range(edge_step, h, edge_step)):
+        for x in range(0, w, 4):
+            bs = int(bs_h[i, x // edge_step])
+            if bs == 0:
+                continue
+            beta, tc = luma_params(qp, beta_offset, tc_offset, bs)
+            fp, fq = _filter_luma_segment(out[y0 - 4:y0, x:x + 4].T,
+                                          out[y0:y0 + 4, x:x + 4].T,
+                                          beta, tc)
+            out[y0 - 4:y0, x:x + 4] = fp.T
+            out[y0:y0 + 4, x:x + 4] = fq.T
+    return out.astype(plane.dtype)
+
+
+def deblock_chroma_bs_np(plane: np.ndarray, qp_c: int, bs_v: np.ndarray,
+                         bs_h: np.ndarray, edge_step: int = 8,
+                         tc_offset: int = 0) -> np.ndarray:
+    out = plane.astype(np.int64).copy()
+    h, w = out.shape
+    tc = int(TC_TABLE[int(np.clip(qp_c + 2 + tc_offset, 0, 53))])
+    if tc == 0:
+        return plane.copy()
+    for j, x0 in enumerate(range(edge_step, w, edge_step)):
+        for i in range(h // edge_step):
+            if int(bs_v[i, j]) != 2:
+                continue
+            ys = slice(i * edge_step, (i + 1) * edge_step)
+            p1 = out[ys, x0 - 2].copy()
+            p0 = out[ys, x0 - 1].copy()
+            q0 = out[ys, x0].copy()
+            q1 = out[ys, x0 + 1].copy()
+            d = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+            out[ys, x0 - 1] = np.clip(p0 + d, 0, 255)
+            out[ys, x0] = np.clip(q0 - d, 0, 255)
+    for i, y0 in enumerate(range(edge_step, h, edge_step)):
+        for j in range(w // edge_step):
+            if int(bs_h[i, j]) != 2:
+                continue
+            xs2 = slice(j * edge_step, (j + 1) * edge_step)
+            p1 = out[y0 - 2, xs2].copy()
+            p0 = out[y0 - 1, xs2].copy()
+            q0 = out[y0, xs2].copy()
+            q1 = out[y0 + 1, xs2].copy()
+            d = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+            out[y0 - 1, xs2] = np.clip(p0 + d, 0, 255)
+            out[y0, xs2] = np.clip(q0 - d, 0, 255)
+    return out.astype(plane.dtype)

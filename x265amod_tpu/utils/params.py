@@ -86,6 +86,9 @@ class Param:
     vbv_init: float = 0.9
     pass_num: int = 0                 # --pass 1/2 (2-pass rate control)
     stats_file: str = ""              # --stats
+    analysis_save: str = ""           # --analysis-save <file>
+    analysis_load: str = ""           # --analysis-load <file>
+    analysis_reuse_level: int = 10    # --analysis-reuse-level
     # --- loop filters ---
     deblock: bool = False             # v1: off (PPS-disabled, conformant)
     deblock_tc_offset: int = 0
@@ -224,6 +227,9 @@ def param_parse(p: Param, name: str, value: str | None = None) -> None:
         "max-cll": "_maxcll", "atc-sei": "atc_sei",
         "pass": "pass_num", "stats": "stats_file",
         "scenecut": "scenecut",
+        "analysis-save": "analysis_save",
+        "analysis-load": "analysis_load",
+        "analysis-reuse-level": "analysis_reuse_level",
     }
     if name == "max-cll":
         cll, fall = value.split(",")

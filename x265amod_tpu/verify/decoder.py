@@ -669,6 +669,7 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["skip"][cy, cx] = 1
         maps["mv"][cy, cx] = mv
         maps["imode"][cy, cx] = -1
+        maps["cbf"][cy, cx] = 0
         return
     intra = d.decode_bin(S.CTX_PRED_MODE)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
@@ -714,6 +715,7 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["skip"][cy, cx] = 0
         maps["mv"][cy, cx] = (0, 0)
         maps["imode"][cy, cx] = mode
+        maps["cbf"][cy, cx] = int(bool(ly.any()))
         return
     # AMVP inter
     assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
@@ -742,6 +744,7 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
     maps["skip"][cy, cx] = 0
     maps["mv"][cy, cx] = mv
     maps["imode"][cy, cx] = -1
+    maps["cbf"][cy, cx] = int(bool(ly.any()))
 
 
 def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
@@ -792,12 +795,13 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         cr_pl[hp + y0 // 2:hp + y0 // 2 + 8,
               hp + x0 // 2:hp + x0 // 2 + 8] = rcr
 
-    def set_motion(dirv, mv0, mv1, is_skip):
+    def set_motion(dirv, mv0, mv1, is_skip, cbf=0):
         maps["dir"][cy, cx] = dirv
         maps["mv0"][cy, cx] = mv0 if (dirv & 1) else (0, 0)
         maps["mv1"][cy, cx] = mv1 if (dirv & 2) else (0, 0)
         maps["skip"][cy, cx] = is_skip
         maps["imode"][cy, cx] = -1
+        maps["cbf"][cy, cx] = cbf
 
     z8 = np.zeros((8, 8), np.int32)
     z16 = np.zeros((16, 16), np.int32)
@@ -856,6 +860,7 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["mv1"][cy, cx] = (0, 0)
         maps["skip"][cy, cx] = 0
         maps["imode"][cy, cx] = mode
+        maps["cbf"][cy, cx] = int(bool(ly.any()))
         return
     assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
         "non-skip merge unsupported in v1"
@@ -889,7 +894,7 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
     inter_recon(dirv, mv0, mv1, ly, lcb, lcr)
-    set_motion(dirv, mv0, mv1, 0)
+    set_motion(dirv, mv0, mv1, 0, int(bool(ly.any())))
 
 
 def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
@@ -964,6 +969,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "skip": np.zeros((hc, wc), np.int32),
             "mv": np.zeros((hc, wc, 2), np.int32),
             "imode": np.full((hc, wc), -1, np.int32),
+            "cbf": np.zeros((hc, wc), np.int32),
         }
         qpctx = {"prev": qp}
         sao = _SaoState(hc, wc) if sao_luma else None
@@ -986,6 +992,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "mv0": np.zeros((hc, wc, 2), np.int32),
             "mv1": np.zeros((hc, wc, 2), np.int32),
             "imode": np.full((hc, wc), -1, np.int32),
+            "cbf": np.zeros((hc, wc), np.int32),
         }
         qpctx = {"prev": qp}
         sao = _SaoState(hc, wc) if sao_luma else None
@@ -997,7 +1004,28 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         _slice_ctu_loop(payload, "B", qp, hc, wc, entry, qpctx, sao,
                         ctu_fn)
     if not pps.deblock_disabled:
-        raise AssertionError("deblock for inter frames not in v1 decoder")
+        from ..ops.deblock import (bs_maps, deblock_chroma_bs_np,
+                                   deblock_luma_bs_np)
+        intra_m = maps["imode"] >= 0
+        cbf_m = maps["cbf"].astype(bool)
+        if st == 1:
+            dir_m = np.where(intra_m, 0, maps["inter"])
+            mv0_m = np.where(intra_m[..., None], 0, maps["mv"])
+            mv1_m = np.zeros_like(mv0_m)
+        else:
+            dir_m = maps["dir"]
+            mv0_m = maps["mv0"]
+            mv1_m = maps["mv1"]
+        bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
+                             xp=np)
+        region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
+        y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = \
+            deblock_luma_bs_np(region, qp, bs_v, bs_h)
+        hp = pad // 2
+        for pl, qpc in ((cb_pl, qp_cb), (cr_pl, qp_cr)):
+            reg = pl[hp:hp + hc * 8, hp:hp + wc * 8]
+            pl[hp:hp + hc * 8, hp:hp + wc * 8] = \
+                deblock_chroma_bs_np(reg, qpc, bs_v, bs_h)
     if sao is not None:
         sao.apply(y_pl, pad, hc, wc)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
