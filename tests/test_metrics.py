@@ -1,0 +1,53 @@
+"""Device SSIM metric vs numpy oracle, and its flow through encoder
+stats / CSV (reference framefilter.cpp:654 metric computation)."""
+
+import numpy as np
+
+from x265amod_tpu.ops.metrics import ssim_plane, ssim_plane_np
+from x265amod_tpu.models.encoder import Encoder
+from x265amod_tpu.utils.params import Param
+
+
+def test_ssim_jax_matches_numpy():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (64, 96)).astype(np.int32)
+    b = np.clip(a + rng.normal(0, 5, a.shape), 0, 255).astype(np.int32)
+    sj = float(ssim_plane(a, b))
+    sn = ssim_plane_np(a, b)
+    assert abs(sj - sn) < 1e-4
+    assert abs(float(ssim_plane(a, a)) - 1.0) < 1e-6
+    # heavier distortion scores lower
+    c = np.clip(a + rng.normal(0, 25, a.shape), 0, 255).astype(np.int32)
+    assert float(ssim_plane(a, c)) < sj < 1.0
+
+
+def test_encoder_reports_ssim():
+    w, h = 64, 48
+    rng = np.random.default_rng(6)
+    y = (128 + 40 * np.sin(np.arange(w)[None, :] / 5.0)
+         + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = np.full((h // 2, w // 2), 100, np.uint8)
+    cr = np.full((h // 2, w // 2), 150, np.uint8)
+    p = Param(width=w, height=h, qp=30, keyint=1)
+    enc = Encoder(p)
+    out = enc.encode_frame(y, cb, cr)
+    assert 0.5 < out.stats.ssim_y <= 1.0
+    s = enc.summary()
+    assert 0.5 < s["ssim_y"] <= 1.0
+
+
+def test_aud_and_eos_nals():
+    from x265amod_tpu.verify.decoder import decode_stream
+    w, h = 48, 32
+    y = np.full((h, w), 128, np.uint8)
+    cb = np.full((h // 2, w // 2), 100, np.uint8)
+    cr = np.full((h // 2, w // 2), 150, np.uint8)
+    p = Param(width=w, height=h, qp=30, keyint=1, aud=True)
+    enc = Encoder(p)
+    out = enc.encode_frame(y, cb, cr)
+    stream = out.nals + enc.end_of_stream()
+    # AUD (35) present before the slice, EOS (36) at the end
+    assert bytes([35 << 1]) in stream
+    assert stream[-2] == (36 << 1)   # EOS nal header, empty rbsp
+    dec = decode_stream(stream)     # decoder skips AUD/EOS
+    assert len(dec) == 1

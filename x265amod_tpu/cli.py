@@ -109,7 +109,7 @@ def main(argv=None) -> int:
     recon_out = open(args.recon, "wb") if args.recon else None
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        csv.write("poc,type,qp,bits,psnr_y,psnr_cb,psnr_cr,time_ms\n")
+        csv.write("poc,type,qp,bits,psnr_y,psnr_cb,psnr_cr,ssim_y,time_ms\n")
 
     total = args.frames or p.total_frames
     t_start = time.time()
@@ -143,7 +143,7 @@ def main(argv=None) -> int:
             s = res.stats
             csv.write(f"{s.poc},{s.slice_type},{s.qp},{s.bits},"
                       f"{s.psnr_y:.4f},{s.psnr_cb:.4f},{s.psnr_cr:.4f},"
-                      f"{s.enc_time * 1000:.1f}\n")
+                      f"{s.ssim_y:.5f},{s.enc_time * 1000:.1f}\n")
         n += 1
         if not args.no_progress and (n % 5 == 0 or n == 1):
             elapsed = time.time() - t_start
@@ -170,7 +170,7 @@ def main(argv=None) -> int:
             f"\nencoded {s['frames']} frames, {s['enc_fps']:.2f} fps, "
             f"{s['bitrate_kbps']:.2f} kb/s, "
             f"PSNR Y:{s['psnr_y']:.3f} U:{s['psnr_cb']:.3f} "
-            f"V:{s['psnr_cr']:.3f}\n")
+            f"V:{s['psnr_cr']:.3f} SSIM:{s['ssim_y']:.5f}\n")
     return 0
 
 

@@ -554,10 +554,12 @@ class BFrameEncoder:
                 y, rec_y, lam_blk, 16)
             rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
             sao_out = (s_ty, s_cls, s_bp, s_off)
+        from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
-            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2)])
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
         return (kinds.astype(jnp.uint8), merge_idx.astype(jnp.uint8),
                 inter_dir.astype(jnp.uint8),
                 mvd0.astype(jnp.int16), mvp0.astype(jnp.uint8),

@@ -19,8 +19,9 @@ import numpy as np
 from ..bitstream.headers import (PpsInfo, SpsInfo, determine_level,
                                  write_pps, write_slice_header, write_sps,
                                  write_vps)
-from ..bitstream.nal import (NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R,
-                             wrap_nal, NAL_PPS, NAL_SPS, NAL_VPS)
+from ..bitstream.nal import (NAL_AUD, NAL_EOS, NAL_IDR_W_RADL,
+                             NAL_TRAIL_N, NAL_TRAIL_R, wrap_nal,
+                             NAL_PPS, NAL_SPS, NAL_VPS)
 from ..cabac.engine import CabacEncoder
 from ..cabac.syntax import (encode_b_ctu16, encode_inter_ctu16,
                             encode_intra_ctu16)
@@ -44,6 +45,7 @@ class FrameStats:
     psnr_cr: float
     enc_time: float
     display_order: int = -1
+    ssim_y: float = 0.0
 
 
 @dataclass
@@ -414,6 +416,10 @@ class Encoder:
         return [self._finish(self._dispatch_entry(e, return_recon))
                 for e in self._flush_gop()]
 
+    def end_of_stream(self) -> bytes:
+        """EOS NAL terminating the coded video sequence."""
+        return wrap_nal(NAL_EOS, b"")
+
     def close(self) -> None:
         """End-of-encode bookkeeping (x265_encoder_close analog):
         writes the pass-1 rate-control stats and analysis files."""
@@ -458,6 +464,14 @@ class Encoder:
             entry_point_offsets=entry_offs or None)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
+        if self.param.aud:
+            # access unit delimiter (7.3.2.5): pic_type 0=I, 1=I/P, 2=any
+            from ..bitstream.bitio import BitWriter
+            audw = BitWriter()
+            audw.write(2 if self.bframes else
+                       (1 if self.inter_enabled else 0), 3)
+            audw.rbsp_trailing_bits()
+            nal = wrap_nal(NAL_AUD, audw.data()) + nal
         if self.param.repeat_headers or e.get("first_in_stream"):
             nal = self.headers() + nal
         if self.param.decoded_picture_hash and res.recon_y is not None:
@@ -480,7 +494,8 @@ class Encoder:
             psnr_cb=sse_psnr(float(res.sse[1]), npix_y // 4),
             psnr_cr=sse_psnr(float(res.sse[2]), npix_y // 4),
             enc_time=time.time() - t0,
-            display_order=e.get("display", poc))
+            display_order=e.get("display", poc),
+            ssim_y=float(res.sse[3]) if len(res.sse) > 3 else 0.0)
         self.frame_stats.append(stats)
         self.total_bits += stats.bits
         self.rc.update(stats.bits, slice_type, qp)
@@ -687,6 +702,7 @@ class Encoder:
             "psnr_y": float(np.mean([s.psnr_y for s in self.frame_stats])),
             "psnr_cb": float(np.mean([s.psnr_cb for s in self.frame_stats])),
             "psnr_cr": float(np.mean([s.psnr_cr for s in self.frame_stats])),
+            "ssim_y": float(np.mean([s.ssim_y for s in self.frame_stats])),
             "enc_fps": n / max(sum(s.enc_time for s in self.frame_stats),
                                1e-9),
         }

@@ -464,10 +464,12 @@ class InterFrameEncoder:
                 y, rec_y, lam_blk, 16)
             rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
             sao_out = (s_ty, s_cls, s_bp, s_off)
+        from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
-            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2)])
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
         return (kinds.astype(jnp.uint8), merge_idx.astype(jnp.uint8),
                 mvd.astype(jnp.int16), mvp_idx.astype(jnp.uint8),
                 modes_r, ly_r, lcb_r, lcr_r, sse,

@@ -253,10 +253,12 @@ class IntraFrameEncoder:
         ly_r = jnp.take(out_ly.reshape(-1, 16, 16), slots, axis=0)
         lcb_r = jnp.take(out_lcb.reshape(-1, 8, 8), slots, axis=0)
         lcr_r = jnp.take(out_lcr.reshape(-1, 8, 8), slots, axis=0)
+        from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
-            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2)])
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
         # D2H compression: levels fit int8 at typical QPs -> transfer
         # half the bytes; a per-frame flag selects the int16 fallback
         # (the host fetches exactly one variant — JAX only moves

@@ -303,6 +303,8 @@ def decode_stream(stream: bytes) -> list[DecodedFrame]:
             out.append((cvs, fr.poc, fr))
         elif nal_type in (39, 40):     # prefix / suffix SEI
             _handle_sei(rbsp, out[-1][2] if out else None)
+        elif nal_type in (35, 36, 37):  # AUD / EOS / EOB
+            pass
         else:
             raise AssertionError(f"unsupported NAL type {nal_type}")
     out.sort(key=lambda t: (t[0], t[1]))
