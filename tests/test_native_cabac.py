@@ -110,3 +110,48 @@ def test_native_pslice_matches_python(seed):
     ref = enc.finish()
     got = encode_pslice_ctu16(res, qp)
     assert got == ref
+
+
+def test_native_bslice_byte_identical(monkeypatch):
+    """The native B-slice serializer must produce byte-identical
+    streams to the Python CABAC oracle."""
+    import numpy as np
+    import x265amod_tpu.native as native
+    from x265amod_tpu.models.encoder import Encoder
+    from x265amod_tpu.utils.params import Param
+
+    if native.get_cabac_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(31)
+    w, h, n = 96, 64, 6
+    frames = []
+    base = (128 + 50 * np.sin(np.arange(h)[:, None] / 7.0)
+            * np.cos(np.arange(w)[None, :] / 5.0))
+    for t in range(n):
+        y = (np.roll(base, 2 * t, axis=1)
+             + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+        frames.append((y, np.full((h // 2, w // 2), 100, np.uint8),
+                       np.full((h // 2, w // 2), 150, np.uint8)))
+
+    def encode_all():
+        p = Param(width=w, height=h, qp=31, keyint=250, bframes=2)
+        enc = Encoder(p)
+        s = b""
+        for fr in frames:
+            for o in enc.encode_push(*fr):
+                s += o.nals
+        for o in enc.flush():
+            s += o.nals
+        return s
+
+    stream_native = encode_all()
+    monkeypatch.setattr(native, "encode_bslice_ctu16",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(native, "encode_pslice_ctu16",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(native, "encode_islice_ctu16",
+                        lambda *a, **k: None)
+    stream_python = encode_all()
+    assert stream_native == stream_python

@@ -658,6 +658,12 @@ class Encoder:
         return self._encode_slice_payload("P", qp, hc, wc, ctu_fn)
 
     def _cabac_b(self, res, qp, qp_map=None):
+        if qp_map is None and not self.param.sao and \
+                not self.pps.entropy_coding_sync:
+            from ..native import encode_bslice_ctu16
+            payload = encode_bslice_ctu16(res, qp)
+            if payload is not None:
+                return payload, []
         deltas = self._qp_deltas(res, qp, qp_map)
         hc, wc = res.kinds.shape
 

@@ -67,6 +67,12 @@ def get_cabac_lib():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.hevc_encode_pslice_ctu16.restype = ctypes.c_int64
+    lib.hevc_encode_bslice_ctu16.argtypes = [
+        ctypes.POINTER(ctypes.c_int32)] * 11 + [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.hevc_encode_bslice_ctu16.restype = ctypes.c_int64
 
     from ..cabac.tables import CTX_OFFSET, NUM_CTX
     offs = np.array([
@@ -84,7 +90,7 @@ def get_cabac_lib():
         CTX_OFFSET["cu_skip_flag"], CTX_OFFSET["pred_mode_flag"],
         CTX_OFFSET["merge_flag"], CTX_OFFSET["merge_idx"],
         CTX_OFFSET["abs_mvd_greater_flag"], CTX_OFFSET["mvp_flag"],
-        CTX_OFFSET["rqt_root_cbf"],
+        CTX_OFFSET["rqt_root_cbf"], CTX_OFFSET["inter_pred_idc"],
     ], dtype=np.int32)
     lib.hevc_cabac_set_layout2(
         offs2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
@@ -149,6 +155,34 @@ def encode_pslice_ctu16(res, qp: int, max_merge: int = 2) -> bytes | None:
         mvd.ctypes.data_as(p), mvp.ctypes.data_as(p),
         modes.ctypes.data_as(p), ly.ctypes.data_as(p),
         lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
+        hc, wc, max_merge, states.ctypes.data_as(p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def encode_bslice_ctu16(res, qp: int, max_merge: int = 2) -> bytes | None:
+    """One-call native B-slice encode; None if the native lib is
+    missing.  `res` is a BFrameResult (two-list motion fields)."""
+    lib = get_cabac_lib()
+    if lib is None:
+        return None
+    from ..cabac.tables import init_context_states
+    hc, wc = res.kinds.shape
+    states = np.ascontiguousarray(
+        init_context_states("B", qp).astype(np.int32))
+    c = lambda a: np.ascontiguousarray(a.astype(np.int32))
+    args = [c(res.kinds), c(res.merge_idx), c(res.inter_dir),
+            c(res.mvd0), c(res.mvp0), c(res.mvd1), c(res.mvp1),
+            c(res.modes), c(res.levels_y), c(res.levels_cb),
+            c(res.levels_cr)]
+    cap = max(1 << 16, res.levels_y.size * 8 + res.levels_cb.size * 8
+              + res.levels_cr.size * 8)
+    out = np.empty(cap, dtype=np.uint8)
+    p = ctypes.POINTER(ctypes.c_int32)
+    n = lib.hevc_encode_bslice_ctu16(
+        *[a.ctypes.data_as(p) for a in args],
         hc, wc, max_merge, states.ctypes.data_as(p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:

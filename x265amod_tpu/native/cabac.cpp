@@ -425,6 +425,7 @@ int64_t hevc_encode_islice_ctu16(
 
 struct CtxLayout2 {
   int32_t cu_skip, pred_mode, merge_flag, merge_idx, mvd, mvp, root_cbf;
+  int32_t inter_dir;
 };
 static CtxLayout2 g_layout2;
 
@@ -436,6 +437,7 @@ extern "C" void hevc_cabac_set_layout2(const int32_t* offs) {
   g_layout2.mvd = offs[4];
   g_layout2.mvp = offs[5];
   g_layout2.root_cbf = offs[6];
+  g_layout2.inter_dir = offs[7];
 }
 
 namespace {
@@ -548,6 +550,128 @@ extern "C" int64_t hevc_encode_pslice_ctu16(
           e.encode_bin(g_layout2.merge_flag, 0);
           encode_mvd(e, mvd[idx * 2], mvd[idx * 2 + 1]);
           e.encode_bin(g_layout2.mvp, mvp_idx[idx]);
+          int root = (cbf_y || cbf_cb || cbf_cr) ? 1 : 0;
+          e.encode_bin(g_layout2.root_cbf, root);
+          if (root) {
+            e.encode_bin(g_layout.qt_cbf + 2, cbf_cb);
+            e.encode_bin(g_layout.qt_cbf + 2, cbf_cr);
+            if (cbf_cb || cbf_cr) e.encode_bin(g_layout.qt_cbf + 1, cbf_y);
+            if (cbf_y) residual_coding(e, ly, 4, 0, t16);
+            if (cbf_cb) residual_coding(e, lcb, 3, 1, t8);
+            if (cbf_cr) residual_coding(e, lcr, 3, 2, t8);
+          }
+        }
+      }
+      bool last = (cy == hc - 1) && (cx == wc - 1);
+      e.encode_terminate(last ? 1 : 0);
+    }
+  }
+  e.finish();
+  if ((int64_t)e.bytes.size() > out_cap) return -1;
+  std::memcpy(out, e.bytes.data(), e.bytes.size());
+  return (int64_t)e.bytes.size();
+}
+
+
+// ---- B-slice syntax (two reference lists, one active ref per list) -----
+
+namespace {
+
+void encode_intra_in_inter(Cabac& e, int mode, int cand_a,
+                           int cbf_y, int cbf_cb, int cbf_cr,
+                           const int32_t* ly, const int32_t* lcb,
+                           const int32_t* lcr, const ScanTabs& t16,
+                           const ScanTabs& t8) {
+  int mpms[3];
+  mpm_from_left(cand_a, mpms);
+  int mi = -1;
+  for (int k = 0; k < 3; k++) if (mode == mpms[k]) { mi = k; break; }
+  if (mi >= 0) {
+    e.encode_bin(g_layout.prev_intra, 1);
+    e.encode_bypass(mi != 0);
+    if (mi) e.encode_bypass(mi - 1);
+  } else {
+    e.encode_bin(g_layout.prev_intra, 0);
+    int rem = mode;
+    int srt[3] = {mpms[0], mpms[1], mpms[2]};
+    if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+    if (srt[1] > srt[2]) { int x = srt[1]; srt[1] = srt[2]; srt[2] = x; }
+    if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+    for (int k = 2; k >= 0; k--) if (rem > srt[k]) rem--;
+    e.encode_bypass_bins((uint32_t)rem, 5);
+  }
+  e.encode_bin(g_layout.chroma_pred, 0);
+  e.encode_bin(g_layout.qt_cbf + 2, cbf_cb);
+  e.encode_bin(g_layout.qt_cbf + 2, cbf_cr);
+  e.encode_bin(g_layout.qt_cbf + 1, cbf_y);
+  if (cbf_y) residual_coding(e, ly, 4, 0, t16);
+  if (cbf_cb) residual_coding(e, lcb, 3, 1, t8);
+  if (cbf_cr) residual_coding(e, lcr, 3, 2, t8);
+}
+
+}  // namespace
+
+// kinds 0=skip 1=inter 2=intra; inter_dir 1=L0 2=L1 3=BI;
+// mvd0/mvd1 packed [n][2]; mirrors cabac.syntax.encode_b_ctu16.
+extern "C" int64_t hevc_encode_bslice_ctu16(
+    const int32_t* kinds, const int32_t* merge_idx,
+    const int32_t* inter_dir, const int32_t* mvd0, const int32_t* mvp0,
+    const int32_t* mvd1, const int32_t* mvp1, const int32_t* modes,
+    const int32_t* levels_y, const int32_t* levels_cb,
+    const int32_t* levels_cr, int32_t hc, int32_t wc, int32_t max_merge,
+    const int32_t* init_states, uint8_t* out, int64_t out_cap) {
+  Cabac e;
+  e.state.resize(g_layout.num_ctx);
+  e.mps.resize(g_layout.num_ctx);
+  for (int i = 0; i < g_layout.num_ctx; i++) {
+    e.state[i] = (uint8_t)init_states[2 * i];
+    e.mps[i] = (uint8_t)init_states[2 * i + 1];
+  }
+  ScanTabs t16, t8;
+  build_diag_scans(4, &t16);
+  build_diag_scans(3, &t8);
+
+  for (int cy = 0; cy < hc; cy++) {
+    for (int cx = 0; cx < wc; cx++) {
+      int idx = cy * wc + cx;
+      int kind = kinds[idx];
+      int left_skip = cx > 0 ? (kinds[idx - 1] == 0) : 0;
+      int above_skip = cy > 0 ? (kinds[idx - wc] == 0) : 0;
+      e.encode_bin(g_layout2.cu_skip + left_skip + above_skip,
+                   kind == 0 ? 1 : 0);
+      if (kind == 0) {
+        encode_merge_idx(e, merge_idx[idx], max_merge);
+      } else {
+        const int32_t* ly = levels_y + (int64_t)idx * 256;
+        const int32_t* lcb = levels_cb + (int64_t)idx * 64;
+        const int32_t* lcr = levels_cr + (int64_t)idx * 64;
+        int cbf_y = 0, cbf_cb = 0, cbf_cr = 0;
+        for (int k = 0; k < 256 && !cbf_y; k++) cbf_y = ly[k] != 0;
+        for (int k = 0; k < 64 && !cbf_cb; k++) cbf_cb = lcb[k] != 0;
+        for (int k = 0; k < 64 && !cbf_cr; k++) cbf_cr = lcr[k] != 0;
+        int intra = kind == 2;
+        e.encode_bin(g_layout2.pred_mode, intra);
+        e.encode_bin(g_layout.part_mode, 1);
+        if (intra) {
+          int cand_a = 1;
+          if (cx > 0 && kinds[idx - 1] == 2) cand_a = modes[idx - 1];
+          encode_intra_in_inter(e, modes[idx], cand_a, cbf_y, cbf_cb,
+                                cbf_cr, ly, lcb, lcr, t16, t8);
+        } else {
+          e.encode_bin(g_layout2.merge_flag, 0);
+          int d = inter_dir[idx];
+          // inter_pred_idc: bin0 ctx CtDepth(0): BI; else bin1 ctx 4
+          e.encode_bin(g_layout2.inter_dir + 0, d == 3 ? 1 : 0);
+          if (d != 3) e.encode_bin(g_layout2.inter_dir + 4,
+                                   d == 2 ? 1 : 0);
+          if (d != 2) {                     // uses L0
+            encode_mvd(e, mvd0[idx * 2], mvd0[idx * 2 + 1]);
+            e.encode_bin(g_layout2.mvp, mvp0[idx]);
+          }
+          if (d != 1) {                     // uses L1
+            encode_mvd(e, mvd1[idx * 2], mvd1[idx * 2 + 1]);
+            e.encode_bin(g_layout2.mvp, mvp1[idx]);
+          }
           int root = (cbf_y || cbf_cb || cbf_cr) ? 1 : 0;
           e.encode_bin(g_layout2.root_cbf, root);
           if (root) {
