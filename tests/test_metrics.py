@@ -51,3 +51,32 @@ def test_aud_and_eos_nals():
     assert stream[-2] == (36 << 1)   # EOS nal header, empty rbsp
     dec = decode_stream(stream)     # decoder skips AUD/EOS
     assert len(dec) == 1
+
+
+def test_qpfile_forces_type_and_qp(tmp_path):
+    from x265amod_tpu.verify.decoder import decode_stream
+    rng = np.random.default_rng(9)
+    w, h, n = 64, 48, 6
+    frames = []
+    for t in range(n):
+        y = (128 + 40 * np.sin((np.arange(w)[None, :] + 2 * t) / 5.0)
+             + rng.normal(0, 4, (h, w))).clip(0, 255).astype(np.uint8)
+        frames.append((y, np.full((h // 2, w // 2), 100, np.uint8),
+                       np.full((h // 2, w // 2), 150, np.uint8)))
+    qpf = tmp_path / "qp.txt"
+    qpf.write_text("3 I 40\n5 P 24\n")
+    p = Param(width=w, height=h, qp=30, keyint=250, bframes=2,
+              qpfile=str(qpf))
+    enc = Encoder(p)
+    outs, stream = [], b""
+    for fr in frames:
+        for o in enc.encode_push(*fr):
+            outs.append(o)
+            stream += o.nals
+    for o in enc.flush():
+        outs.append(o)
+        stream += o.nals
+    info = {o.stats.display_order: o.stats for o in outs}
+    assert info[3].slice_type == "I" and info[3].qp == 40
+    assert info[5].slice_type == "P" and info[5].qp == 24
+    assert len(decode_stream(stream)) == n

@@ -160,6 +160,18 @@ class Encoder:
         self._qp_off = {}          # display idx -> per-CTU qp offsets
         self._scenecut_of = {}     # display idx -> scene-cut flag
         self._close_of = {}        # display idx -> b-adapt GOP close
+        # qpfile: forced frame types / QPs (reference rc.qpfile,
+        # x265cli 'qpfile' option: lines of "<frame> <type> <qp>")
+        self._qpfile = {}
+        if param.qpfile:
+            with open(param.qpfile) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        fn = int(parts[0])
+                        ftype = parts[1].upper()
+                        fqp = int(parts[2]) if len(parts) > 2 else -1
+                        self._qpfile[fn] = (ftype, fqp)
 
     def headers(self) -> bytes:
         out = (wrap_nal(NAL_VPS, write_vps(self.sps))
@@ -286,6 +298,12 @@ class Encoder:
                close_gop: bool = False) -> list[dict]:
         """GOP admission of one analysed display frame."""
         d = self._disp_idx
+        forced = self._qpfile.get(d)
+        if forced is not None:
+            if forced[0] in ("I", "K"):
+                scenecut = True        # forced keyframe
+            elif forced[0] == "P":
+                close_gop = True       # forced anchor: close open GOP
         self._scenecut_of[d] = bool(scenecut)
         self._close_of[d] = bool(close_gop)
         self._disp_idx += 1
@@ -334,21 +352,26 @@ class Encoder:
         stype = e["stype"]
         poc = e["poc"]
         qp_off = e.get("qp_off")
+        forced = self._qpfile.get(e.get("display", -1))
+        forced_qp = forced[1] if (forced and forced[1] >= 0) else None
         if stype == "I":
             self._dpb = {}            # new CVS: POC numbering restarts
-            qp = self.rc.frame_qp("I")
+            qp = forced_qp if forced_qp is not None \
+                else self.rc.frame_qp("I")
             dev = self.frame_encoder.encode_async(
                 yp, cbp, crp, qp, want_recon=True, qp_offsets=qp_off)
             if self.inter_enabled:
                 self._dpb[poc] = dev[5:8]
         elif stype == "P":
-            qp = self.rc.frame_qp("P")
+            qp = forced_qp if forced_qp is not None \
+                else self.rc.frame_qp("P")
             dev = self.inter_encoder.encode_async(
                 yp, cbp, crp, self._dpb[e["ref0"]], qp,
                 want_recon=return_recon, qp_offsets=qp_off)
             self._dpb[poc] = dev[9:12]
         else:
-            qp = self.rc.frame_qp("B" if e["is_ref"] else "b")
+            qp = forced_qp if forced_qp is not None \
+                else self.rc.frame_qp("B" if e["is_ref"] else "b")
             dsf0 = dist_scale_factor(poc, e["ref0"], e["ref1"])
             dsf1 = dist_scale_factor(poc, e["ref1"], e["ref0"])
             dev = self.b_encoder.encode_async(

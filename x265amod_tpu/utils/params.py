@@ -89,6 +89,7 @@ class Param:
     analysis_save: str = ""           # --analysis-save <file>
     analysis_load: str = ""           # --analysis-load <file>
     analysis_reuse_level: int = 10    # --analysis-reuse-level
+    qpfile: str = ""                  # --qpfile (forced types/QPs)
     # --- loop filters ---
     deblock: bool = False             # v1: off (PPS-disabled, conformant)
     deblock_tc_offset: int = 0
@@ -230,6 +231,7 @@ def param_parse(p: Param, name: str, value: str | None = None) -> None:
         "analysis-save": "analysis_save",
         "analysis-load": "analysis_load",
         "analysis-reuse-level": "analysis_reuse_level",
+        "qpfile": "qpfile",
     }
     if name == "max-cll":
         cll, fall = value.split(",")
