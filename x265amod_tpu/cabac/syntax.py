@@ -607,3 +607,119 @@ def decode_sao_luma(d, left_avail: bool, up_avail: bool):
         offsets[2] = -offsets[2]             # cat 3/4 inferred negative
         offsets[3] = -offsets[3]
     return type_idx, eo_class, band_pos, offsets
+
+
+def _sao_offsets_abs(enc: CabacEncoder, offsets) -> None:
+    for k in range(4):
+        a = abs(int(offsets[k]))
+        for _ in range(a):
+            enc.encode_bypass(1)
+        if a < 7:                            # TR cMax = 7 (8-bit)
+            enc.encode_bypass(0)
+
+
+def _sao_bo_tail(enc: CabacEncoder, offsets, band_pos: int) -> None:
+    for k in range(4):
+        if offsets[k]:
+            enc.encode_bypass(1 if offsets[k] < 0 else 0)
+    enc.encode_bypass_bins(band_pos, 5)
+
+
+def encode_sao_ctu(enc: CabacEncoder, luma, chroma, left_avail: bool,
+                   up_avail: bool) -> None:
+    """Full per-CTU SAO syntax (spec 7.3.8.3): luma section then the
+    chroma section with shared type/EO-class and per-component
+    offsets/band positions.  luma = (type, eo_class, band_pos,
+    offsets[4]) or None; chroma = (type, eo_class, bp_cb, off_cb,
+    bp_cr, off_cr) or None.  Merge flags coded as 0 (explicit params).
+    """
+    if left_avail:
+        enc.encode_bin(CTX_SAO_MERGE, 0)
+    if up_avail:
+        enc.encode_bin(CTX_SAO_MERGE, 0)
+    if luma is not None:
+        t, eo, bp, offs = luma
+        enc.encode_bin(CTX_SAO_TYPE, 1 if t else 0)
+        if t:
+            enc.encode_bypass(1 if t == 2 else 0)
+            _sao_offsets_abs(enc, offs)
+            if t == 1:
+                _sao_bo_tail(enc, offs, bp)
+            else:
+                enc.encode_bypass_bins(eo, 2)
+    if chroma is not None:
+        t, eo, bp_cb, off_cb, bp_cr, off_cr = chroma
+        # sao_type_idx_chroma shares the sao_type_idx context (9.3.4.2)
+        enc.encode_bin(CTX_SAO_TYPE, 1 if t else 0)
+        if t:
+            enc.encode_bypass(1 if t == 2 else 0)
+            _sao_offsets_abs(enc, off_cb)
+            if t == 1:
+                _sao_bo_tail(enc, off_cb, bp_cb)
+            else:
+                enc.encode_bypass_bins(eo, 2)
+            _sao_offsets_abs(enc, off_cr)
+            if t == 1:
+                _sao_bo_tail(enc, off_cr, bp_cr)
+
+
+def _decode_sao_offsets_abs(d):
+    offs = [0, 0, 0, 0]
+    for k in range(4):
+        a = 0
+        while a < 7 and d.decode_bypass():
+            a += 1
+        offs[k] = a
+    return offs
+
+
+def _decode_sao_bo_tail(d, offs):
+    for k in range(4):
+        if offs[k] and d.decode_bypass():
+            offs[k] = -offs[k]
+    return d.decode_bypass_bins(5)
+
+
+def decode_sao_ctu(d, has_luma: bool, has_chroma: bool,
+                   left_avail: bool, up_avail: bool):
+    """Decoder twin; returns (luma, chroma) tuples as encode_sao_ctu
+    takes (None for disabled components)."""
+    if left_avail:
+        assert d.decode_bin(CTX_SAO_MERGE) == 0, "sao merge unsupported"
+    if up_avail:
+        assert d.decode_bin(CTX_SAO_MERGE) == 0, "sao merge unsupported"
+    luma = chroma = None
+    if has_luma:
+        t = eo = bp = 0
+        offs = [0, 0, 0, 0]
+        if d.decode_bin(CTX_SAO_TYPE):
+            t = 2 if d.decode_bypass() else 1
+            offs = _decode_sao_offsets_abs(d)
+            if t == 1:
+                bp = _decode_sao_bo_tail(d, offs)
+            else:
+                eo = d.decode_bypass_bins(2)
+                offs[2] = -offs[2]
+                offs[3] = -offs[3]
+        luma = (t, eo, bp, offs)
+    if has_chroma:
+        t = eo = bp_cb = bp_cr = 0
+        off_cb = [0, 0, 0, 0]
+        off_cr = [0, 0, 0, 0]
+        if d.decode_bin(CTX_SAO_TYPE):
+            t = 2 if d.decode_bypass() else 1
+            off_cb = _decode_sao_offsets_abs(d)
+            if t == 1:
+                bp_cb = _decode_sao_bo_tail(d, off_cb)
+            else:
+                eo = d.decode_bypass_bins(2)
+                off_cb[2] = -off_cb[2]
+                off_cb[3] = -off_cb[3]
+            off_cr = _decode_sao_offsets_abs(d)
+            if t == 1:
+                bp_cr = _decode_sao_bo_tail(d, off_cr)
+            else:
+                off_cr[2] = -off_cr[2]
+                off_cr[3] = -off_cr[3]
+        chroma = (t, eo, bp_cb, off_cb, bp_cr, off_cr)
+    return luma, chroma

@@ -483,7 +483,8 @@ class Encoder:
             "B" if slice_type == "B" else slice_type, qp, nal_type,
             poc=poc, rps_neg=e.get("rps_neg"), rps_pos=e.get("rps_pos"),
             max_merge=MAX_MERGE, sao_luma=self.param.sao,
-            sao_chroma=False, num_entry_points=len(entry_offs),
+            sao_chroma=self.param.sao,
+            num_entry_points=len(entry_offs),
             entry_point_offsets=entry_offs or None)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
@@ -572,13 +573,17 @@ class Encoder:
     def _sao_ctu(self, enc, res, cy, cx):
         if res.sao_type is None:
             return
-        from ..cabac.syntax import encode_sao_luma
+        from ..cabac.syntax import encode_sao_ctu
         wc = self.pad_w // 16
         k = cy * wc + cx
-        encode_sao_luma(enc, int(res.sao_type[k]),
-                        int(res.sao_eo_class[k]),
-                        int(res.sao_band_pos[k]), res.sao_offsets[k],
-                        cx > 0, cy > 0)
+        luma = (int(res.sao_type[k]), int(res.sao_eo_class[k]),
+                int(res.sao_band_pos[k]), res.sao_offsets[k])
+        chroma = None
+        if res.sao_c is not None:
+            ty, cls, bcb, ocb, bcr, ocr = res.sao_c
+            chroma = (int(ty[k]), int(cls[k]), int(bcb[k]), ocb[k],
+                      int(bcr[k]), ocr[k])
+        encode_sao_ctu(enc, luma, chroma, cx > 0, cy > 0)
 
     def _encode_slice_payload(self, slice_type, qp, hc, wc, ctu_fn):
         """Drives the per-CTU syntax callback over the slice.

@@ -65,6 +65,7 @@ class InterFrameResult:
     sao_eo_class: np.ndarray | None = None
     sao_band_pos: np.ndarray | None = None
     sao_offsets: np.ndarray | None = None
+    sao_c: tuple | None = None
 
 
 def _rbits_proxy(levels):
@@ -459,11 +460,17 @@ class InterFrameEncoder:
             rec_cr = deblock_chroma_bs(rec_cr, qpc_blk[0], bs_v, bs_h)
         sao_out = ()
         if self.sao:
-            from ..ops.sao import sao_analyse, sao_apply
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
             s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
                 y, rec_y, lam_blk, 16)
             rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
-            sao_out = (s_ty, s_cls, s_bp, s_off)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr, lam_blk, 8)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 8)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 8)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
         from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
@@ -509,6 +516,8 @@ class InterFrameEncoder:
             res.recon_cb = np.asarray(outs[10])
             res.recon_cr = np.asarray(outs[11])
         if self.sao:
+            arrs = [np.asarray(a) for a in outs[12:22]]
             res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                res.sao_offsets = [np.asarray(a) for a in outs[12:16]]
+                res.sao_offsets = arrs[:4]
+            res.sao_c = tuple(arrs[4:10])
         return res

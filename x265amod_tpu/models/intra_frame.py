@@ -64,6 +64,8 @@ class FrameResult:
     sao_eo_class: np.ndarray | None = None
     sao_band_pos: np.ndarray | None = None
     sao_offsets: np.ndarray | None = None
+    # chroma SAO (type/class shared by cb+cr per spec)
+    sao_c: tuple | None = None   # (ty, cls, bp_cb, off_cb, bp_cr, off_cr)
 
 
 class IntraFrameEncoder:
@@ -238,11 +240,17 @@ class IntraFrameEncoder:
             rec_cr = deblock_chroma(rec_cr, qpcr_map[0, 0])
         sao_out = ()
         if self.sao:
-            from ..ops.sao import sao_analyse, sao_apply
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
             s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
                 y, rec_y, lam_map.reshape(-1), 16)
             rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 16)
-            sao_out = (s_ty, s_cls, s_bp, s_off)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr, lam_map.reshape(-1), 8)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 8)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 8)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
 
         # pack scan outputs to dense raster order on device (one static
         # take — outside the loop, so it compiles to an efficient slice
@@ -321,8 +329,10 @@ class IntraFrameEncoder:
             res.recon_cr = np.asarray(rest[2])
             rest = rest[3:]
         if self.sao:
+            arrs = [np.asarray(a) for a in rest]
             res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                res.sao_offsets = [np.asarray(a) for a in rest]
+                res.sao_offsets = arrs[:4]
+            res.sao_c = tuple(arrs[4:10])
         return res
 
     def encode(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

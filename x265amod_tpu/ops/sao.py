@@ -251,3 +251,86 @@ def sao_apply_np(rec: np.ndarray, type_idx: np.ndarray,
     off = np.where(t_pix == 2, eo_off,
                    np.where(t_pix == 1, bo_off, 0))
     return np.clip(rec + off, 0, 255).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("ctu",))
+def sao_analyse_chroma(ocb: jnp.ndarray, rcb: jnp.ndarray,
+                       ocr: jnp.ndarray, rcr: jnp.ndarray, lam,
+                       ctu: int = 8):
+    """Joint chroma SAO analysis (spec: cb and cr SHARE the type index
+    and EO class — sao_type_idx_chroma / sao_eo_class_chroma coded once
+    — while offsets and band positions are per component).
+
+    Returns (type_idx [n], eo_class [n],
+             band_pos_cb [n], offsets_cb [n, 4],
+             band_pos_cr [n], offsets_cr [n, 4]).
+    """
+    h, w = rcb.shape
+    hc, wc = h // ctu, w // ctu
+    n = hc * wc
+    lam_b = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (n,))
+    cand = jnp.arange(SAO_OFF_MAX + 1, dtype=jnp.float32)
+
+    def best_offset(e, cnt, sign, lam_e):
+        es = sign * e
+        d = cnt[..., None] * cand ** 2 - 2.0 * cand * es[..., None] \
+            + lam_e[..., None] * (cand + 1.0)
+        k = jnp.argmin(d, axis=-1)
+        return sign * k.astype(jnp.int32), jnp.min(d, axis=-1)
+
+    def plane_stats(orig, rec):
+        orig = orig.astype(jnp.int32)
+        rec = rec.astype(jnp.int32)
+        diff = (orig - rec).astype(jnp.float32)
+        eo_d, eo_o = [], []
+        for klass in range(4):
+            cat = _eo_cat_map(rec, klass)
+            offs_k, dist_k = [], jnp.zeros(n, jnp.float32)
+            for c in range(1, 5):
+                m = (cat == c).astype(jnp.float32)
+                e = _block_sum(diff * m, ctu).reshape(n)
+                cnt = _block_sum(m, ctu).reshape(n)
+                off, d = best_offset(e, cnt, 1 if c <= 2 else -1, lam_b)
+                offs_k.append(off)
+                dist_k += d
+            eo_d.append(dist_k)
+            eo_o.append(jnp.stack(offs_k, 1))
+        band = rec >> 3
+        onehot = jax.nn.one_hot(band, N_BANDS, dtype=jnp.float32)
+        e_b = _block_sum3(diff[..., None] * onehot, ctu) \
+            .reshape(n, N_BANDS)
+        c_b = _block_sum3(onehot, ctu).reshape(n, N_BANDS)
+        l2 = lam_b[:, None]
+        ob_p, db_p = best_offset(e_b, c_b, 1, l2)
+        ob_n, db_n = best_offset(e_b, c_b, -1, l2)
+        off_band = jnp.where(db_n < db_p, ob_n, ob_p)
+        d_band = jnp.minimum(db_p, db_n)
+        wins = jnp.stack([d_band[:, p:p + 4].sum(1)
+                          for p in range(N_BANDS - 3)], 1)
+        bo_pos = jnp.argmin(wins, 1)
+        bo_d = jnp.min(wins, 1)
+        bo_off = jnp.stack(
+            [jnp.take_along_axis(off_band, bo_pos[:, None] + k, 1)[:, 0]
+             for k in range(4)], 1)
+        return (jnp.stack(eo_d, 1), jnp.stack(eo_o, 1),
+                bo_d, bo_pos.astype(jnp.int32), bo_off)
+
+    eo_d_cb, eo_o_cb, bo_d_cb, bo_p_cb, bo_o_cb = plane_stats(ocb, rcb)
+    eo_d_cr, eo_o_cr, bo_d_cr, bo_p_cr, bo_o_cr = plane_stats(ocr, rcr)
+
+    eo_joint = eo_d_cb + eo_d_cr + lam_b[:, None] * 10.0
+    best_cls = jnp.argmin(eo_joint, 1)
+    eo_best = jnp.take_along_axis(eo_joint, best_cls[:, None], 1)[:, 0]
+    bo_joint = bo_d_cb + bo_d_cr + lam_b * 16.0
+    off_d = lam_b * 1.0
+    costs = jnp.stack([off_d, bo_joint, eo_best], 1)
+    type_idx = jnp.argmin(costs, 1).astype(jnp.int32)
+
+    def pick(eo_o, bo_o):
+        eo_sel = jnp.take_along_axis(
+            eo_o, best_cls[:, None, None], 1)[:, 0]
+        return jnp.where((type_idx == 1)[:, None], bo_o,
+                         jnp.where((type_idx == 2)[:, None], eo_sel, 0))
+    return (type_idx, best_cls.astype(jnp.int32),
+            bo_p_cb, pick(eo_o_cb, bo_o_cb).astype(jnp.int32),
+            bo_p_cr, pick(eo_o_cr, bo_o_cr).astype(jnp.int32))

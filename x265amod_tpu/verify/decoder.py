@@ -406,30 +406,51 @@ def _slice_ctu_loop(payload: bytes, slice_type: str, qp: int,
 
 class _SaoState:
     """Per-slice SAO parameter collection + normative apply
-    (spec 7.3.8.3 parse + 8.7.3 application, luma only)."""
+    (spec 7.3.8.3 parse + 8.7.3 application, luma + chroma)."""
 
-    def __init__(self, hc: int, wc: int):
+    def __init__(self, hc: int, wc: int, has_luma: bool,
+                 has_chroma: bool):
         self.hc, self.wc = hc, wc
+        self.has_luma = has_luma
+        self.has_chroma = has_chroma
         n = hc * wc
         self.type = np.zeros(n, np.int32)
         self.eo = np.zeros(n, np.int32)
         self.bp = np.zeros(n, np.int32)
         self.off = np.zeros((n, 4), np.int32)
+        self.c_type = np.zeros(n, np.int32)
+        self.c_eo = np.zeros(n, np.int32)
+        self.c_bp_cb = np.zeros(n, np.int32)
+        self.c_off_cb = np.zeros((n, 4), np.int32)
+        self.c_bp_cr = np.zeros(n, np.int32)
+        self.c_off_cr = np.zeros((n, 4), np.int32)
 
     def parse(self, d, cx: int, cy: int) -> None:
-        t, eo, bp, offs = S.decode_sao_luma(d, cx > 0, cy > 0)
+        luma, chroma = S.decode_sao_ctu(d, self.has_luma,
+                                        self.has_chroma, cx > 0, cy > 0)
         k = cy * self.wc + cx
-        self.type[k] = t
-        self.eo[k] = eo
-        self.bp[k] = bp
-        self.off[k] = offs
+        if luma is not None:
+            self.type[k], self.eo[k], self.bp[k], self.off[k] = luma
+        if chroma is not None:
+            (self.c_type[k], self.c_eo[k], self.c_bp_cb[k],
+             self.c_off_cb[k], self.c_bp_cr[k],
+             self.c_off_cr[k]) = chroma
 
-    def apply(self, y_pl: np.ndarray, pad: int, hc: int, wc: int
-              ) -> None:
+    def apply(self, y_pl: np.ndarray, pad: int, hc: int, wc: int,
+              cb_pl: np.ndarray | None = None,
+              cr_pl: np.ndarray | None = None) -> None:
         from ..ops.sao import sao_apply_np
-        region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
-        y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = sao_apply_np(
-            region, self.type, self.eo, self.bp, self.off, 16)
+        if self.has_luma:
+            region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
+            y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = sao_apply_np(
+                region, self.type, self.eo, self.bp, self.off, 16)
+        if self.has_chroma and cb_pl is not None:
+            hp = pad // 2
+            for pl, bp, off in ((cb_pl, self.c_bp_cb, self.c_off_cb),
+                                (cr_pl, self.c_bp_cr, self.c_off_cr)):
+                reg = pl[hp:hp + hc * 8, hp:hp + wc * 8]
+                pl[hp:hp + hc * 8, hp:hp + wc * 8] = sao_apply_np(
+                    reg, self.c_type, self.c_eo, bp, off, 8)
 
 
 def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
@@ -442,10 +463,10 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     assert r.read_ue() == 0            # pps id
     st = r.read_ue()
     assert st == 2, "only I slices in v1 decoder"
-    sao_luma = 0
+    sao_luma = sao_chroma = 0
     if sps.sao:
         sao_luma = r.read_flag()
-        assert r.read_flag() == 0, "sao chroma unsupported"
+        sao_chroma = r.read_flag()
     qp = pps.init_qp + r.read_se()
     entry = _parse_entry_points(r, pps)
     assert r.read_flag() == 1          # byte_alignment stop bit
@@ -462,7 +483,8 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     qp_c_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_c_cr = chroma_qp(qp, pps.cr_qp_offset)
     qpctx = {"prev": qp}
-    sao = _SaoState(hc, wc) if sao_luma else None
+    sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
+        if (sao_luma or sao_chroma) else None
 
     def ctu_fn(d, cx, cy):
         _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
@@ -482,7 +504,7 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
             cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
     if sao is not None:
-        sao.apply(y_pl, pad, hc, wc)
+        sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
@@ -931,10 +953,10 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     stale = [p for p in dpb if p not in retained]
     for p in stale:
         del dpb[p]
-    sao_luma = 0
+    sao_luma = sao_chroma = 0
     if sps.sao:
         sao_luma = r.read_flag()
-        assert r.read_flag() == 0, "sao chroma unsupported"
+        sao_chroma = r.read_flag()
     assert r.read_flag() == 0          # num_ref_idx_active_override
     if st == 0:
         assert r.read_flag() == 0      # mvd_l1_zero_flag
@@ -974,7 +996,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "cbf": np.zeros((hc, wc), np.int32),
         }
         qpctx = {"prev": qp}
-        sao = _SaoState(hc, wc) if sao_luma else None
+        sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
+            if (sao_luma or sao_chroma) else None
 
         def ctu_fn(d, cx, cy):
             _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc,
@@ -997,7 +1020,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "cbf": np.zeros((hc, wc), np.int32),
         }
         qpctx = {"prev": qp}
-        sao = _SaoState(hc, wc) if sao_luma else None
+        sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
+            if (sao_luma or sao_chroma) else None
 
         def ctu_fn(d, cx, cy):
             _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
@@ -1029,7 +1053,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             pl[hp:hp + hc * 8, hp:hp + wc * 8] = \
                 deblock_chroma_bs_np(reg, qpc, bs_v, bs_h)
     if sao is not None:
-        sao.apply(y_pl, pad, hc, wc)
+        sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
