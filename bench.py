@@ -38,22 +38,24 @@ def main():
     from x265amod_tpu.models.encoder import Encoder
     from x265amod_tpu.utils.params import param_default_preset
 
-    w, h, nf = 640, 360, 8
+    w, h, nf, warm = 640, 360, 40, 8
     p = param_default_preset("ultrafast")
     p.width, p.height = w, h
     p.qp = 30
     p.keyint = 1
+    p.ctu_size = 32              # CU-quadtree pipeline (round-2 default)
     enc = Encoder(p)
     frames = synth_frames(w, h, nf)
 
-    # warmup (jit compile) on first frame
-    enc.encode_frame(*frames[0])
+    # warmup: one full batch group (compiles the vmapped batch step)
+    for _ in enc.encode_pipelined(frames[:warm]):
+        pass
     t0 = time.time()
     bits = 0
-    for out in enc.encode_pipelined(frames[1:]):
+    for out in enc.encode_pipelined(frames[warm:]):
         bits += out.stats.bits
     dt = time.time() - t0
-    fps = (nf - 1) / dt
+    fps = (nf - warm) / dt
     s = enc.summary()
     sys.stderr.write(
         f"bench: {nf - 1} frames 640x360 all-intra QP30: {fps:.3f} fps, "

@@ -300,6 +300,86 @@ def _write_remaining(enc: CabacEncoder, value: int, rice: int) -> None:
                                length + rice)
 
 
+# ---- CU-quadtree syntax (CTU32, depth-1 tree) -------------------------------
+
+def encode_split_cu(enc: CabacEncoder, split: int, depth_left: int,
+                    depth_above: int, avail_l: bool,
+                    avail_a: bool) -> None:
+    """split_cu_flag (spec 7.3.8.4; ctxInc 9.3.4.2.2: one increment per
+    available neighbor whose CtDepth exceeds the current depth —
+    evaluated here at cqtDepth == 0)."""
+    ctx = (1 if (avail_l and depth_left > 0) else 0) + \
+        (1 if (avail_a and depth_above > 0) else 0)
+    enc.encode_bin(CTX_SPLIT_CU + ctx, split)
+
+
+def decode_split_cu(d, depth_left: int, depth_above: int, avail_l: bool,
+                    avail_a: bool) -> int:
+    ctx = (1 if (avail_l and depth_left > 0) else 0) + \
+        (1 if (avail_a and depth_above > 0) else 0)
+    return d.decode_bin(CTX_SPLIT_CU + ctx)
+
+
+def _encode_intra_luma_mode(enc: CabacEncoder, mode: int,
+                            mpms: list[int]) -> None:
+    """prev_intra_luma_pred_flag + mpm_idx / rem_intra_luma_pred_mode."""
+    if mode in mpms:
+        enc.encode_bin(CTX_PREV_INTRA, 1)
+        idx = mpms.index(mode)
+        enc.encode_bypass(1 if idx else 0)
+        if idx:
+            enc.encode_bypass(idx - 1)
+    else:
+        enc.encode_bin(CTX_PREV_INTRA, 0)
+        rem = mode
+        for m in sorted(mpms, reverse=True):
+            if rem > m:
+                rem -= 1
+        enc.encode_bypass_bins(rem, 5)
+
+
+def encode_intra_cu(enc: CabacEncoder, log2_size: int, luma_mode: int,
+                    luma_levels: np.ndarray, cb_levels: np.ndarray,
+                    cr_levels: np.ndarray, cand_a: int, cand_b: int,
+                    qp_delta: int | None = None,
+                    min_cb_log2: int = 4,
+                    tq_bypass: int | None = None) -> None:
+    """One intra CU of size 16 or 32 inside a quadtree (split flag coded
+    by the caller): part_mode (only at min CB size), luma mode (MPM),
+    DM chroma, transform tree with TU == CU luma + half-size chroma.
+    Spec 7.3.8.5; reference behavior: entropy.cpp encodeCU."""
+    if tq_bypass is not None:
+        enc.encode_bin(CTX_TQ_BYPASS, tq_bypass)
+    if log2_size == min_cb_log2:
+        enc.encode_bin(CTX_PART_MODE, 1)    # PART_2Nx2N
+    _encode_intra_luma_mode(enc, luma_mode, mpm_list(cand_a, cand_b))
+    enc.encode_bin(CTX_CHROMA_PRED, 0)      # DM chroma
+    cbf_cb = int(cb_levels.any())
+    cbf_cr = int(cr_levels.any())
+    cbf_y = int(luma_levels.any())
+    enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cb)
+    enc.encode_bin(CTX_QT_CBF_CHROMA + 0, cbf_cr)
+    enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)   # trafoDepth==0 -> ctx 1
+    if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+        encode_cu_qp_delta(enc, qp_delta)
+    if cbf_y:
+        residual_coding(enc, luma_levels, log2_size, 0, 0)
+    if cbf_cb:
+        residual_coding(enc, cb_levels, log2_size - 1, 1, 0)
+    if cbf_cr:
+        residual_coding(enc, cr_levels, log2_size - 1, 2, 0)
+
+
+def assemble_tu32(cells: np.ndarray, by: int, bx: int,
+                  n: int = 16) -> np.ndarray:
+    """Assemble a 2n x 2n coefficient (or level) array from the four
+    quadrant cells at [by..by+1, bx..bx+1] of a 16-grid array."""
+    top = np.concatenate([cells[by, bx], cells[by, bx + 1]], axis=1)
+    bot = np.concatenate([cells[by + 1, bx], cells[by + 1, bx + 1]],
+                         axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
 # ---- CU-level syntax (v1: 16x16 intra CU) ----------------------------------
 
 def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,

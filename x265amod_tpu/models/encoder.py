@@ -23,8 +23,9 @@ from ..bitstream.nal import (NAL_AUD, NAL_EOS, NAL_IDR_W_RADL,
                              NAL_TRAIL_N, NAL_TRAIL_R, wrap_nal,
                              NAL_PPS, NAL_SPS, NAL_VPS)
 from ..cabac.engine import CabacEncoder
-from ..cabac.syntax import (encode_b_ctu16, encode_inter_ctu16,
-                            encode_intra_ctu16)
+from ..cabac.syntax import (assemble_tu32, encode_b_ctu16,
+                            encode_inter_ctu16, encode_intra_cu,
+                            encode_intra_ctu16, encode_split_cu)
 from ..utils.params import Param, check_params
 from .b_frame import BFrameEncoder
 from .intra_frame import IntraFrameEncoder
@@ -71,11 +72,19 @@ class Encoder:
         check_params(param)
         self.param = param
         w, h = param.width, param.height
-        ctu = 16  # v1 pipeline CTU size
+        self.inter_enabled = param.keyint != 1
+        # CU quadtree (CTU32, depth-1) is the default pipeline; the flat
+        # CTU16 pipeline remains for lossless (per-CU transquant bypass
+        # at 16 keeps recon == source everywhere) and explicit --ctu 16
+        self.use_tree = (param.ctu_size >= 32 and not param.lossless
+                         and not self.inter_enabled)
+        if param.ctu_size >= 32 and not self.use_tree:
+            param.ctu_size = 16
+        ctu = 32 if self.use_tree else 16
+        self.ctu = ctu
         self.pad_w = -(-w // ctu) * ctu
         self.pad_h = -(-h // ctu) * ctu
         fps = param.fps_num / max(param.fps_den, 1)
-        self.inter_enabled = param.keyint != 1
         self.sps = SpsInfo(
             width=self.pad_w, height=self.pad_h,
             conf_win_right=(self.pad_w - w) // 2,
@@ -84,6 +93,10 @@ class Encoder:
             level_idc=determine_level(self.pad_w, self.pad_h, fps),
             num_negative_ref=1 if self.inter_enabled else 0,
             sao_enabled=param.sao)
+        if self.use_tree:
+            self.sps.log2_ctb_size = 5
+            self.sps.log2_min_cb_size = 4
+            self.sps.log2_max_tb_size = 5
         self.use_lookahead = (param.aq_mode > 0 or param.cutree) and \
             self.inter_enabled or (param.aq_mode > 0 and
                                    not self.inter_enabled)
@@ -110,6 +123,8 @@ class Encoder:
                            tc_offset_div2=param.deblock_tc_offset,
                            cu_qp_delta_enabled=self.use_lookahead
                            or self._loaded_qpoff,
+                           diff_cu_qp_delta_depth=1 if self.use_tree
+                           else 0,
                            entropy_coding_sync=param.wpp,
                            transquant_bypass=param.lossless)
         if param.lossless:
@@ -132,10 +147,15 @@ class Encoder:
             depth = max(1, math.ceil(math.log2(self.bframes + 1)))
             self.sps.max_num_reorder = depth
             self.sps.max_dec_buffering = depth + 2
-        self.frame_encoder = IntraFrameEncoder(self.pad_w, self.pad_h,
-                                               deblock=param.deblock,
-                                               sao=param.sao,
-                                               lossless=param.lossless)
+        if self.use_tree:
+            from .intra_tree import IntraTreeEncoder
+            self.frame_encoder = IntraTreeEncoder(
+                self.pad_w, self.pad_h, deblock=param.deblock,
+                sao=param.sao)
+        else:
+            self.frame_encoder = IntraFrameEncoder(
+                self.pad_w, self.pad_h, deblock=param.deblock,
+                sao=param.sao, lossless=param.lossless)
         self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h,
                                                sao=param.sao,
                                                deblock=param.deblock) \
@@ -268,9 +288,9 @@ class Encoder:
     def _push_display_frame(self, y, cb, cr) -> list[dict]:
         """Buffer one display-order frame through the lookahead (when
         enabled); returns plan entries ready to dispatch."""
-        yp = _pad_to_ctu(np.asarray(y), 16)
-        cbp = _pad_to_ctu(np.asarray(cb), 8)
-        crp = _pad_to_ctu(np.asarray(cr), 8)
+        yp = _pad_to_ctu(np.asarray(y), self.ctu)
+        cbp = _pad_to_ctu(np.asarray(cb), self.ctu // 2)
+        crp = _pad_to_ctu(np.asarray(cr), self.ctu // 2)
         if self._areader is not None:
             rec = self._areader.frame(self._disp_idx)
             return self._admit(yp, cbp, crp, rec.is_scenecut,
@@ -354,14 +374,19 @@ class Encoder:
         qp_off = e.get("qp_off")
         forced = self._qpfile.get(e.get("display", -1))
         forced_qp = forced[1] if (forced and forced[1] >= 0) else None
+        collect_recon = return_recon
         if stype == "I":
             self._dpb = {}            # new CVS: POC numbering restarts
             qp = forced_qp if forced_qp is not None \
                 else self.rc.frame_qp("I")
+            # recon outputs are materialized whenever the frame seeds
+            # the DPB, and collect() must slice accordingly
+            collect_recon = return_recon or self.inter_enabled
             dev = self.frame_encoder.encode_async(
-                yp, cbp, crp, qp, want_recon=True, qp_offsets=qp_off)
+                yp, cbp, crp, qp, want_recon=collect_recon,
+                qp_offsets=qp_off)
             if self.inter_enabled:
-                self._dpb[poc] = dev[5:8]
+                self._dpb[poc] = dev[6:9] if self.use_tree else dev[5:8]
         elif stype == "P":
             qp = forced_qp if forced_qp is not None \
                 else self.rc.frame_qp("P")
@@ -394,7 +419,8 @@ class Encoder:
                 self._dpb = {p: v for p, v in self._dpb.items()
                              if p == anchor}
         return dict(entry=e, dev=dev, t0=t0, qp=qp,
-                    return_recon=return_recon)
+                    return_recon=return_recon,
+                    collect_recon=collect_recon)
 
     # -- frame pipeline ------------------------------------------------
 
@@ -403,7 +429,18 @@ class Encoder:
         reference's frame threading, `doc/reST/threading.rst:123-215`).
         Dispatches device work in decode order; B-frame data
         dependencies resolve through XLA's async queue, not host sync.
-        NALs are yielded in decode order (standard for B streams)."""
+        NALs are yielded in decode order (standard for B streams).
+
+        All-intra CQP without per-frame feedback takes the batched
+        fast path: F frames per vmapped device step + threaded native
+        CABAC (frame independence replaces frame threads)."""
+        if (self.use_tree and not self.inter_enabled
+                and not self.use_lookahead and self._areader is None
+                and not self._qpfile and not return_recon
+                and not self.param.decoded_picture_hash
+                and self.rc.mode == "cqp"):
+            yield from self._encode_intra_batched(frames)
+            return
         from collections import deque
         q = deque()
         for fr in frames:
@@ -415,6 +452,101 @@ class Encoder:
             q.append(self._dispatch_entry(e, return_recon))
         while q:
             yield self._finish(q.popleft())
+
+    BATCH_FRAMES = 8
+
+    def _encode_intra_batched(self, frames):
+        """Batched all-intra pipeline: groups of BATCH_FRAMES frames per
+        device dispatch (one jit, compiled once — tail groups pad by
+        repeating the last frame), two groups in flight, host CABAC
+        fanned out over a thread pool (the ctypes native serializer
+        releases the GIL)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        bsz = self.BATCH_FRAMES
+        fe = self.frame_encoder
+        pool = ThreadPoolExecutor(max_workers=4)
+        pending = deque()      # (dev_outs, qp, n_real)
+
+        def dispatch(buf):
+            n_real = len(buf)
+            while len(buf) < bsz:
+                buf.append(buf[-1])
+            qp = self.rc.frame_qp("I")
+            ys = np.stack([f[0] for f in buf])
+            cbs = np.stack([f[1] for f in buf])
+            crs = np.stack([f[2] for f in buf])
+            return (fe.encode_batch_async(ys, cbs, crs, qp), qp, n_real,
+                    time.time())
+
+        def finish_group(group):
+            dev, qp, n_real, t0 = group
+            results = fe.collect_batch(dev)[:n_real]
+            payloads = list(pool.map(
+                lambda r: self._cabac_intra(r, qp, None), results))
+            outs = []
+            for res, (payload, entry_offs) in zip(results, payloads):
+                outs.append(self._assemble_intra_nal(
+                    res, qp, payload, entry_offs, t0))
+            return outs
+
+        buf = []
+        for fr in frames:
+            yp = _pad_to_ctu(np.asarray(fr[0]), self.ctu)
+            cbp = _pad_to_ctu(np.asarray(fr[1]), self.ctu // 2)
+            crp = _pad_to_ctu(np.asarray(fr[2]), self.ctu // 2)
+            buf.append((yp, cbp, crp))
+            if len(buf) == bsz:
+                pending.append(dispatch(buf))
+                buf = []
+                while len(pending) > 1:
+                    yield from finish_group(pending.popleft())
+        if buf:
+            pending.append(dispatch(buf))
+        while pending:
+            yield from finish_group(pending.popleft())
+
+    def _assemble_intra_nal(self, res, qp, payload, entry_offs,
+                            t0) -> EncodeOutput:
+        """NAL assembly + stats for one batched intra frame (the tail
+        of _finish for the fast path)."""
+        nal_type = NAL_IDR_W_RADL
+        bw = write_slice_header(
+            self.sps, self.pps, "I", qp, nal_type, poc=0,
+            rps_neg=None, rps_pos=None, max_merge=MAX_MERGE,
+            sao_luma=self.param.sao, sao_chroma=self.param.sao,
+            num_entry_points=len(entry_offs),
+            entry_point_offsets=entry_offs or None)
+        bw.append_bytes(payload)
+        nal = wrap_nal(nal_type, bw.data())
+        if self.param.aud:
+            from ..bitstream.bitio import BitWriter
+            audw = BitWriter()
+            audw.write(0, 3)
+            audw.rbsp_trailing_bits()
+            nal = wrap_nal(NAL_AUD, audw.data()) + nal
+        if self.param.repeat_headers or not self._emitted_headers:
+            nal = self.headers() + nal
+            self._emitted_headers = True
+
+        def sse_psnr(sse, npix):
+            mse = sse / max(npix, 1)
+            return 99.99 if mse <= 0 else float(
+                10.0 * np.log10(255.0 * 255.0 / mse))
+        npix_y = self.pad_w * self.pad_h
+        stats = FrameStats(
+            poc=0, slice_type="I", qp=qp, bits=len(nal) * 8,
+            psnr_y=sse_psnr(float(res.sse[0]), npix_y),
+            psnr_cb=sse_psnr(float(res.sse[1]), npix_y // 4),
+            psnr_cr=sse_psnr(float(res.sse[2]), npix_y // 4),
+            enc_time=time.time() - t0,
+            display_order=self._disp_idx,
+            ssim_y=float(res.sse[3]) if len(res.sse) > 3 else 0.0)
+        self._disp_idx += 1
+        self.frame_stats.append(stats)
+        self.total_bits += stats.bits
+        self.rc.update(stats.bits, "I", qp)
+        return EncodeOutput(nal, stats, None)
 
     def encode_push(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     return_recon: bool = False) -> list[EncodeOutput]:
@@ -458,23 +590,24 @@ class Encoder:
         t0 = pending["t0"]
         qp = pending["qp"]
         return_recon = pending["return_recon"]
+        collect_recon = pending.get("collect_recon", return_recon)
         slice_type = e["stype"]
         poc = e["poc"]
         w, h = self.param.width, self.param.height
         qp_map = e.get("qp_map")
         if slice_type == "I":
             res = self.frame_encoder.collect(dev_out,
-                                             want_recon=return_recon)
+                                             want_recon=collect_recon)
             payload, entry_offs = self._cabac_intra(res, qp, qp_map)
             nal_type = NAL_IDR_W_RADL
         elif slice_type == "P":
             res = self.inter_encoder.collect(dev_out,
-                                             want_recon=return_recon)
+                                             want_recon=collect_recon)
             payload, entry_offs = self._cabac_inter(res, qp, qp_map)
             nal_type = NAL_TRAIL_R
         else:
             res = self.b_encoder.collect(dev_out,
-                                         want_recon=return_recon)
+                                         want_recon=collect_recon)
             payload, entry_offs = self._cabac_b(res, qp, qp_map)
             nal_type = NAL_TRAIL_R if e["is_ref"] else NAL_TRAIL_N
 
@@ -574,7 +707,7 @@ class Encoder:
         if res.sao_type is None:
             return
         from ..cabac.syntax import encode_sao_ctu
-        wc = self.pad_w // 16
+        wc = self.pad_w // self.ctu
         k = cy * wc + cx
         luma = (int(res.sao_type[k]), int(res.sao_eo_class[k]),
                 int(res.sao_band_pos[k]), res.sao_offsets[k])
@@ -623,16 +756,142 @@ class Encoder:
             subs.append(enc.finish())
         return b"".join(subs), [len(s) for s in subs[:-1]]
 
+    def _qp_deltas_tree(self, res, qp, qp_map):
+        """Per-CU cu_qp_delta values for the CTU32 quadtree in decode
+        order (CTU raster, z-scan CUs; spec 8.6.1 with QG = 16).
+        Returns {(by, bx) of CU head cell: delta}."""
+        from .intra_tree import qp32_of
+        qp32 = qp32_of(qp_map)
+        hc32, wc32 = res.split.shape
+        wpp = self.pps.entropy_coding_sync
+        deltas = {}
+        prev = qp
+        for cy in range(hc32):
+            if wpp:
+                prev = qp            # qPY_PREV resets per CTU row
+            for cx in range(wc32):
+                by, bx = 2 * cy, 2 * cx
+                if res.split[cy, cx]:
+                    for q in range(4):
+                        yq, xq = by + (q >> 1), bx + (q & 1)
+                        coded = res.levels_y[yq, xq].any() or \
+                            res.levels_cb[yq, xq].any() or \
+                            res.levels_cr[yq, xq].any()
+                        if coded:
+                            deltas[(yq, xq)] = int(qp_map[yq, xq]) - prev
+                            prev = int(qp_map[yq, xq])
+                else:
+                    coded = any(
+                        res.levels_y[by + dy, bx + dx].any()
+                        or res.levels_cb[by + dy, bx + dx].any()
+                        or res.levels_cr[by + dy, bx + dx].any()
+                        for dy in (0, 1) for dx in (0, 1))
+                    if coded:
+                        deltas[(by, bx)] = int(qp32[cy, cx]) - prev
+                        prev = int(qp32[cy, cx])
+        return deltas
+
+    def _sao_pack(self, res):
+        """Pack SAO params into the native serializer's flat layout:
+        luma [n, 7] = (type, eo_class, band_pos, off[4]); chroma
+        [n, 14] = (type, eo_class, bp_cb, off_cb[4], bp_cr, off_cr[4],
+        pad, pad)."""
+        if res.sao_type is None:
+            return None, None
+        n = int(np.asarray(res.sao_type).size)
+        sl = np.zeros((n, 7), np.int32)
+        sl[:, 0] = np.asarray(res.sao_type).reshape(-1)
+        sl[:, 1] = np.asarray(res.sao_eo_class).reshape(-1)
+        sl[:, 2] = np.asarray(res.sao_band_pos).reshape(-1)
+        sl[:, 3:7] = np.asarray(res.sao_offsets).reshape(n, 4)
+        sc = None
+        if res.sao_c is not None:
+            ty, cls, bcb, ocb, bcr, ocr = res.sao_c
+            sc = np.zeros((n, 14), np.int32)
+            sc[:, 0] = np.asarray(ty).reshape(-1)
+            sc[:, 1] = np.asarray(cls).reshape(-1)
+            sc[:, 2] = np.asarray(bcb).reshape(-1)
+            sc[:, 3:7] = np.asarray(ocb).reshape(n, 4)
+            sc[:, 7] = np.asarray(bcr).reshape(-1)
+            sc[:, 8:12] = np.asarray(ocr).reshape(n, 4)
+        return sl, sc
+
+    def _native_slice(self, slice_type, res, qp, qp_map, **inter_kw):
+        """Try the unified native serializer for any slice/tool combo
+        (falls back to the Python syntax oracle when unavailable)."""
+        if self.param.lossless:
+            return None
+        from ..native import encode_slice_native
+        split = getattr(res, "split", None)
+        if split is not None:
+            ctb_log2, hc, wc = 5, split.shape[0], split.shape[1]
+        else:
+            ctb_log2 = 4
+            hc, wc = self.pad_h // 16, self.pad_w // 16
+        qp32m = None
+        if qp_map is not None and split is not None:
+            from .intra_tree import qp32_of
+            qp32m = qp32_of(qp_map)
+        sl, sc = self._sao_pack(res)
+        return encode_slice_native(
+            slice_type, ctb_log2, hc, wc, qp, split=split,
+            modes=res.modes, levels_y=res.levels_y,
+            levels_cb=res.levels_cb, levels_cr=res.levels_cr,
+            qp16=qp_map, qp32=qp32m, sao_luma=sl, sao_chroma=sc,
+            wpp=self.pps.entropy_coding_sync, **inter_kw)
+
+    def _cabac_intra_tree(self, res, qp, qp_map=None):
+        """Slice payload for the CTU32 quadtree intra pipeline."""
+        native = self._native_slice("I", res, qp, qp_map)
+        if native is not None:
+            return native
+        hc32, wc32 = res.split.shape
+        split = res.split
+        modes = res.modes
+        deltas = self._qp_deltas_tree(res, qp, qp_map) \
+            if qp_map is not None else None
+
+        def qpd(by, bx):
+            if deltas is None:
+                return None
+            return deltas.get((by, bx), 0)
+
+        def cu16(enc, by, bx):
+            # MPM cands (spec 8.4.2): above forced to DC when the
+            # neighbor row is in another CTU (by even)
+            cand_a = int(modes[by, bx - 1]) if bx > 0 else 1
+            cand_b = int(modes[by - 1, bx]) if (by % 2 == 1) else 1
+            encode_intra_cu(enc, 4, int(modes[by, bx]),
+                            res.levels_y[by, bx], res.levels_cb[by, bx],
+                            res.levels_cr[by, bx], cand_a, cand_b,
+                            qp_delta=qpd(by, bx))
+
+        def ctu_fn(enc, cy, cx):
+            self._sao_ctu(enc, res, cy, cx)
+            by, bx = 2 * cy, 2 * cx
+            sp = int(split[cy, cx])
+            encode_split_cu(enc, sp,
+                            int(split[cy, cx - 1]) if cx > 0 else 0,
+                            int(split[cy - 1, cx]) if cy > 0 else 0,
+                            cx > 0, cy > 0)
+            if sp:
+                for q in range(4):
+                    cu16(enc, by + (q >> 1), bx + (q & 1))
+            else:
+                ly = assemble_tu32(res.levels_y, by, bx)
+                lcb = assemble_tu32(res.levels_cb, by, bx)
+                lcr = assemble_tu32(res.levels_cr, by, bx)
+                cand_a = int(modes[by, bx - 1]) if bx > 0 else 1
+                encode_intra_cu(enc, 5, int(modes[by, bx]), ly, lcb,
+                                lcr, cand_a, 1, qp_delta=qpd(by, bx))
+        return self._encode_slice_payload("I", qp, hc32, wc32, ctu_fn)
+
     def _cabac_intra(self, res, qp, qp_map=None):
-        if qp_map is None and not self.param.sao and \
-                not self.pps.entropy_coding_sync and \
-                not self.param.lossless:
-            from ..native import encode_islice_ctu16
-            payload = encode_islice_ctu16(res.modes, res.levels_y,
-                                          res.levels_cb, res.levels_cr,
-                                          qp)
-            if payload is not None:
-                return payload, []
+        if getattr(res, "split", None) is not None:
+            return self._cabac_intra_tree(res, qp, qp_map)
+        native = self._native_slice("I", res, qp, qp_map)
+        if native is not None:
+            return native
         deltas = self._qp_deltas(res, qp, qp_map)
         hc, wc = res.modes.shape
 
@@ -650,12 +909,12 @@ class Encoder:
         return self._encode_slice_payload("I", qp, hc, wc, ctu_fn)
 
     def _cabac_inter(self, res, qp, qp_map=None):
-        if qp_map is None and not self.param.sao and \
-                not self.pps.entropy_coding_sync:
-            from ..native import encode_pslice_ctu16
-            payload = encode_pslice_ctu16(res, qp)
-            if payload is not None:
-                return payload, []
+        native = self._native_slice(
+            "P", res, qp, qp_map, kinds=res.kinds,
+            merge_idx=res.merge_idx, mvd0=res.mvd, mvp0=res.mvp_idx,
+            max_merge=MAX_MERGE)
+        if native is not None:
+            return native
         deltas = self._qp_deltas(res, qp, qp_map)
         hc, wc = res.kinds.shape
 
@@ -686,12 +945,13 @@ class Encoder:
         return self._encode_slice_payload("P", qp, hc, wc, ctu_fn)
 
     def _cabac_b(self, res, qp, qp_map=None):
-        if qp_map is None and not self.param.sao and \
-                not self.pps.entropy_coding_sync:
-            from ..native import encode_bslice_ctu16
-            payload = encode_bslice_ctu16(res, qp)
-            if payload is not None:
-                return payload, []
+        native = self._native_slice(
+            "B", res, qp, qp_map, kinds=res.kinds,
+            merge_idx=res.merge_idx, inter_dir=res.inter_dir,
+            mvd0=res.mvd0, mvp0=res.mvp0, mvd1=res.mvd1,
+            mvp1=res.mvp1, max_merge=MAX_MERGE)
+        if native is not None:
+            return native
         deltas = self._qp_deltas(res, qp, qp_map)
         hc, wc = res.kinds.shape
 

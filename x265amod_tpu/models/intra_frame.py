@@ -66,6 +66,10 @@ class FrameResult:
     sao_offsets: np.ndarray | None = None
     # chroma SAO (type/class shared by cb+cr per spec)
     sao_c: tuple | None = None   # (ty, cls, bp_cb, off_cb, bp_cr, off_cr)
+    # CU-quadtree split map [Hc32, Wc32] (None for the flat CTU16 path);
+    # when present, modes/levels arrays stay on the 16-grid with unsplit
+    # CTUs replicating their mode and storing TU32 coeff quadrants
+    split: np.ndarray | None = None
 
 
 class IntraFrameEncoder:

@@ -1,0 +1,611 @@
+"""All-intra CTU32 quadtree encoder (depth-1 CU tree, TPU-shaped).
+
+Replaces the reference's recursive CU quadtree mode decision
+(`encoder/analysis.cpp:514` compressIntraCU, depth recursion over CU
+sizes) with a wavefront-batched TWO-HYPOTHESIS evaluation: for every
+CTU32 on an anti-diagonal (x+2y skew over the 32-grid), the body
+evaluates
+
+  (a) one CU32 (35 intra modes, TU32 luma + TU16 chroma), and
+  (b) the 4 CU16 quadrants in z-scan order (q0->q1->q2->q3, each
+      seeing earlier quadrants' reconstruction exactly as the spec's
+      z-scan availability dictates),
+
+then picks split vs no-split by full luma+chroma RD cost and commits
+the winning reconstruction — the "bottom-up batched evaluation with
+masked selection" shape SURVEY.md §7 prescribes for the RDO tree.
+
+Data layout: all state stays on the 16-grid (recon blocks
+[h16, w16, 16, 16], mode map) so deblock/SAO/CABAC layers are shared
+with the CTU16 pipeline; an unsplit CTU stores its TU32 coefficient
+quadrants in its four 16-cells and replicates its intra mode.
+
+Reference parity: split_cu_flag / part-mode semantics follow spec
+7.3.8.4-7.3.8.5 (x265 `analysis.cpp` is the behavioral model, not the
+code model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intra import predict_all_modes_batch, substitute_refs_general
+from ..ops.quant import dequant, derive_qp_maps, quant
+from ..ops.transforms import fwd_transform, inv_transform
+from .intra_frame import FrameResult, _diag_schedule
+
+
+def _rbits_proxy(levels):
+    absl = jnp.abs(levels).astype(jnp.float32)
+    return jnp.sum(jnp.where(absl > 0, 2.0 * jnp.log2(absl + 1.0) + 1.5,
+                             0.02), axis=(-2, -1))
+
+
+def _bc(flag, n):
+    """Broadcast a [B] bool flag to [B, n]."""
+    return jnp.broadcast_to(flag[:, None], (flag.shape[0], n))
+
+
+def qp32_of(qp16: np.ndarray) -> np.ndarray:
+    """CU32 QP from the four 16-cell QPs (rounded mean — the reference
+    averages AQ offsets over the CU area, analysis.cpp setLambdaFromQP).
+    Shared by the device-map builder and the host CABAC qp-delta walk so
+    both sides signal identical values."""
+    h16, w16 = qp16.shape
+    q = np.asarray(qp16).reshape(h16 // 2, 2, w16 // 2, 2) \
+        .transpose(0, 2, 1, 3).reshape(h16 // 2, w16 // 2, 4)
+    return np.round(q.mean(-1)).astype(np.int32)
+
+
+class IntraTreeEncoder:
+    """Per-resolution compiled CTU32 quadtree wavefront encoder."""
+
+    CTU = 32
+
+    def __init__(self, width: int, height: int, bit_depth: int = 8,
+                 lambda_scale: float = 0.57, deblock: bool = False,
+                 sao: bool = False):
+        assert width % 32 == 0 and height % 32 == 0, \
+            "caller pads to CTU32 multiple"
+        self.width, self.height = width, height
+        self.deblock = deblock
+        self.sao = sao
+        self.lambda_scale = lambda_scale
+        self.wc, self.hc = width // 32, height // 32      # 32-grid
+        self.w16, self.h16 = width // 16, height // 16    # 16-grid
+        diags = _diag_schedule(self.wc, self.hc)
+        self.n_diags = len(diags)
+        self.bmax = max(len(d) for d in diags)
+        coords = np.zeros((self.n_diags, self.bmax, 2), dtype=np.int32)
+        valid = np.zeros((self.n_diags, self.bmax), dtype=bool)
+        for i, cells in enumerate(diags):
+            for j, (cx, cy) in enumerate(cells):
+                coords[i, j] = (cx, cy)
+                valid[i, j] = True
+        self._coords = jnp.asarray(coords)
+        self._valid = jnp.asarray(valid)
+        # raster permutations: CTU32 raster -> scan slot, and 16-cell
+        # raster -> (scan slot, quadrant)
+        slot32 = np.full(self.hc * self.wc, -1, np.int64)
+        for i in range(self.n_diags):
+            for j in range(self.bmax):
+                if valid[i, j]:
+                    cx, cy = coords[i, j]
+                    slot32[cy * self.wc + cx] = i * self.bmax + j
+        assert (slot32 >= 0).all()
+        self._raster32 = jnp.asarray(slot32)
+        slot16 = np.zeros(self.h16 * self.w16, np.int64)
+        for by in range(self.h16):
+            for bx in range(self.w16):
+                q = (by & 1) * 2 + (bx & 1)
+                s32 = slot32[(by // 2) * self.wc + bx // 2]
+                slot16[by * self.w16 + bx] = s32 * 4 + q
+        self._raster16 = jnp.asarray(slot16)
+        self._step = jax.jit(functools.partial(self._encode_frame,
+                                               want_recon=False))
+        self._step_recon = jax.jit(functools.partial(self._encode_frame,
+                                                     want_recon=True))
+        self._step_batch = jax.jit(jax.vmap(functools.partial(
+            self._encode_frame, want_recon=False), in_axes=0))
+
+    # ---- device code ----------------------------------------------------
+
+    def _encode_frame(self, y, cb, cr, qp16, qpcb16, qpcr16, lam16,
+                      qp32, qpcb32, qpcr32, lam32, want_recon=False):
+        """qp16/lam16: per-16-cell maps [h16, w16]; qp32/lam32:
+        per-CTU32 maps [hc, wc] (QP of the unsplit hypothesis)."""
+        wc, hc = self.wc, self.hc
+        w16, h16 = self.w16, self.h16
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+
+        def to_blocks(plane, bn):
+            hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
+            return plane.reshape(hb, bn, wb, bn).transpose(0, 2, 1, 3)
+
+        oy = to_blocks(y, 16)            # [h16, w16, 16, 16]
+        ocb = to_blocks(cb, 8)           # [h16, w16, 8, 8]
+        ocr = to_blocks(cr, 8)
+
+        # recon state on the 16-grid (+2 dummy rows for invalid lanes)
+        yb = jnp.full((h16 + 2, w16, 16, 16), 128, jnp.int32)
+        cbb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
+        crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
+        mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
+
+        def eval_modes(orig, top, left, corner, n, c_idx, qpv):
+            """All-35-mode trial: returns (levels, recon, ssd, rbits)
+            each [B, 35, ...]."""
+            preds = predict_all_modes_batch(top, left, corner, n, c_idx)
+            coeff = fwd_transform(orig[:, None] - preds)
+            qpb = qpv[:, None, None, None]
+            levels = quant(coeff, qpb)
+            rec = jnp.clip(preds + inv_transform(dequant(levels, qpb)),
+                           0, 255)
+            ssd = jnp.sum((rec - orig[:, None]) ** 2,
+                          axis=(2, 3)).astype(jnp.float32)
+            return levels, rec, ssd, _rbits_proxy(levels)
+
+        def mode_bits(left_mode):
+            """Approximate intra-mode signalling cost per mode [B, 35]."""
+            is_small = left_mode < 2
+            mpm0 = jnp.where(is_small, 0, left_mode)
+            mpm2 = jnp.where(is_small, 26, 0)
+            modes35 = jnp.arange(35)[None, :]
+            return jnp.where(
+                modes35 == mpm0[:, None], 2.0,
+                jnp.where((modes35 == 1) | (modes35 == mpm2[:, None]),
+                          3.0, 6.0))
+
+        def pick(levels, rec, ssd, rbits, lam, mbits):
+            cost = ssd + lam[:, None] * (rbits + mbits)
+            best = jnp.argmin(cost, axis=1)
+            bi = best[:, None, None, None]
+            lv = jnp.take_along_axis(levels, bi, 1)[:, 0]
+            rc = jnp.take_along_axis(rec, bi, 1)[:, 0]
+            jm = jnp.min(cost, axis=1)
+            return best, lv, rc, jm
+
+        def chroma_at(levels, rec, ssd, rbits, best):
+            bi = best[:, None, None, None]
+            lv = jnp.take_along_axis(levels, bi, 1)[:, 0]
+            rc = jnp.take_along_axis(rec, bi, 1)[:, 0]
+            sd = jnp.take_along_axis(ssd, best[:, None], 1)[:, 0]
+            rb = jnp.take_along_axis(rbits, best[:, None], 1)[:, 0]
+            return lv, rc, sd, rb
+
+        def body(state, xs):
+            yb, cbb, crb, mode16 = state
+            coords_d, val = xs
+            cx = coords_d[:, 0]
+            cy = coords_d[:, 1]
+            bx = 2 * cx
+            by = 2 * cy
+            at_top = cy > 0            # CTU row above exists
+            at_left = cx > 0
+            at_tr = (cy > 0) & (cx < wc - 1)
+
+            # ---- hypothesis A: one CU32 (TU32 + TU16 chroma) ----------
+            byu = jnp.maximum(by - 1, 0)
+            bxl = jnp.maximum(bx - 1, 0)
+            bx2 = jnp.minimum(bx + 2, w16 - 1)
+            bx3 = jnp.minimum(bx + 3, w16 - 1)
+            top32 = jnp.concatenate(
+                [yb[byu, bx, 15, :], yb[byu, bx + 1, 15, :],
+                 yb[byu, bx2, 15, :], yb[byu, bx3, 15, :]], 1)
+            left32 = jnp.concatenate(
+                [yb[by, bxl, :, 15], yb[by + 1, bxl, :, 15],
+                 yb[by + 1, bxl, :, 15], yb[by + 1, bxl, :, 15]], 1)
+            cor32 = yb[byu, bxl, 15, 15]
+            at32 = jnp.concatenate([_bc(at_top, 32), _bc(at_tr, 32)], 1)
+            al32 = jnp.concatenate(
+                [_bc(at_left, 32), _bc(jnp.zeros_like(at_left), 32)], 1)
+            t32, l32, c32 = substitute_refs_general(
+                top32, left32, cor32, at32, al32, at_top & at_left, 32)
+            qp_a = qp32[cy, cx]
+            lam_a = lam32[cy, cx]
+            lvA, rcA, ssdA, rbA = eval_modes(
+                # original 32 block assembled from 4 cells
+                jnp.concatenate([
+                    jnp.concatenate([oy[by, bx], oy[by, bx + 1]], -1),
+                    jnp.concatenate([oy[by + 1, bx], oy[by + 1, bx + 1]],
+                                    -1)], -2),
+                t32, l32, c32, 32, 0, qp_a)
+            left_mode32 = jnp.where(at_left, mode16[by, bxl], 1)
+            bestA, lvA_y, rcA_y, jA_y = pick(lvA, rcA, ssdA, rbA, lam_a,
+                                             mode_bits(left_mode32))
+
+            # CU32 chroma: TU16 on the 8-grid
+            topc = jnp.concatenate(
+                [cbb[byu, bx, 7, :], cbb[byu, bx + 1, 7, :],
+                 cbb[byu, bx2, 7, :], cbb[byu, bx3, 7, :]], 1)
+            leftc = jnp.concatenate(
+                [cbb[by, bxl, :, 7], cbb[by + 1, bxl, :, 7],
+                 cbb[by + 1, bxl, :, 7], cbb[by + 1, bxl, :, 7]], 1)
+            topr = jnp.concatenate(
+                [crb[byu, bx, 7, :], crb[byu, bx + 1, 7, :],
+                 crb[byu, bx2, 7, :], crb[byu, bx3, 7, :]], 1)
+            leftr = jnp.concatenate(
+                [crb[by, bxl, :, 7], crb[by + 1, bxl, :, 7],
+                 crb[by + 1, bxl, :, 7], crb[by + 1, bxl, :, 7]], 1)
+            at16c = jnp.concatenate([_bc(at_top, 16), _bc(at_tr, 16)], 1)
+            al16c = jnp.concatenate(
+                [_bc(at_left, 16), _bc(jnp.zeros_like(at_left), 16)], 1)
+
+            def chroma32(topx, leftx, crx, orig):
+                t, l, c = substitute_refs_general(
+                    topx, leftx, crx, at16c, al16c, at_top & at_left, 16)
+                return eval_modes(orig, t, l, c, 16, 1, qpcb32[cy, cx])
+
+            ocb32 = jnp.concatenate([
+                jnp.concatenate([ocb[by, bx], ocb[by, bx + 1]], -1),
+                jnp.concatenate([ocb[by + 1, bx], ocb[by + 1, bx + 1]],
+                                -1)], -2)
+            ocr32 = jnp.concatenate([
+                jnp.concatenate([ocr[by, bx], ocr[by, bx + 1]], -1),
+                jnp.concatenate([ocr[by + 1, bx], ocr[by + 1, bx + 1]],
+                                -1)], -2)
+            lvAcb, rcAcb, sdAcb, rbAcb = chroma_at(
+                *chroma32(topc, leftc, cbb[byu, bxl, 7, 7], ocb32), bestA)
+            lvAcr, rcAcr, sdAcr, rbAcr = chroma_at(
+                *chroma32(topr, leftr, crb[byu, bxl, 7, 7], ocr32), bestA)
+            jA = jA_y + sdAcb + sdAcr + lam_a * (rbAcb + rbAcr + 4.0)
+
+            # ---- hypothesis B: 4 CU16 quadrants in z-scan order --------
+            # availability per quadrant (z-scan, spec 6.4.1):
+            #   q0: T/TR from above CTU, L/BL from left CTU
+            #   q1: L = q0; TR from above-right CTU; BL unavailable
+            #   q2: T = q0, TR = q1, L from left CTU; BL unavailable
+            #   q3: T = q1, L = q2, corner = q0; TR/BL unavailable
+            zero = jnp.zeros_like(at_top)
+            one = jnp.ones_like(at_top)
+
+            def quad(orig16, oc8, or8, topY, leftY, corY, avtY, altY,
+                     avcY, topC, leftC, corC, topR, leftR, corR,
+                     qpv, qpcv, lamv, left_mode):
+                tY, lY, cY = substitute_refs_general(
+                    topY, leftY, corY, avtY, altY, avcY, 16)
+                lv, rc, sd, rb = eval_modes(orig16, tY, lY, cY, 16, 0,
+                                            qpv)
+                best, lv_y, rc_y, j_y = pick(lv, rc, sd, rb, lamv,
+                                             mode_bits(left_mode))
+                avt8 = avtY[:, ::2]
+                alt8 = altY[:, ::2]
+                tC, lC, cC = substitute_refs_general(
+                    topC, leftC, corC, avt8, alt8, avcY, 8)
+                lvc, rcc, sdc, rbc = eval_modes(oc8, tC, lC, cC, 8, 1,
+                                                qpcv)
+                lv_cb, rc_cb, sd_cb, rb_cb = chroma_at(lvc, rcc, sdc,
+                                                       rbc, best)
+                tR, lR, cR = substitute_refs_general(
+                    topR, leftR, corR, avt8, alt8, avcY, 8)
+                lvr, rcr, sdr, rbr = eval_modes(or8, tR, lR, cR, 8, 2,
+                                                qpcv)
+                lv_cr, rc_cr, sd_cr, rb_cr = chroma_at(lvr, rcr, sdr,
+                                                       rbr, best)
+                j = j_y + sd_cb + sd_cr + lamv * (rb_cb + rb_cr + 4.0)
+                return (best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr, j)
+
+            # q0 ---------------------------------------------------------
+            q0 = quad(
+                oy[by, bx], ocb[by, bx], ocr[by, bx],
+                jnp.concatenate([yb[byu, bx, 15, :],
+                                 yb[byu, bx + 1, 15, :]], 1),
+                jnp.concatenate([yb[by, bxl, :, 15],
+                                 yb[by + 1, bxl, :, 15]], 1),
+                yb[byu, bxl, 15, 15],
+                jnp.concatenate([_bc(at_top, 16), _bc(at_top, 16)], 1),
+                jnp.concatenate([_bc(at_left, 16), _bc(at_left, 16)], 1),
+                at_top & at_left,
+                jnp.concatenate([cbb[byu, bx, 7, :],
+                                 cbb[byu, bx + 1, 7, :]], 1),
+                jnp.concatenate([cbb[by, bxl, :, 7],
+                                 cbb[by + 1, bxl, :, 7]], 1),
+                cbb[byu, bxl, 7, 7],
+                jnp.concatenate([crb[byu, bx, 7, :],
+                                 crb[byu, bx + 1, 7, :]], 1),
+                jnp.concatenate([crb[by, bxl, :, 7],
+                                 crb[by + 1, bxl, :, 7]], 1),
+                crb[byu, bxl, 7, 7],
+                qp16[by, bx], qpcb16[by, bx], lam16[by, bx],
+                jnp.where(at_left, mode16[by, bxl], 1))
+            m0, lv0y, rc0y, lv0cb, rc0cb, lv0cr, rc0cr, j0 = q0
+
+            # q1 ---------------------------------------------------------
+            bx2c = jnp.minimum(bx + 2, w16 - 1)
+            at_tr1 = (cy > 0) & (cx < wc - 1)
+            q1 = quad(
+                oy[by, bx + 1], ocb[by, bx + 1], ocr[by, bx + 1],
+                jnp.concatenate([yb[byu, bx + 1, 15, :],
+                                 yb[byu, bx2c, 15, :]], 1),
+                jnp.concatenate([rc0y[:, :, 15], rc0y[:, :, 15]], 1),
+                yb[byu, bx, 15, 15],
+                jnp.concatenate([_bc(at_top, 16), _bc(at_tr1, 16)], 1),
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                at_top,
+                jnp.concatenate([cbb[byu, bx + 1, 7, :],
+                                 cbb[byu, bx2c, 7, :]], 1),
+                jnp.concatenate([rc0cb[:, :, 7], rc0cb[:, :, 7]], 1),
+                cbb[byu, bx, 7, 7],
+                jnp.concatenate([crb[byu, bx + 1, 7, :],
+                                 crb[byu, bx2c, 7, :]], 1),
+                jnp.concatenate([rc0cr[:, :, 7], rc0cr[:, :, 7]], 1),
+                crb[byu, bx, 7, 7],
+                qp16[by, bx + 1], qpcb16[by, bx + 1], lam16[by, bx + 1],
+                m0)
+            m1, lv1y, rc1y, lv1cb, rc1cb, lv1cr, rc1cr, j1 = q1
+
+            # q2 ---------------------------------------------------------
+            q2 = quad(
+                oy[by + 1, bx], ocb[by + 1, bx], ocr[by + 1, bx],
+                jnp.concatenate([rc0y[:, 15, :], rc1y[:, 15, :]], 1),
+                jnp.concatenate([yb[by + 1, bxl, :, 15],
+                                 yb[by + 1, bxl, :, 15]], 1),
+                yb[by, bxl, 15, 15],
+                jnp.concatenate([_bc(one, 16), _bc(one, 16)], 1),
+                jnp.concatenate([_bc(at_left, 16), _bc(zero, 16)], 1),
+                at_left,
+                jnp.concatenate([rc0cb[:, 7, :], rc1cb[:, 7, :]], 1),
+                jnp.concatenate([cbb[by + 1, bxl, :, 7],
+                                 cbb[by + 1, bxl, :, 7]], 1),
+                cbb[by, bxl, 7, 7],
+                jnp.concatenate([rc0cr[:, 7, :], rc1cr[:, 7, :]], 1),
+                jnp.concatenate([crb[by + 1, bxl, :, 7],
+                                 crb[by + 1, bxl, :, 7]], 1),
+                crb[by, bxl, 7, 7],
+                qp16[by + 1, bx], qpcb16[by + 1, bx], lam16[by + 1, bx],
+                jnp.where(at_left, mode16[by + 1, bxl], 1))
+            m2, lv2y, rc2y, lv2cb, rc2cb, lv2cr, rc2cr, j2 = q2
+
+            # q3 ---------------------------------------------------------
+            q3 = quad(
+                oy[by + 1, bx + 1], ocb[by + 1, bx + 1],
+                ocr[by + 1, bx + 1],
+                jnp.concatenate([rc1y[:, 15, :], rc1y[:, 15, :]], 1),
+                jnp.concatenate([rc2y[:, :, 15], rc2y[:, :, 15]], 1),
+                rc0y[:, 15, 15],
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                one > 0,
+                jnp.concatenate([rc1cb[:, 7, :], rc1cb[:, 7, :]], 1),
+                jnp.concatenate([rc2cb[:, :, 7], rc2cb[:, :, 7]], 1),
+                rc0cb[:, 7, 7],
+                jnp.concatenate([rc1cr[:, 7, :], rc1cr[:, 7, :]], 1),
+                jnp.concatenate([rc2cr[:, :, 7], rc2cr[:, :, 7]], 1),
+                rc0cr[:, 7, 7],
+                qp16[by + 1, bx + 1], qpcb16[by + 1, bx + 1],
+                lam16[by + 1, bx + 1], m2)
+            m3, lv3y, rc3y, lv3cb, rc3cb, lv3cr, rc3cr, j3 = q3
+
+            # ---- split decision ----------------------------------------
+            # split_cu_flag rate (~1-2 bins/CTU) is symmetric; per-CU
+            # header overhead is inside the per-hypothesis mbits consts.
+            j_split = j0 + j1 + j2 + j3
+            split = (j_split < jA).astype(jnp.int32)
+            sp = split[:, None, None] == 1
+
+            def sel16(qv, av_quads):
+                return jnp.where(sp, qv, av_quads)
+
+            # recon cells: quadrant recons vs CU32 recon quadrant slices
+            rcy = [rc0y, rc1y, rc2y, rc3y]
+            rccb = [rc0cb, rc1cb, rc2cb, rc3cb]
+            rccr = [rc0cr, rc1cr, rc2cr, rc3cr]
+            lvy = [lv0y, lv1y, lv2y, lv3y]
+            lvcb = [lv0cb, lv1cb, lv2cb, lv3cb]
+            lvcr = [lv0cr, lv1cr, lv2cr, lv3cr]
+            msel = [m0, m1, m2, m3]
+            out_modes = []
+            out_ly = []
+            out_lcb = []
+            out_lcr = []
+            fin_y = []
+            fin_cb = []
+            fin_cr = []
+            for q in range(4):
+                qy, qx = q >> 1, q & 1
+                a32y = rcA_y[:, qy * 16:qy * 16 + 16, qx * 16:qx * 16 + 16]
+                a32cb = rcAcb[:, qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8]
+                a32cr = rcAcr[:, qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8]
+                l32y = lvA_y[:, qy * 16:qy * 16 + 16, qx * 16:qx * 16 + 16]
+                l32cb = lvAcb[:, qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8]
+                l32cr = lvAcr[:, qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8]
+                fin_y.append(sel16(rcy[q], a32y))
+                fin_cb.append(sel16(rccb[q], a32cb))
+                fin_cr.append(sel16(rccr[q], a32cr))
+                out_ly.append(sel16(lvy[q], l32y))
+                out_lcb.append(sel16(lvcb[q], l32cb))
+                out_lcr.append(sel16(lvcr[q], l32cr))
+                out_modes.append(jnp.where(split == 1, msel[q], bestA))
+
+            # ---- commit: one scatter over the 4 cells ------------------
+            safe_by = jnp.where(val, by, h16)
+            idx_by = jnp.stack([safe_by, safe_by, safe_by + 1,
+                                safe_by + 1], 1).reshape(-1)
+            idx_bx = jnp.stack([bx, bx + 1, bx, bx + 1], 1).reshape(-1)
+            yb = yb.at[idx_by, idx_bx].set(
+                jnp.stack(fin_y, 1).reshape(-1, 16, 16))
+            cbb = cbb.at[idx_by, idx_bx].set(
+                jnp.stack(fin_cb, 1).reshape(-1, 8, 8))
+            crb = crb.at[idx_by, idx_bx].set(
+                jnp.stack(fin_cr, 1).reshape(-1, 8, 8))
+            mode16 = mode16.at[idx_by, idx_bx].set(
+                jnp.stack(out_modes, 1).reshape(-1).astype(jnp.int32))
+
+            ys = (split.astype(jnp.int8),
+                  jnp.stack(out_modes, 1).astype(jnp.int32),
+                  jnp.stack(out_ly, 1).astype(jnp.int16),
+                  jnp.stack(out_lcb, 1).astype(jnp.int16),
+                  jnp.stack(out_lcr, 1).astype(jnp.int16))
+            return (yb, cbb, crb, mode16), ys
+
+        state = (yb, cbb, crb, mode16)
+        state, (o_split, o_modes, o_ly, o_lcb, o_lcr) = jax.lax.scan(
+            body, state, (self._coords, self._valid))
+        yb, cbb, crb, mode16 = state
+
+        def to_plane(blocks, bn, h, w):
+            return blocks[:h // bn].transpose(0, 2, 1, 3).reshape(h, w)
+
+        rec_y = to_plane(yb, 16, self.height, self.width)
+        rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
+        rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
+
+        split_r = jnp.take(o_split.reshape(-1), self._raster32)
+        if self.deblock:
+            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       intra_tree_bs_maps)
+            bs_v, bs_h = intra_tree_bs_maps(
+                split_r.reshape(hc, wc), h16, w16)
+            rec_y = deblock_luma_bs(rec_y, qp16[0, 0], bs_v, bs_h)
+            rec_cb = deblock_chroma_bs(rec_cb, qpcb16[0, 0], bs_v, bs_h)
+            rec_cr = deblock_chroma_bs(rec_cr, qpcr16[0, 0], bs_v, bs_h)
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam32.reshape(-1), 32)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 32)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr,
+                                   lam32.reshape(-1), 16)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 16)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
+
+        modes_r = jnp.take(o_modes.reshape(-1), self._raster16) \
+            .astype(jnp.uint8)
+        ly_r = jnp.take(o_ly.reshape(-1, 16, 16), self._raster16, 0)
+        lcb_r = jnp.take(o_lcb.reshape(-1, 8, 8), self._raster16, 0)
+        lcr_r = jnp.take(o_lcr.reshape(-1, 8, 8), self._raster16, 0)
+        from ..ops.metrics import ssim_plane
+        sse = jnp.stack([
+            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
+        fits8 = (jnp.max(jnp.abs(ly_r)) <= 127) & \
+            (jnp.max(jnp.abs(lcb_r)) <= 127) & \
+            (jnp.max(jnp.abs(lcr_r)) <= 127)
+        lv8 = (ly_r.astype(jnp.int8), lcb_r.astype(jnp.int8),
+               lcr_r.astype(jnp.int8), fits8)
+        if want_recon:
+            return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse,
+                    rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+                    rec_cr.astype(jnp.uint8)) + sao_out + lv8
+        return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out + lv8
+
+    # ---- host wrapper ----------------------------------------------------
+
+    def _maps(self, qp: int, qp_offsets):
+        qp16, qcb16, qcr16, lam16 = derive_qp_maps(
+            qp, qp_offsets, self.h16, self.w16, self.lambda_scale)
+        qp32 = qp32_of(qp16)
+        from ..ops.quant import chroma_qp_np
+        qcb32 = chroma_qp_np(qp32)
+        qcr32 = chroma_qp_np(qp32)
+        lam32 = (self.lambda_scale
+                 * 2.0 ** ((qp32.astype(np.float64) - 12.0) / 3.0)) \
+            .astype(np.float32)
+        return (qp16, qcb16, qcr16, lam16, qp32, qcb32, qcr32, lam32)
+
+    def encode_async(self, y, cb, cr, qp: int, want_recon: bool = False,
+                     qp_offsets=None):
+        maps = self._maps(qp, qp_offsets)
+        step = self._step_recon if want_recon else self._step
+        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
+                    jnp.asarray(cr, jnp.uint8),
+                    *(jnp.asarray(m) for m in maps))
+
+    def collect(self, outs, want_recon: bool = False) -> FrameResult:
+        h16, w16 = self.h16, self.w16
+        ly8, lcb8, lcr8, fits8 = outs[-4:]
+        if bool(np.asarray(fits8)):
+            ly_r = np.asarray(ly8)
+            lcb_r = np.asarray(lcb8)
+            lcr_r = np.asarray(lcr8)
+        else:
+            ly_r = np.asarray(outs[2])
+            lcb_r = np.asarray(outs[3])
+            lcr_r = np.asarray(outs[4])
+        res = FrameResult(
+            np.asarray(outs[1]).reshape(h16, w16).astype(np.int32),
+            ly_r.reshape(h16, w16, 16, 16).astype(np.int32),
+            lcb_r.reshape(h16, w16, 8, 8).astype(np.int32),
+            lcr_r.reshape(h16, w16, 8, 8).astype(np.int32),
+            np.asarray(outs[5]))
+        res.split = np.asarray(outs[0]).reshape(self.hc, self.wc) \
+            .astype(np.int32)
+        rest = outs[6:-4]
+        if want_recon:
+            res.recon_y = np.asarray(rest[0])
+            res.recon_cb = np.asarray(rest[1])
+            res.recon_cr = np.asarray(rest[2])
+            rest = rest[3:]
+        if self.sao:
+            arrs = [np.asarray(a) for a in rest]
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = arrs[:4]
+            res.sao_c = tuple(arrs[4:10])
+        return res
+
+    def encode(self, y, cb, cr, qp: int,
+               want_recon: bool = False) -> FrameResult:
+        return self.collect(self.encode_async(y, cb, cr, qp, want_recon),
+                            want_recon)
+
+    # ---- multi-frame batched dispatch (all-intra CQP fast path) --------
+
+    def encode_batch_async(self, ys, cbs, crs, qp: int):
+        """Dispatch a whole batch of frames through ONE vmapped device
+        step — all-intra frames are independent, so the wavefront scan's
+        sequential depth is amortized across the batch (the TPU analog
+        of running many frame threads, threading.rst:123)."""
+        f = ys.shape[0]
+        maps = self._maps(qp, None)
+        maps_b = [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
+                  for m in maps]
+        return self._step_batch(jnp.asarray(ys, jnp.uint8),
+                                jnp.asarray(cbs, jnp.uint8),
+                                jnp.asarray(crs, jnp.uint8), *maps_b)
+
+    def collect_batch(self, outs) -> list[FrameResult]:
+        """Fetch one batched step to host (one D2H per array) and split
+        into per-frame FrameResults."""
+        h16, w16 = self.h16, self.w16
+        split = np.asarray(outs[0])
+        modes = np.asarray(outs[1])
+        sse = np.asarray(outs[5])
+        ly8, lcb8, lcr8, fits8 = outs[-4:]
+        if bool(np.asarray(fits8).all()):
+            ly = np.asarray(ly8)
+            lcb = np.asarray(lcb8)
+            lcr = np.asarray(lcr8)
+        else:
+            ly = np.asarray(outs[2])
+            lcb = np.asarray(outs[3])
+            lcr = np.asarray(outs[4])
+        rest = [np.asarray(a) for a in outs[6:-4]] if self.sao else []
+        results = []
+        for i in range(split.shape[0]):
+            res = FrameResult(
+                modes[i].reshape(h16, w16).astype(np.int32),
+                ly[i].reshape(h16, w16, 16, 16).astype(np.int32),
+                lcb[i].reshape(h16, w16, 8, 8).astype(np.int32),
+                lcr[i].reshape(h16, w16, 8, 8).astype(np.int32),
+                sse[i])
+            res.split = split[i].reshape(self.hc, self.wc) \
+                .astype(np.int32)
+            if self.sao:
+                res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                    res.sao_offsets = [a[i] for a in rest[:4]]
+                res.sao_c = tuple(a[i] for a in rest[4:10])
+            results.append(res)
+        return results

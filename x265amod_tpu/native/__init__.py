@@ -94,8 +94,70 @@ def get_cabac_lib():
     ], dtype=np.int32)
     lib.hevc_cabac_set_layout2(
         offs2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.hevc_cabac_set_layout3.argtypes = [i32p]
+    offs3 = np.array([
+        CTX_OFFSET["split_cu_flag"], CTX_OFFSET["cu_qp_delta_abs"],
+        CTX_OFFSET["sao_merge_flag"], CTX_OFFSET["sao_type_idx"],
+    ], dtype=np.int32)
+    lib.hevc_cabac_set_layout3(offs3.ctypes.data_as(i32p))
+    lib.hevc_encode_slice.argtypes = (
+        [ctypes.c_int32] * 4 + [i32p] * 16
+        + [ctypes.c_int32] * 3 + [i32p, i32p,
+                                  ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64])
+    lib.hevc_encode_slice.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def encode_slice_native(slice_type: str, ctb_log2: int, hc: int, wc: int,
+                        qp: int, *, split=None, kinds=None, modes=None,
+                        merge_idx=None, inter_dir=None, mvd0=None,
+                        mvp0=None, mvd1=None, mvp1=None, levels_y=None,
+                        levels_cb=None, levels_cr=None, qp16=None,
+                        qp32=None, sao_luma=None, sao_chroma=None,
+                        max_merge: int = 2, wpp: bool = False):
+    """Unified native slice serializer (I/P/B, flat CTU16 or CTU32
+    quadtree, AQ/SAO/WPP).  Returns (payload, entry_sizes) or None when
+    the native lib is unavailable.  sao_luma: [n_ctu, 7] int32
+    (type, eo_class, band_pos, off[4]); sao_chroma: [n_ctu, 14]
+    (type, eo_class, bp_cb, off_cb[4], bp_cr, off_cr[4])."""
+    lib = get_cabac_lib()
+    if lib is None:
+        return None
+    from ..cabac.tables import init_context_states
+    states = np.ascontiguousarray(
+        init_context_states(slice_type, qp).astype(np.int32))
+    p = ctypes.POINTER(ctypes.c_int32)
+
+    def c(a):
+        if a is None:
+            return ctypes.cast(None, p)
+        arr = np.ascontiguousarray(np.asarray(a), dtype=np.int32)
+        _keep.append(arr)
+        return arr.ctypes.data_as(p)
+
+    _keep = []
+    st = {"I": 0, "P": 1, "B": 2}[slice_type]
+    nly = np.asarray(levels_y)
+    cap = max(1 << 16, int(nly.size) * 8 * 2)
+    out = np.empty(cap, dtype=np.uint8)
+    entry = np.zeros(max(hc, 1), dtype=np.int32)
+    n = lib.hevc_encode_slice(
+        st, ctb_log2, hc, wc,
+        c(split), c(kinds), c(modes), c(merge_idx), c(inter_dir),
+        c(mvd0), c(mvp0), c(mvd1), c(mvp1),
+        c(levels_y), c(levels_cb), c(levels_cr), c(qp16), c(qp32),
+        c(sao_luma), c(sao_chroma),
+        qp, max_merge, 1 if wpp else 0,
+        states.ctypes.data_as(p), entry.ctypes.data_as(p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    use_wpp = wpp and hc > 1
+    entry_sizes = [int(v) for v in entry[:hc - 1]] if use_wpp else []
+    return out[:n].tobytes(), entry_sizes
 
 
 def encode_islice_ctu16(modes: np.ndarray, levels_y: np.ndarray,

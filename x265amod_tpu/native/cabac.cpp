@@ -693,3 +693,386 @@ extern "C" int64_t hevc_encode_bslice_ctu16(
   std::memcpy(out, e.bytes.data(), e.bytes.size());
   return (int64_t)e.bytes.size();
 }
+
+// ---- unified slice serializer ------------------------------------------
+//
+// One entry point covering I/P/B slices, flat CTU16 and CTU32 depth-1
+// quadtree, per-CU QP deltas (AQ), SAO parameters and WPP substreams —
+// so NO encoder configuration falls back to the per-CTU Python loops
+// (reference analog: Entropy::encodeCTU over all tool combinations,
+// encoder/entropy.cpp:768).  Mirrors cabac/syntax.py +
+// models/encoder.py::_encode_slice_payload bit-for-bit (enforced by
+// tests/test_native_cabac.py).
+
+struct CtxLayout3 {
+  int32_t split_cu, cu_qp_delta, sao_merge, sao_type;
+};
+static CtxLayout3 g_layout3;
+
+extern "C" void hevc_cabac_set_layout3(const int32_t* offs) {
+  g_layout3.split_cu = offs[0];
+  g_layout3.cu_qp_delta = offs[1];
+  g_layout3.sao_merge = offs[2];
+  g_layout3.sao_type = offs[3];
+}
+
+namespace {
+
+struct SliceCtx {
+  int st;                       // 0=I 1=P 2=B
+  int ctb_log2, hc, wc, w16, h16;
+  const int32_t *split, *kinds, *modes, *merge, *idir;
+  const int32_t *mvd0, *mvp0, *mvd1, *mvp1;
+  const int32_t *ly, *lcb, *lcr;
+  const int32_t *qp16, *qp32;
+  const int32_t *sao_l, *sao_c;
+  int slice_qp, max_merge;
+  int qp_prev;
+  ScanTabs t32, t16, t8;
+};
+
+void nc_cu_qp_delta(Cabac& e, int delta) {
+  int a = delta < 0 ? -delta : delta;
+  int prefix = a < 5 ? a : 5;
+  for (int k = 0; k < prefix; k++)
+    e.encode_bin(g_layout3.cu_qp_delta + (k ? 1 : 0), 1);
+  if (prefix < 5) e.encode_bin(g_layout3.cu_qp_delta + (prefix ? 1 : 0), 0);
+  if (a >= 5) write_ep_exgolomb(e, (uint32_t)(a - 5), 0);
+  if (a) e.encode_bypass(delta < 0 ? 1 : 0);
+}
+
+void nc_sao_offsets_abs(Cabac& e, const int32_t* o) {
+  for (int k = 0; k < 4; k++) {
+    int a = o[k] < 0 ? -o[k] : o[k];
+    for (int i = 0; i < a; i++) e.encode_bypass(1);
+    if (a < 7) e.encode_bypass(0);
+  }
+}
+
+void nc_sao_bo_tail(Cabac& e, const int32_t* o, int bp) {
+  for (int k = 0; k < 4; k++)
+    if (o[k]) e.encode_bypass(o[k] < 0 ? 1 : 0);
+  e.encode_bypass_bins((uint32_t)bp, 5);
+}
+
+void nc_sao_ctu(Cabac& e, const SliceCtx& s, int cy, int cx) {
+  if (!s.sao_l && !s.sao_c) return;
+  if (cx > 0) e.encode_bin(g_layout3.sao_merge, 0);
+  if (cy > 0) e.encode_bin(g_layout3.sao_merge, 0);
+  int k = cy * s.wc + cx;
+  if (s.sao_l) {
+    const int32_t* L = s.sao_l + (int64_t)k * 7;  // t, eo, bp, off[4]
+    int t = L[0];
+    e.encode_bin(g_layout3.sao_type, t ? 1 : 0);
+    if (t) {
+      e.encode_bypass(t == 2 ? 1 : 0);
+      nc_sao_offsets_abs(e, L + 3);
+      if (t == 1) nc_sao_bo_tail(e, L + 3, L[2]);
+      else e.encode_bypass_bins((uint32_t)L[1], 2);
+    }
+  }
+  if (s.sao_c) {
+    const int32_t* C = s.sao_c + (int64_t)k * 14;
+    int t = C[0];  // t, eo, bp_cb, off_cb[4], bp_cr, off_cr[4]
+    e.encode_bin(g_layout3.sao_type, t ? 1 : 0);
+    if (t) {
+      e.encode_bypass(t == 2 ? 1 : 0);
+      nc_sao_offsets_abs(e, C + 3);
+      if (t == 1) nc_sao_bo_tail(e, C + 3, C[2]);
+      else e.encode_bypass_bins((uint32_t)C[1], 2);
+      nc_sao_offsets_abs(e, C + 8);
+      if (t == 1) nc_sao_bo_tail(e, C + 8, C[7]);
+    }
+  }
+}
+
+void mpm_list2(int a, int b, int m[3]) {
+  if (a == b) {
+    if (a < 2) { m[0] = 0; m[1] = 1; m[2] = 26; return; }
+    m[0] = a; m[1] = 2 + ((a + 29) % 32); m[2] = 2 + ((a - 1) % 32);
+    return;
+  }
+  m[0] = a; m[1] = b;
+  if (a != 0 && b != 0) m[2] = 0;
+  else if (a != 1 && b != 1) m[2] = 1;
+  else m[2] = 26;
+}
+
+void nc_intra_luma_mode(Cabac& e, int mode, const int m[3]) {
+  int mi = -1;
+  for (int k = 0; k < 3; k++) if (mode == m[k]) { mi = k; break; }
+  if (mi >= 0) {
+    e.encode_bin(g_layout.prev_intra, 1);
+    e.encode_bypass(mi != 0);
+    if (mi) e.encode_bypass(mi - 1);
+  } else {
+    e.encode_bin(g_layout.prev_intra, 0);
+    int rem = mode;
+    int srt[3] = {m[0], m[1], m[2]};
+    if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+    if (srt[1] > srt[2]) { int x = srt[1]; srt[1] = srt[2]; srt[2] = x; }
+    if (srt[0] > srt[1]) { int x = srt[0]; srt[0] = srt[1]; srt[1] = x; }
+    for (int k = 2; k >= 0; k--) if (rem > srt[k]) rem--;
+    e.encode_bypass_bins((uint32_t)rem, 5);
+  }
+}
+
+// Gather one CU's level arrays; for cells==2 assembles the TU32 (and
+// TU16 chroma) from the four quadrant 16-cells into buf.
+struct CuLevels {
+  const int32_t *y, *cb, *cr;
+  int cbf_y, cbf_cb, cbf_cr;
+};
+
+CuLevels cu_levels(const SliceCtx& s, int bx, int by, int cells,
+                   int32_t* buf /* >= 32*32 + 2*16*16 */) {
+  CuLevels r;
+  if (cells == 1) {
+    int64_t idx = (int64_t)by * s.w16 + bx;
+    r.y = s.ly + idx * 256;
+    r.cb = s.lcb + idx * 64;
+    r.cr = s.lcr + idx * 64;
+  } else {
+    int32_t* y32 = buf;
+    int32_t* cb16 = buf + 1024;
+    int32_t* cr16 = buf + 1024 + 256;
+    for (int qy = 0; qy < 2; qy++)
+      for (int qx = 0; qx < 2; qx++) {
+        int64_t idx = (int64_t)(by + qy) * s.w16 + bx + qx;
+        const int32_t* sy = s.ly + idx * 256;
+        const int32_t* scb = s.lcb + idx * 64;
+        const int32_t* scr = s.lcr + idx * 64;
+        for (int yy = 0; yy < 16; yy++)
+          for (int xx = 0; xx < 16; xx++)
+            y32[(qy * 16 + yy) * 32 + qx * 16 + xx] = sy[yy * 16 + xx];
+        for (int yy = 0; yy < 8; yy++)
+          for (int xx = 0; xx < 8; xx++) {
+            cb16[(qy * 8 + yy) * 16 + qx * 8 + xx] = scb[yy * 8 + xx];
+            cr16[(qy * 8 + yy) * 16 + qx * 8 + xx] = scr[yy * 8 + xx];
+          }
+      }
+    r.y = y32; r.cb = cb16; r.cr = cr16;
+  }
+  int ny = cells == 2 ? 1024 : 256, nc = cells == 2 ? 256 : 64;
+  r.cbf_y = r.cbf_cb = r.cbf_cr = 0;
+  for (int k = 0; k < ny && !r.cbf_y; k++) r.cbf_y = r.y[k] != 0;
+  for (int k = 0; k < nc && !r.cbf_cb; k++) r.cbf_cb = r.cb[k] != 0;
+  for (int k = 0; k < nc && !r.cbf_cr; k++) r.cbf_cr = r.cr[k] != 0;
+  return r;
+}
+
+// delta handling shared by all CU shapes: returns the delta to signal
+// (when qp16 active and the CU has coded coefficients) and updates prev.
+bool cu_delta(SliceCtx& s, int bx, int by, int cells, int any_cbf,
+              int* delta) {
+  if (!s.qp16) return false;
+  int qp = cells == 2 ? s.qp32[(by / 2) * s.wc + bx / 2]
+                      : s.qp16[by * s.w16 + bx];
+  if (!any_cbf) return false;
+  *delta = qp - s.qp_prev;
+  s.qp_prev = qp;
+  return true;
+}
+
+void cu_residuals(Cabac& e, SliceCtx& s, const CuLevels& L, int cells) {
+  const ScanTabs& tl = cells == 2 ? s.t32 : s.t16;
+  const ScanTabs& tc = cells == 2 ? s.t16 : s.t8;
+  int log2l = cells == 2 ? 5 : 4;
+  if (L.cbf_y) residual_coding(e, L.y, log2l, 0, tl);
+  if (L.cbf_cb) residual_coding(e, L.cb, log2l - 1, 1, tc);
+  if (L.cbf_cr) residual_coding(e, L.cr, log2l - 1, 2, tc);
+}
+
+// intra CU of size cells*16 at 16-cell (bx, by).  in_inter: coded after
+// a pred_mode/part_mode prefix inside a P/B slice (part handled by
+// caller); standalone I-slice CUs code part_mode at min CB size here.
+void code_intra_cu(Cabac& e, SliceCtx& s, int bx, int by, int cells,
+                   bool in_inter, int32_t* buf) {
+  if (!in_inter && cells == 1) e.encode_bin(g_layout.part_mode, 1);
+  int64_t idx = (int64_t)by * s.w16 + bx;
+  int cand_a = 1, cand_b = 1;
+  if (bx > 0 && (s.st == 0 || s.kinds[idx - 1] == 2))
+    cand_a = s.modes[idx - 1];
+  if (s.ctb_log2 == 5 && (by & 1) == 1 &&
+      (s.st == 0 || s.kinds[idx - s.w16] == 2))
+    cand_b = s.modes[idx - s.w16];
+  int m[3];
+  mpm_list2(cand_a, cand_b, m);
+  nc_intra_luma_mode(e, s.modes[idx], m);
+  e.encode_bin(g_layout.chroma_pred, 0);          // DM chroma
+  CuLevels L = cu_levels(s, bx, by, cells, buf);
+  e.encode_bin(g_layout.qt_cbf + 2, L.cbf_cb);
+  e.encode_bin(g_layout.qt_cbf + 2, L.cbf_cr);
+  e.encode_bin(g_layout.qt_cbf + 1, L.cbf_y);
+  int delta;
+  if (cu_delta(s, bx, by, cells, L.cbf_y || L.cbf_cb || L.cbf_cr,
+               &delta))
+    nc_cu_qp_delta(e, delta);
+  cu_residuals(e, s, L, cells);
+}
+
+// non-skip inter CU (merge_flag == 0 AMVP form).
+void code_inter_cu(Cabac& e, SliceCtx& s, int bx, int by, int cells,
+                   int ct_depth, int32_t* buf) {
+  int64_t idx = (int64_t)by * s.w16 + bx;
+  e.encode_bin(g_layout2.merge_flag, 0);
+  if (s.st == 2) {
+    int d = s.idir[idx];
+    e.encode_bin(g_layout2.inter_dir + ct_depth, d == 3 ? 1 : 0);
+    if (d != 3) e.encode_bin(g_layout2.inter_dir + 4, d == 2 ? 1 : 0);
+    if (d != 2) {
+      encode_mvd(e, s.mvd0[idx * 2], s.mvd0[idx * 2 + 1]);
+      e.encode_bin(g_layout2.mvp, s.mvp0[idx]);
+    }
+    if (d != 1) {
+      encode_mvd(e, s.mvd1[idx * 2], s.mvd1[idx * 2 + 1]);
+      e.encode_bin(g_layout2.mvp, s.mvp1[idx]);
+    }
+  } else {
+    encode_mvd(e, s.mvd0[idx * 2], s.mvd0[idx * 2 + 1]);
+    e.encode_bin(g_layout2.mvp, s.mvp0[idx]);
+  }
+  CuLevels L = cu_levels(s, bx, by, cells, buf);
+  int root = (L.cbf_y || L.cbf_cb || L.cbf_cr) ? 1 : 0;
+  e.encode_bin(g_layout2.root_cbf, root);
+  if (root) {
+    e.encode_bin(g_layout.qt_cbf + 2, L.cbf_cb);
+    e.encode_bin(g_layout.qt_cbf + 2, L.cbf_cr);
+    if (L.cbf_cb || L.cbf_cr) e.encode_bin(g_layout.qt_cbf + 1, L.cbf_y);
+    int delta;
+    if (cu_delta(s, bx, by, cells, 1, &delta)) nc_cu_qp_delta(e, delta);
+    cu_residuals(e, s, L, cells);
+  }
+}
+
+void code_cu(Cabac& e, SliceCtx& s, int bx, int by, int cells,
+             int ct_depth, int32_t* buf) {
+  if (s.st == 0) {
+    code_intra_cu(e, s, bx, by, cells, false, buf);
+    return;
+  }
+  int64_t idx = (int64_t)by * s.w16 + bx;
+  int kind = s.kinds[idx];
+  int left_skip = bx > 0 ? (s.kinds[idx - 1] == 0) : 0;
+  int above_skip = by > 0 ? (s.kinds[idx - s.w16] == 0) : 0;
+  e.encode_bin(g_layout2.cu_skip + left_skip + above_skip,
+               kind == 0 ? 1 : 0);
+  if (kind == 0) {
+    encode_merge_idx(e, s.merge[idx], s.max_merge);
+    return;
+  }
+  int intra = kind == 2;
+  e.encode_bin(g_layout2.pred_mode, intra);
+  // part_mode: always coded for inter; for intra only at min CB size
+  if (!intra || cells == 1) e.encode_bin(g_layout.part_mode, 1);
+  if (intra) code_intra_cu(e, s, bx, by, cells, true, buf);
+  else code_inter_cu(e, s, bx, by, cells, ct_depth, buf);
+}
+
+void code_ctu(Cabac& e, SliceCtx& s, int cy, int cx, int32_t* buf) {
+  nc_sao_ctu(e, s, cy, cx);
+  if (s.ctb_log2 == 5) {
+    int sp = s.split[(int64_t)cy * s.wc + cx];
+    int ctx = ((cx > 0 && s.split[(int64_t)cy * s.wc + cx - 1]) ? 1 : 0)
+        + ((cy > 0 && s.split[(int64_t)(cy - 1) * s.wc + cx]) ? 1 : 0);
+    e.encode_bin(g_layout3.split_cu + ctx, sp);
+    int bx = 2 * cx, by = 2 * cy;
+    if (sp) {
+      for (int q = 0; q < 4; q++)
+        code_cu(e, s, bx + (q & 1), by + (q >> 1), 1, 1, buf);
+    } else {
+      code_cu(e, s, bx, by, 2, 0, buf);
+    }
+  } else {
+    code_cu(e, s, cx, cy, 1, 0, buf);
+  }
+}
+
+void init_cabac(Cabac& e, const int32_t* init_states) {
+  e.state.resize(g_layout.num_ctx);
+  e.mps.resize(g_layout.num_ctx);
+  for (int i = 0; i < g_layout.num_ctx; i++) {
+    e.state[i] = (uint8_t)init_states[2 * i];
+    e.mps[i] = (uint8_t)init_states[2 * i + 1];
+  }
+}
+
+}  // namespace
+
+// Returns total payload bytes (all substreams concatenated), or -1 on
+// overflow.  entry_sizes (len hc, used hc-1) receives per-substream
+// byte counts when wpp != 0.  NULLable: split (ctb16), kinds/merge (I),
+// idir/mvd1/mvp1 (I/P), qp16/qp32 (no AQ), sao_l/sao_c (no SAO).
+extern "C" int64_t hevc_encode_slice(
+    int32_t slice_type, int32_t ctb_log2, int32_t hc, int32_t wc,
+    const int32_t* split, const int32_t* kinds, const int32_t* modes,
+    const int32_t* merge_idx, const int32_t* inter_dir,
+    const int32_t* mvd0, const int32_t* mvp0,
+    const int32_t* mvd1, const int32_t* mvp1,
+    const int32_t* levels_y, const int32_t* levels_cb,
+    const int32_t* levels_cr, const int32_t* qp16, const int32_t* qp32,
+    const int32_t* sao_luma, const int32_t* sao_chroma,
+    int32_t slice_qp, int32_t max_merge, int32_t wpp,
+    const int32_t* init_states, int32_t* entry_sizes,
+    uint8_t* out, int64_t out_cap) {
+  SliceCtx s;
+  s.st = slice_type;
+  s.ctb_log2 = ctb_log2;
+  s.hc = hc; s.wc = wc;
+  int scale = ctb_log2 == 5 ? 2 : 1;
+  s.w16 = wc * scale; s.h16 = hc * scale;
+  s.split = split; s.kinds = kinds; s.modes = modes;
+  s.merge = merge_idx; s.idir = inter_dir;
+  s.mvd0 = mvd0; s.mvp0 = mvp0; s.mvd1 = mvd1; s.mvp1 = mvp1;
+  s.ly = levels_y; s.lcb = levels_cb; s.lcr = levels_cr;
+  s.qp16 = qp16; s.qp32 = qp32;
+  s.sao_l = sao_luma; s.sao_c = sao_chroma;
+  s.slice_qp = slice_qp; s.max_merge = max_merge;
+  s.qp_prev = slice_qp;
+  build_diag_scans(5, &s.t32);
+  build_diag_scans(4, &s.t16);
+  build_diag_scans(3, &s.t8);
+  int32_t buf[1024 + 2 * 256];
+
+  int64_t total = 0;
+  if (!wpp || hc <= 1) {
+    Cabac e;
+    init_cabac(e, init_states);
+    for (int cy = 0; cy < hc; cy++)
+      for (int cx = 0; cx < wc; cx++) {
+        code_ctu(e, s, cy, cx, buf);
+        e.encode_terminate((cy == hc - 1 && cx == wc - 1) ? 1 : 0);
+      }
+    e.finish();
+    if ((int64_t)e.bytes.size() > out_cap) return -1;
+    std::memcpy(out, e.bytes.data(), e.bytes.size());
+    return (int64_t)e.bytes.size();
+  }
+  // WPP: one substream per CTU row, context inheritance from col 1 of
+  // the row above (spec 9.3.1 / frameencoder.cpp:1595-1597)
+  std::vector<uint8_t> row_state, row_mps;
+  bool have_row = false;
+  for (int cy = 0; cy < hc; cy++) {
+    Cabac e;
+    if (cy == 0 || !have_row) {
+      init_cabac(e, init_states);
+    } else {
+      e.state = row_state;
+      e.mps = row_mps;
+    }
+    if (qp16) s.qp_prev = slice_qp;    // qPY_PREV resets per row
+    for (int cx = 0; cx < wc; cx++) {
+      code_ctu(e, s, cy, cx, buf);
+      if (cx == 1) { row_state = e.state; row_mps = e.mps;
+                     have_row = true; }
+      e.encode_terminate((cy == hc - 1 && cx == wc - 1) ? 1 : 0);
+    }
+    if (cy < hc - 1) e.encode_terminate(1);   // end_of_subset_one_bit
+    e.finish();
+    if (total + (int64_t)e.bytes.size() > out_cap) return -1;
+    std::memcpy(out + total, e.bytes.data(), e.bytes.size());
+    if (entry_sizes) entry_sizes[cy] = (int32_t)e.bytes.size();
+    total += (int64_t)e.bytes.size();
+  }
+  return total;
+}

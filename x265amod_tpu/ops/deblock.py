@@ -322,6 +322,32 @@ def bs_maps(intra, cbf, dir_, mv0, mv1, xp=np):
     return bs_v, bs_h
 
 
+def intra_tree_bs_maps(split32, h16: int, w16: int, xp=jnp):
+    """bS maps for an all-intra CTU32 quadtree frame: every TU boundary
+    between intra blocks has bS = 2 (spec 8.7.2.4 first rule); internal
+    16-edges of an UNSPLIT CTU are not TU boundaries (TU32) -> bS = 0.
+
+    split32: [hc32, wc32]; returns (bs_v [h16, w16-1], bs_h [h16-1, w16])
+    on the 16-cell edge grid used by deblock_*_bs."""
+    jv = xp.arange(w16 - 1)
+    # vertical edge between cell columns j and j+1: CTU-internal iff j
+    # even (the x = (j+1)*16 boundary falls mid-CTU)
+    internal_v = (jv % 2 == 0)
+    ctu_col = (jv + 1) // 2
+    rows32 = xp.arange(h16) // 2
+    split_v = split32[rows32[:, None], ctu_col[None, :]]
+    bs_v = xp.where(internal_v[None, :], 2 * split_v,
+                    xp.full((h16, w16 - 1), 2)).astype(xp.int32)
+    ji = xp.arange(h16 - 1)
+    internal_h = (ji % 2 == 0)
+    ctu_row = (ji + 1) // 2
+    cols32 = xp.arange(w16) // 2
+    split_h = split32[ctu_row[:, None], cols32[None, :]]
+    bs_h = xp.where(internal_h[:, None], 2 * split_h,
+                    xp.full((h16 - 1, w16), 2)).astype(xp.int32)
+    return bs_v, bs_h
+
+
 def _vertical_pass_luma_bs(x, qp, bs_v, edge_step,
                            beta_offset=0, tc_offset=0):
     """Like _vertical_pass_luma but with per-edge bS: bs_v [hc, wc-1]

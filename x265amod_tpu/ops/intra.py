@@ -204,6 +204,45 @@ def predict_all_modes_batch(top: jax.Array, left: jax.Array,
     return preds.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "bit_depth"))
+def substitute_refs_general(top_raw: jax.Array, left_raw: jax.Array,
+                            corner_raw: jax.Array,
+                            avail_top: jax.Array, avail_left: jax.Array,
+                            avail_corner: jax.Array, n: int,
+                            bit_depth: int = 8):
+    """Exact spec 8.4.4.2.2 reference substitution with PER-SAMPLE
+    availability masks (needed for the CU-quadtree z-scan availability,
+    where below-left / top-right segments can be partially available).
+
+    top_raw/left_raw: [B, 2n] raw gathered samples; avail_top/avail_left:
+    [B, 2n] bool; corner_raw/avail_corner: [B].  The spec scan order is
+    left[2n-1] .. left[0], corner, top[0] .. top[2n-1]: each unavailable
+    sample takes the previous (substituted) sample's value; a leading
+    unavailable run takes the first available sample; all-unavailable
+    fills mid-grey.  Vectorized via a cumulative-max index scan.
+    """
+    fill = 1 << (bit_depth - 1)
+    seq = jnp.concatenate([left_raw[:, ::-1], corner_raw[:, None],
+                           top_raw], axis=1).astype(jnp.int32)
+    av = jnp.concatenate([avail_left[:, ::-1], avail_corner[:, None],
+                          avail_top], axis=1)
+    m = seq.shape[1]
+    iota = jnp.arange(m)[None, :]
+    # index of the nearest available sample at or before each position
+    prev_idx = jax.lax.cummax(jnp.where(av, iota, -1), axis=1)
+    # first available index overall (for the leading unavailable run)
+    first_idx = jnp.argmax(av, axis=1)
+    any_av = jnp.any(av, axis=1)
+    idx = jnp.where(prev_idx >= 0, prev_idx, first_idx[:, None])
+    sub = jnp.take_along_axis(seq, idx, axis=1)
+    sub = jnp.where(any_av[:, None], sub, fill)
+    left = sub[:, :2 * n][:, ::-1]
+    corner = sub[:, 2 * n]
+    top = sub[:, 2 * n + 1:]
+    return top.astype(jnp.int32), left.astype(jnp.int32), \
+        corner.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "w_ctbs", "avail_tr_all"))
 def substitute_refs(top_raw: jax.Array, left_raw: jax.Array,
                     corner_raw: jax.Array, cx: jax.Array, cy: jax.Array,

@@ -7,9 +7,11 @@ BitReader, slice data via the *normative* CABAC decoder) and rebuilds
 the reconstruction with the scalar-exact numpy ops.  Encoder recon and
 decoder recon must match bit-exactly.
 
-Supported today: Main profile I-slices, CTU=CU=16, TU16 luma / TU8
-chroma, diag scans, deblocking disabled.  The parser asserts loudly on
-anything else so unsupported-feature bugs can't slip through silently.
+Supported today: Main profile I/P/B; CTU16 flat pipeline and CTU32
+depth-1 CU quadtree (split_cu_flag, TU32+TU16-chroma / 4x CU16 with
+z-scan availability), diag scans, deblock/SAO/WPP/per-CU QP.  The
+parser asserts loudly on anything else so unsupported-feature bugs
+can't slip through silently.
 """
 
 from __future__ import annotations
@@ -438,25 +440,27 @@ class _SaoState:
 
     def apply(self, y_pl: np.ndarray, pad: int, hc: int, wc: int,
               cb_pl: np.ndarray | None = None,
-              cr_pl: np.ndarray | None = None) -> None:
+              cr_pl: np.ndarray | None = None, ctb: int = 16) -> None:
         from ..ops.sao import sao_apply_np
+        cb2 = ctb // 2
         if self.has_luma:
-            region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
-            y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = sao_apply_np(
-                region, self.type, self.eo, self.bp, self.off, 16)
+            region = y_pl[pad:pad + hc * ctb, pad:pad + wc * ctb]
+            y_pl[pad:pad + hc * ctb, pad:pad + wc * ctb] = sao_apply_np(
+                region, self.type, self.eo, self.bp, self.off, ctb)
         if self.has_chroma and cb_pl is not None:
             hp = pad // 2
             for pl, bp, off in ((cb_pl, self.c_bp_cb, self.c_off_cb),
                                 (cr_pl, self.c_bp_cr, self.c_off_cr)):
-                reg = pl[hp:hp + hc * 8, hp:hp + wc * 8]
-                pl[hp:hp + hc * 8, hp:hp + wc * 8] = sao_apply_np(
-                    reg, self.c_type, self.c_eo, bp, off, 8)
+                reg = pl[hp:hp + hc * cb2, hp:hp + wc * cb2]
+                pl[hp:hp + hc * cb2, hp:hp + wc * cb2] = sao_apply_np(
+                    reg, self.c_type, self.c_eo, bp, off, cb2)
 
 
 def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                       nal_type: int) -> DecodedFrame:
-    assert sps.log2_ctb == 4 and sps.log2_min_cb == 4, \
-        "decoder supports CTU16 pipeline only (v1)"
+    ctb = 1 << sps.log2_ctb
+    assert ctb in (16, 32) and sps.log2_min_cb == 4, \
+        "decoder supports CTU16/CTU32 with min CU 16"
     r = BitReader(rbsp)
     assert r.read_flag() == 1          # first_slice_segment_in_pic
     r.read_flag()                      # no_output_of_prior_pics
@@ -473,64 +477,124 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     r.byte_align()
     payload = rbsp[r.bit_pos // 8:]
 
-    wc = -(-sps.width // 16)
-    hc = -(-sps.height // 16)
-    pad = 16
-    y_pl = np.zeros((hc * 16 + 2 * pad, wc * 16 + 2 * pad), dtype=np.int32)
-    cb_pl = np.zeros((hc * 8 + pad, wc * 8 + pad), dtype=np.int32)
+    wc = -(-sps.width // ctb)
+    hc = -(-sps.height // ctb)
+    pad = ctb
+    ph, pw = hc * ctb, wc * ctb
+    y_pl = np.zeros((ph + 2 * pad, pw + 2 * pad), dtype=np.int32)
+    cb_pl = np.zeros((ph // 2 + pad, pw // 2 + pad), dtype=np.int32)
     cr_pl = np.zeros_like(cb_pl)
-    modes = np.full((hc, wc), -1, dtype=np.int32)
+    modes = np.full((ph // 16, pw // 16), -1, dtype=np.int32)
+    split_map = np.zeros((hc, wc), dtype=np.int32)
     qp_c_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_c_cr = chroma_qp(qp, pps.cr_qp_offset)
     qpctx = {"prev": qp}
     sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
         if (sao_luma or sao_chroma) else None
 
-    def ctu_fn(d, cx, cy):
-        _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
-                      y_pl, cb_pl, cr_pl, modes, pad)
+    if ctb == 16:
+        def ctu_fn(d, cx, cy):
+            _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
+                          y_pl, cb_pl, cr_pl, modes, pad)
+    else:
+        def ctu_fn(d, cx, cy):
+            _decode_ctu_tree(d, sps, pps, qpctx, cx, cy, wc, hc,
+                             y_pl, cb_pl, cr_pl, modes, split_map, pad)
     _slice_ctu_loop(payload, "I", qp, hc, wc, entry, qpctx, sao,
                     ctu_fn)
     if not pps.deblock_disabled:
         assert not pps.cu_qp_delta, \
             "deblock with per-CU QP not wired up yet"
-        from ..ops.deblock import deblock_chroma_np, deblock_luma_np
-        ph, pw = hc * 16, wc * 16
-        y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_np(
-            y_pl[pad:pad + ph, pad:pad + pw], qp)
         hp = pad // 2
-        cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
-            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb)
-        cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
-            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
+        if ctb == 16:
+            from ..ops.deblock import deblock_chroma_np, deblock_luma_np
+            y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_np(
+                y_pl[pad:pad + ph, pad:pad + pw], qp)
+            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
+                cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb)
+            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
+                cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
+        else:
+            from ..ops.deblock import (deblock_chroma_bs_np,
+                                       deblock_luma_bs_np,
+                                       intra_tree_bs_maps)
+            bs_v, bs_h = intra_tree_bs_maps(split_map, ph // 16,
+                                            pw // 16, xp=np)
+            y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_bs_np(
+                y_pl[pad:pad + ph, pad:pad + pw], qp, bs_v, bs_h)
+            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
+                deblock_chroma_bs_np(
+                    cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb,
+                    bs_v, bs_h)
+            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
+                deblock_chroma_bs_np(
+                    cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr,
+                    bs_v, bs_h)
     if sao is not None:
-        sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
+        sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl, ctb=ctb)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
-    fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
-    fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
-                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
-    fcr = cr_pl[pad // 2:pad // 2 + hc * 8,
-                pad // 2:pad // 2 + wc * 8].astype(np.uint8)
+    hp = pad // 2
+    fy = y_pl[pad:pad + ph, pad:pad + pw].astype(np.uint8)
+    fcb = cb_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(np.uint8)
+    fcr = cr_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(np.uint8)
     return DecodedFrame(
         y=fy[:h, :w], cb=fcb[:h // 2, :w // 2], cr=fcr[:h // 2, :w // 2],
         modes=modes, full_y=fy, full_cb=fcb, full_cr=fcr)
 
 
+def _zavail(bx: int, by: int, nx: int, ny: int, w16: int,
+            h16: int) -> bool:
+    """Availability (spec 6.4.1) of the 16-cell (nx, ny) for a CU whose
+    top-left 16-cell is (bx, by), under CTU32 raster + z-scan order:
+    the neighbor must be inside the picture and precede in decoding
+    order (earlier CTU in raster, or earlier z-index in the same CTU)."""
+    if nx < 0 or ny < 0 or nx >= w16 or ny >= h16:
+        return False
+    wc32 = w16 // 2
+    c_ctu = (by // 2) * wc32 + (bx // 2)
+    n_ctu = (ny // 2) * wc32 + (nx // 2)
+    if n_ctu != c_ctu:
+        return n_ctu < c_ctu
+    return ((ny & 1) * 2 + (nx & 1)) < ((by & 1) * 2 + (bx & 1))
+
+
+def _zavail_masks(bx: int, by: int, cells: int, w16: int, h16: int,
+                  n: int):
+    """Per-sample availability masks (at[2n], al[2n], corner) for a CU
+    covering `cells` 16-cells per side with top-left cell (bx, by)."""
+    seg = n // cells                  # samples per 16-cell segment
+    at = np.zeros(2 * n, bool)
+    al = np.zeros(2 * n, bool)
+    for s in range(2 * cells):
+        at[s * seg:(s + 1) * seg] = _zavail(bx, by, bx + s, by - 1,
+                                            w16, h16)
+        al[s * seg:(s + 1) * seg] = _zavail(bx, by, bx - 1, by + s,
+                                            w16, h16)
+    ac = _zavail(bx, by, bx - 1, by - 1, w16, h16)
+    return at, al, ac
+
+
 def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
                        mode: int, c_idx: int, resi: np.ndarray,
-                       avail_left: bool, avail_top: bool,
-                       avail_tr: bool) -> None:
-    """Reconstruct one intra block in-place on the padded plane."""
+                       avail_left, avail_top, avail_tr=None,
+                       avail_corner=None) -> None:
+    """Reconstruct one intra block in-place on the padded plane.
+    avail_left/avail_top: bools (v1 CTU16 grid rules) or per-sample
+    [2n] masks (quadtree z-scan rules, avail_corner then required)."""
     top = plane[y0 - 1, x0:x0 + 2 * n].copy()
     left = plane[y0:y0 + 2 * n, x0 - 1].copy()
     corner = int(plane[y0 - 1, x0 - 1])
-    at = np.zeros(2 * n, bool)
-    at[:n] = avail_top
-    at[n:] = avail_tr
-    al = np.zeros(2 * n, bool)
-    al[:n] = avail_left            # bottom-left never available (v1 grid)
+    if isinstance(avail_top, np.ndarray):
+        at, al, ac = avail_top, avail_left, bool(avail_corner)
+    else:
+        at = np.zeros(2 * n, bool)
+        at[:n] = avail_top
+        at[n:] = avail_tr
+        al = np.zeros(2 * n, bool)
+        al[:n] = avail_left        # bottom-left never available (v1 grid)
+        ac = avail_left and avail_top
     top, left, corner = ref_sample_substitution(
-        top, left, corner, at, al, avail_left and avail_top)
+        top, left, corner, at, al, ac)
     if filter_flag(mode, n, c_idx):
         top, left, corner = smooth_refs(top, left, corner)
     pred = predict_mode(mode, top, left, corner, n, c_idx)
@@ -603,6 +667,83 @@ def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
                        resi_cb, avail_l, avail_t, avail_tr)
     _intra_recon_block(cr_pl, hp + cx * 8, hp + cy * 8, 8, mode, 2,
                        resi_cr, avail_l, avail_t, avail_tr)
+
+
+def _parse_intra_mode(d, mpms) -> int:
+    """prev_intra_luma_pred_flag + mpm_idx / rem mode (spec 7.3.8.5)."""
+    if d.decode_bin(S.CTX_PREV_INTRA):
+        idx = 0
+        if d.decode_bypass():
+            idx = 1 + d.decode_bypass()
+        return mpms[idx]
+    rem = d.decode_bypass_bins(5)
+    for m in sorted(mpms):
+        if rem >= m:
+            rem += 1
+    return rem
+
+
+def _decode_intra_cu(d, sps, pps, qpctx, bx, by, cells, w16, h16,
+                     y_pl, cb_pl, cr_pl, modes16, pad):
+    """One intra CU of `cells`*16 luma size at 16-cell (bx, by) inside
+    a CTU32 quadtree (mirror of cabac.syntax.encode_intra_cu)."""
+    n = cells * 16
+    log2n = 4 + (cells - 1)
+    if log2n == sps.log2_min_cb:
+        assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_NxN unsupported"
+    cand_a = int(modes16[by, bx - 1]) \
+        if _zavail(bx, by, bx - 1, by, w16, h16) else 1
+    # above candidate forced to DC outside the current CTU (spec 8.4.2)
+    cand_b = int(modes16[by - 1, bx]) if (by % 2 == 1) else 1
+    mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+    assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
+    cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
+    cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
+    cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+    qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+    nc = n // 2
+    ly = decode_residual(d, log2n, 0, 0) if cbf_y else \
+        np.zeros((n, n), np.int32)
+    lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else \
+        np.zeros((nc, nc), np.int32)
+    lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else \
+        np.zeros((nc, nc), np.int32)
+    modes16[by:by + cells, bx:bx + cells] = mode
+    resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
+        np.zeros((n, n), np.int32)
+    resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb else \
+        np.zeros((nc, nc), np.int32)
+    resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr else \
+        np.zeros((nc, nc), np.int32)
+    at, al, ac = _zavail_masks(bx, by, cells, w16, h16, n)
+    _intra_recon_block(y_pl, pad + bx * 16, pad + by * 16, n, mode, 0,
+                       resi_y, al, at, avail_corner=ac)
+    hp = pad // 2
+    _intra_recon_block(cb_pl, hp + bx * 8, hp + by * 8, nc, mode, 1,
+                       resi_cb, al[::2], at[::2], avail_corner=ac)
+    _intra_recon_block(cr_pl, hp + bx * 8, hp + by * 8, nc, mode, 2,
+                       resi_cr, al[::2], at[::2], avail_corner=ac)
+
+
+def _decode_ctu_tree(d, sps, pps, qpctx, cx, cy, wc32, hc32,
+                     y_pl, cb_pl, cr_pl, modes16, split_map, pad):
+    """CTU32 with depth-1 CU quadtree (spec 7.3.8.4 coding_quadtree)."""
+    w16, h16 = wc32 * 2, hc32 * 2
+    split = S.decode_split_cu(
+        d, int(split_map[cy, cx - 1]) if cx > 0 else 0,
+        int(split_map[cy - 1, cx]) if cy > 0 else 0, cx > 0, cy > 0)
+    split_map[cy, cx] = split
+    by, bx = 2 * cy, 2 * cx
+    if split:
+        for q in range(4):
+            _decode_intra_cu(d, sps, pps, qpctx, bx + (q & 1),
+                             by + (q >> 1), 1, w16, h16,
+                             y_pl, cb_pl, cr_pl, modes16, pad)
+    else:
+        _decode_intra_cu(d, sps, pps, qpctx, bx, by, 2, w16, h16,
+                         y_pl, cb_pl, cr_pl, modes16, pad)
 
 
 # ---------------------------------------------------------------------------
