@@ -77,14 +77,19 @@ class BFrameEncoder:
     """Per-resolution compiled B-frame encoder (one ref per list)."""
 
     def __init__(self, width: int, height: int,
-                 lambda_scale: float = 0.85, sao: bool = False,
-                 deblock: bool = False):
+                 lambda_scale: float = 1.0, sao: bool = False,
+                 deblock: bool = False, wpp: bool = False,
+                 search_range: int = SEARCH_RANGE, subme: int = 2):
         assert width % 16 == 0 and height % 16 == 0
+        assert 4 <= search_range <= 32, "dense-grid ME range"
+        self.sr = int(search_range)
+        self.subme = int(subme)
         self.width, self.height = width, height
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         self.sao = sao
         self.deblock = deblock
+        self.wpp = wpp
         diags = _diag_schedule(self.wc, self.hc)
         self.n_diags = len(diags)
         self.bmax = max(len(d) for d in diags)
@@ -112,7 +117,8 @@ class BFrameEncoder:
 
     # ------------------------------------------------------------------
     def _encode(self, y, cb, cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
-                qp_blk, qpc_blk, lam_blk, dsf0, dsf1, wr=False):
+                qp_blk, qpc_blk, lam_blk, dsf0, dsf1, slice_qp,
+                wr=False):
         # qp_blk/qpc_blk [n] int32, lam_blk [n] f32 (per-CTU raster)
         wc, hc = self.wc, self.hc
         n = hc * wc
@@ -135,18 +141,19 @@ class BFrameEncoder:
         ocr_flat = to_blocks(cr, 8).reshape(n, 8, 8)
 
         # ---- 1. dense ME on both references -------------------------------
-        s = 2 * SEARCH_RANGE + 1
-        off = jnp.arange(s) - SEARCH_RANGE
+        sr = self.sr
+        s = 2 * sr + 1
+        off = jnp.arange(s) - sr
         mygrid, mxgrid = jnp.meshgrid(off, off, indexing="ij")
         mvbits_grid = _mvd_bits(
             jnp.stack([mxgrid * 4, mygrid * 4], -1))         # [S, S]
 
         def best_mv(ref_plane):
-            grid = me_ssd_grid(oy, ref_plane, SEARCH_RANGE)
+            grid = me_ssd_grid(oy, ref_plane, sr)
             cost = grid + lam_blk[:, None, None] * mvbits_grid[None]
             flat = jnp.argmin(cost.reshape(n, -1), axis=1)
-            mv_int = jnp.stack([flat % s - SEARCH_RANGE,
-                                flat // s - SEARCH_RANGE], 1)
+            mv_int = jnp.stack([flat % s - sr,
+                                flat // s - sr], 1)
             mv_q, _ = subpel_refine(ref_plane, oy, mv_int,
                                     lam_blk[:, None], 16)
             return grid, mv_q
@@ -207,11 +214,11 @@ class BFrameEncoder:
         skip_map = jnp.zeros((hc + 1, wc), jnp.int32)
 
         def grid_lookup(grid, ctu_idx, mv_int):
-            mx = jnp.clip(mv_int[:, 0] + SEARCH_RANGE, 0, s - 1)
-            my = jnp.clip(mv_int[:, 1] + SEARCH_RANGE, 0, s - 1)
+            mx = jnp.clip(mv_int[:, 0] + sr, 0, s - 1)
+            my = jnp.clip(mv_int[:, 1] + sr, 0, s - 1)
             val = grid[ctu_idx, my, mx]
-            inside = (jnp.abs(mv_int[:, 0]) <= SEARCH_RANGE) & \
-                     (jnp.abs(mv_int[:, 1]) <= SEARCH_RANGE)
+            inside = (jnp.abs(mv_int[:, 0]) <= sr) & \
+                     (jnp.abs(mv_int[:, 1]) <= sr)
             return jnp.where(inside, val, jnp.float32(1e18))
 
         xs_decide = (self._coords, self._valid,
@@ -536,7 +543,9 @@ class BFrameEncoder:
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
         if self.deblock:
             from ..ops.deblock import (bs_maps, deblock_chroma_bs,
-                                       deblock_luma_bs)
+                                       deblock_luma_bs, edge_qp_maps,
+                                       effective_qp_map)
+            from ..ops.quant import chroma_qp_jnp
             intra_m = (kinds == 2).reshape(hc, wc)
             cbf_m = jnp.any(ly_r != 0, axis=(1, 2)).reshape(hc, wc)
             dir_m = jnp.where(intra_m, 0,
@@ -545,9 +554,20 @@ class BFrameEncoder:
             mv1_m = mv1_fin.reshape(hc, wc, 2)
             bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
                                  xp=jnp)
-            rec_y = deblock_luma_bs(rec_y, qp_blk[0], bs_v, bs_h)
-            rec_cb = deblock_chroma_bs(rec_cb, qpc_blk[0], bs_v, bs_h)
-            rec_cr = deblock_chroma_bs(rec_cr, qpc_blk[0], bs_v, bs_h)
+            coded = (jnp.any(ly_r != 0, axis=(1, 2))
+                     | jnp.any(lcb_r != 0, axis=(1, 2))
+                     | jnp.any(lcr_r != 0, axis=(1, 2))).reshape(hc, wc)
+            eff = effective_qp_map(qp_blk.reshape(hc, wc), coded,
+                                   slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
         sao_out = ()
         if self.sao:
             from ..ops.sao import (sao_analyse, sao_analyse_chroma,
@@ -589,7 +609,8 @@ class BFrameEncoder:
                     r1y, r1cb, r1cr, jnp.asarray(qp_map.reshape(-1)),
                     jnp.asarray(qcb.reshape(-1)),
                     jnp.asarray(lam.reshape(-1)),
-                    jnp.int32(dsf0), jnp.int32(dsf1))
+                    jnp.int32(dsf0), jnp.int32(dsf1),
+                    jnp.asarray(qp, jnp.int32))
 
     def collect(self, outs, want_recon: bool = False) -> BFrameResult:
         hc, wc = self.hc, self.wc

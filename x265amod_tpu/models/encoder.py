@@ -71,6 +71,12 @@ class Encoder:
     def __init__(self, param: Param):
         check_params(param)
         self.param = param
+        if param.lossless:
+            # full-lossless recon == source; in-loop filters would
+            # break the bit-exactness contract (reference disables them
+            # around bypassed CUs, spec 8.7.2/8.7.3 bypass exclusions)
+            param.deblock = False
+            param.sao = False
         w, h = param.width, param.height
         self.inter_enabled = param.keyint != 1
         # CU quadtree (CTU32, depth-1) is the default pipeline; the flat
@@ -117,24 +123,23 @@ class Encoder:
             from ..analysis import AnalysisWriter
             self._awriter = AnalysisWriter(param.analysis_save,
                                            param.analysis_reuse_level)
+        # QG == CTB everywhere (diff_cu_qp_delta_depth 0, the role of
+        # x265's qg-size default): one cu_qp_delta per coded CTB, and
+        # the deblocking filter follows the decoded per-QG QP chain —
+        # AQ and deblock now compose (round-1 silently disabled deblock
+        # under AQ; fixed).
         self.pps = PpsInfo(init_qp=26,
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset,
                            cu_qp_delta_enabled=self.use_lookahead
                            or self._loaded_qpoff,
-                           diff_cu_qp_delta_depth=1 if self.use_tree
-                           else 0,
+                           diff_cu_qp_delta_depth=0,
                            entropy_coding_sync=param.wpp,
                            transquant_bypass=param.lossless)
         if param.lossless:
             assert not self.inter_enabled, \
                 "lossless is wired for all-intra (keyint=1) in v1"
-            assert not param.sao and not param.deblock, \
-                "lossless bypasses the loop filters"
-        if self.use_lookahead and param.deblock:
-            param.deblock = False    # deblock+per-CU QP lands later
-            self.pps.deblocking_disabled = True
         self.lookahead = Lookahead(
             self.pad_w, self.pad_h, strength=param.aq_strength,
             depth=max(2, min(param.rc_lookahead, 24)),
@@ -151,18 +156,20 @@ class Encoder:
             from .intra_tree import IntraTreeEncoder
             self.frame_encoder = IntraTreeEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
-                sao=param.sao)
+                sao=param.sao, wpp=param.wpp)
         else:
             self.frame_encoder = IntraFrameEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
-                sao=param.sao, lossless=param.lossless)
-        self.inter_encoder = InterFrameEncoder(self.pad_w, self.pad_h,
-                                               sao=param.sao,
-                                               deblock=param.deblock) \
+                sao=param.sao, lossless=param.lossless, wpp=param.wpp)
+        self.inter_encoder = InterFrameEncoder(
+            self.pad_w, self.pad_h, sao=param.sao,
+            deblock=param.deblock, wpp=param.wpp,
+            search_range=param.me_range, subme=param.subme) \
             if self.inter_enabled else None
-        self.b_encoder = BFrameEncoder(self.pad_w, self.pad_h,
-                                       sao=param.sao,
-                                       deblock=param.deblock) \
+        self.b_encoder = BFrameEncoder(
+            self.pad_w, self.pad_h, sao=param.sao,
+            deblock=param.deblock, wpp=param.wpp,
+            search_range=param.me_range, subme=param.subme) \
             if self.bframes else None
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
@@ -408,7 +415,13 @@ class Encoder:
         if self.pps.cu_qp_delta_enabled:
             from ..ops.quant import derive_qp_maps
             hc, wc = self.pad_h // 16, self.pad_w // 16
-            e["qp_map"] = derive_qp_maps(qp, qp_off, hc, wc, 1.0)[0]
+            qp16 = derive_qp_maps(qp, qp_off, hc, wc, 1.0)[0]
+            if stype == "I" and self.use_tree:
+                # QG == CTB32: the signalled map is the 2x2 replication
+                # of the per-CTB map (matches IntraTreeEncoder._maps)
+                from .intra_tree import qp32_of
+                qp16 = np.repeat(np.repeat(qp32_of(qp16), 2, 0), 2, 1)
+            e["qp_map"] = qp16
         if e["last_in_gop"] and self.inter_enabled:
             anchor = e["anchor_poc"]
             if stype == "B" and e["is_ref"]:
@@ -757,9 +770,13 @@ class Encoder:
         return b"".join(subs), [len(s) for s in subs[:-1]]
 
     def _qp_deltas_tree(self, res, qp, qp_map):
-        """Per-CU cu_qp_delta values for the CTU32 quadtree in decode
-        order (CTU raster, z-scan CUs; spec 8.6.1 with QG = 16).
-        Returns {(by, bx) of CU head cell: delta}."""
+        """cu_qp_delta values for the CTU32 quadtree in decode order
+        (CTU raster, z-scan CUs; spec 8.6.1 with QG == CTB): ONE delta
+        per CTB, signalled by the first CU in z-order with coded
+        coefficients; the predictor is the previous signalled QP
+        (per-row reset under WPP).  qp_map is the 16-grid replication
+        of the per-CTB map.  Returns {(by, bx) of signalling CU: delta};
+        CUs absent from the dict must not signal (pass qp_delta=None)."""
         from .intra_tree import qp32_of
         qp32 = qp32_of(qp_map)
         hc32, wc32 = res.split.shape
@@ -771,24 +788,24 @@ class Encoder:
                 prev = qp            # qPY_PREV resets per CTU row
             for cx in range(wc32):
                 by, bx = 2 * cy, 2 * cx
+
+                def coded_at(yq, xq):
+                    return (res.levels_y[yq, xq].any()
+                            or res.levels_cb[yq, xq].any()
+                            or res.levels_cr[yq, xq].any())
+                target = int(qp32[cy, cx])
                 if res.split[cy, cx]:
                     for q in range(4):
                         yq, xq = by + (q >> 1), bx + (q & 1)
-                        coded = res.levels_y[yq, xq].any() or \
-                            res.levels_cb[yq, xq].any() or \
-                            res.levels_cr[yq, xq].any()
-                        if coded:
-                            deltas[(yq, xq)] = int(qp_map[yq, xq]) - prev
-                            prev = int(qp_map[yq, xq])
+                        if coded_at(yq, xq):
+                            deltas[(yq, xq)] = target - prev
+                            prev = target
+                            break
                 else:
-                    coded = any(
-                        res.levels_y[by + dy, bx + dx].any()
-                        or res.levels_cb[by + dy, bx + dx].any()
-                        or res.levels_cr[by + dy, bx + dx].any()
-                        for dy in (0, 1) for dx in (0, 1))
-                    if coded:
-                        deltas[(by, bx)] = int(qp32[cy, cx]) - prev
-                        prev = int(qp32[cy, cx])
+                    if any(coded_at(by + dy, bx + dx)
+                           for dy in (0, 1) for dx in (0, 1)):
+                        deltas[(by, bx)] = target - prev
+                        prev = target
         return deltas
 
     def _sao_pack(self, res):
@@ -852,9 +869,11 @@ class Encoder:
             if qp_map is not None else None
 
         def qpd(by, bx):
+            # one delta per QG (== CTB): only the recorded signalling
+            # CU writes cu_qp_delta; every other CU passes None
             if deltas is None:
                 return None
-            return deltas.get((by, bx), 0)
+            return deltas.get((by, bx))
 
         def cu16(enc, by, bx):
             # MPM cands (spec 8.4.2): above forced to DC when the

@@ -88,14 +88,19 @@ class InterFrameEncoder:
     """Per-resolution compiled P-frame encoder."""
 
     def __init__(self, width: int, height: int,
-                 lambda_scale: float = 0.85, sao: bool = False,
-                 deblock: bool = False):
+                 lambda_scale: float = 1.0, sao: bool = False,
+                 deblock: bool = False, wpp: bool = False,
+                 search_range: int = SEARCH_RANGE, subme: int = 2):
         assert width % 16 == 0 and height % 16 == 0
+        assert 4 <= search_range <= 32, "dense-grid ME range"
+        self.sr = int(search_range)
+        self.subme = int(subme)       # 0: integer-pel; >=1: qpel refine
         self.width, self.height = width, height
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         self.sao = sao
         self.deblock = deblock
+        self.wpp = wpp
         diags = _diag_schedule(self.wc, self.hc)
         self.n_diags = len(diags)
         self.bmax = max(len(d) for d in diags)
@@ -124,7 +129,7 @@ class InterFrameEncoder:
 
     # ------------------------------------------------------------------
     def _encode(self, y, cb, cr, ref_y, ref_cb, ref_cr, qp_blk,
-                qpc_blk, lam_blk, wr=False):
+                qpc_blk, lam_blk, slice_qp, wr=False):
         # qp_blk/qpc_blk [n] int32, lam_blk [n] f32 (per-CTU raster)
         wc, hc = self.wc, self.hc
         n = hc * wc
@@ -145,20 +150,27 @@ class InterFrameEncoder:
         ocb_flat = ocb.reshape(n, 8, 8)
         ocr_flat = ocr.reshape(n, 8, 8)
 
-        # ---- 1. dense ME -------------------------------------------------
-        ssd_grid = me_ssd_grid(oy, ref_y, SEARCH_RANGE)      # [n, S, S]
-        s = 2 * SEARCH_RANGE + 1
-        off = jnp.arange(s) - SEARCH_RANGE
+        # ---- 1. dense ME (me_range-wide grid, merange wired) -------------
+        sr = self.sr
+        ssd_grid = me_ssd_grid(oy, ref_y, sr)                # [n, S, S]
+        s = 2 * sr + 1
+        off = jnp.arange(s) - sr
         mygrid, mxgrid = jnp.meshgrid(off, off, indexing="ij")
         mvbits_grid = _mvd_bits(
             jnp.stack([mxgrid * 4, mygrid * 4], -1))         # [S, S]
         cost_grid = ssd_grid + lam_blk[:, None, None] * mvbits_grid[None]
         flat_idx = jnp.argmin(cost_grid.reshape(n, -1), axis=1)
-        mv_me_int = jnp.stack([flat_idx % s - SEARCH_RANGE,
-                               flat_idx // s - SEARCH_RANGE], 1)
-        # sub-pel: exhaustive +-2 qpel refinement (8-tap interpolation)
-        mv_me, _ = subpel_refine(ref_y, oy, mv_me_int,
-                                 lam_blk[:, None], 16)  # qpel
+        mv_me_int = jnp.stack([flat_idx % s - sr,
+                               flat_idx // s - sr], 1)
+        # sub-pel (subme wired): 0 keeps integer MVs; >=1 runs the
+        # exhaustive +-2 qpel refinement (8-tap interpolation), which
+        # covers the reference's iterative hpel+qpel ladder in one
+        # batched evaluation (motion.cpp:40-55 workloads)
+        if self.subme >= 1:
+            mv_me, _ = subpel_refine(ref_y, oy, mv_me_int,
+                                     lam_blk[:, None], 16)  # qpel
+        else:
+            mv_me = mv_me_int * 4
 
         # ---- 2. inter trial at mv_me --------------------------------------
         pred_me = mc_luma_qpel(ref_y, mv_me, 16)              # [n,16,16]
@@ -204,11 +216,11 @@ class InterFrameEncoder:
         skip_map = jnp.zeros((hc + 1, wc), jnp.int32)
 
         def grid_lookup(ctu_idx, mv_int):
-            mx = jnp.clip(mv_int[:, 0] + SEARCH_RANGE, 0, s - 1)
-            my = jnp.clip(mv_int[:, 1] + SEARCH_RANGE, 0, s - 1)
+            mx = jnp.clip(mv_int[:, 0] + sr, 0, s - 1)
+            my = jnp.clip(mv_int[:, 1] + sr, 0, s - 1)
             val = ssd_grid[ctu_idx, my, mx]
-            inside = (jnp.abs(mv_int[:, 0]) <= SEARCH_RANGE) & \
-                     (jnp.abs(mv_int[:, 1]) <= SEARCH_RANGE)
+            inside = (jnp.abs(mv_int[:, 0]) <= sr) & \
+                     (jnp.abs(mv_int[:, 1]) <= sr)
             return jnp.where(inside, val, jnp.float32(1e18))
 
         xs_decide = (self._coords, self._valid,
@@ -444,9 +456,12 @@ class InterFrameEncoder:
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
         if self.deblock:
             # in-loop deblocking with per-edge bS derived from the
-            # final coding decisions (spec 8.7.2.4); uniform slice QP
+            # final coding decisions (spec 8.7.2.4) and per-edge QP
+            # following the decoded per-QG chain (AQ streams)
             from ..ops.deblock import (bs_maps, deblock_chroma_bs,
-                                       deblock_luma_bs)
+                                       deblock_luma_bs, edge_qp_maps,
+                                       effective_qp_map)
+            from ..ops.quant import chroma_qp_jnp
             intra_m = (kinds == 2).reshape(hc, wc)
             cbf_m = jnp.any(ly_r != 0, axis=(1, 2)).reshape(hc, wc)
             dir_m = jnp.where(intra_m, 0, 1)
@@ -455,9 +470,20 @@ class InterFrameEncoder:
             mv1_m = jnp.zeros_like(mv0_m)
             bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
                                  xp=jnp)
-            rec_y = deblock_luma_bs(rec_y, qp_blk[0], bs_v, bs_h)
-            rec_cb = deblock_chroma_bs(rec_cb, qpc_blk[0], bs_v, bs_h)
-            rec_cr = deblock_chroma_bs(rec_cr, qpc_blk[0], bs_v, bs_h)
+            coded = (jnp.any(ly_r != 0, axis=(1, 2))
+                     | jnp.any(lcb_r != 0, axis=(1, 2))
+                     | jnp.any(lcr_r != 0, axis=(1, 2))).reshape(hc, wc)
+            eff = effective_qp_map(qp_blk.reshape(hc, wc), coded,
+                                   slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
         sao_out = ()
         if self.sao:
             from ..ops.sao import (sao_analyse, sao_analyse_chroma,
@@ -495,7 +521,8 @@ class InterFrameEncoder:
                     jnp.asarray(cr, jnp.uint8), ref_y, ref_cb, ref_cr,
                     jnp.asarray(qp_map.reshape(-1)),
                     jnp.asarray(qcb.reshape(-1)),
-                    jnp.asarray(lam.reshape(-1)))
+                    jnp.asarray(lam.reshape(-1)),
+                    jnp.asarray(qp, jnp.int32))
 
     def collect(self, outs, want_recon: bool = False) -> InterFrameResult:
         hc, wc = self.hc, self.wc

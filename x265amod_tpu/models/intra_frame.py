@@ -76,14 +76,16 @@ class IntraFrameEncoder:
     """Per-resolution compiled wavefront encoder (one jit per size)."""
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
-                 lambda_scale: float = 0.57, deblock: bool = False,
-                 sao: bool = False, lossless: bool = False):
+                 lambda_scale: float = 1.0, deblock: bool = False,
+                 sao: bool = False, lossless: bool = False,
+                 wpp: bool = False):
         assert width % 16 == 0 and height % 16 == 0, \
             "caller pads to CTU multiple"
         self.width, self.height = width, height
         self.deblock = deblock
         self.sao = sao
         self.lossless = lossless
+        self.wpp = wpp                 # qPY_PREV resets per CTB row
         self.wc, self.hc = width // 16, height // 16
         self.lambda_scale = lambda_scale
         diags = _diag_schedule(self.wc, self.hc)
@@ -116,9 +118,10 @@ class IntraFrameEncoder:
     # ---- device code ------------------------------------------------------
 
     def _encode_frame(self, y, cb, cr, qp_map, qpcb_map, qpcr_map,
-                      lam_map, want_recon=False):
+                      lam_map, slice_qp, want_recon=False):
         """y: [H, W] uint8/int32, cb/cr: [H/2, W/2]; qp/lambda maps
-        are per-CTU [hc, wc] (uniform when AQ off)."""
+        are per-CTU [hc, wc] (uniform when AQ off); slice_qp is the
+        signalled SliceQpY (qPY_PREV chain start for deblocking)."""
         wc, hc, bmax = self.wc, self.hc, self.bmax
         y = y.astype(jnp.int32)
         cb = cb.astype(jnp.int32)
@@ -235,13 +238,37 @@ class IntraFrameEncoder:
         rec_y = to_plane(yb, 16, self.height, self.width)
         rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
+        # raster-order outputs (also feed the deblock coded-QG map)
+        slots = self._raster_slots
+        modes_r = jnp.take(out_modes.reshape(-1), slots).astype(jnp.uint8)
+        ly_r = jnp.take(out_ly.reshape(-1, 16, 16), slots, axis=0)
+        lcb_r = jnp.take(out_lcb.reshape(-1, 8, 8), slots, axis=0)
+        lcr_r = jnp.take(out_lcr.reshape(-1, 8, 8), slots, axis=0)
         if self.deblock:
             # in-loop filter on the full frame (intra prediction above
-            # used the unfiltered blocks, per spec); uniform-QP only
-            from ..ops.deblock import deblock_chroma, deblock_luma
-            rec_y = deblock_luma(rec_y, qp_map[0, 0])
-            rec_cb = deblock_chroma(rec_cb, qpcb_map[0, 0])
-            rec_cr = deblock_chroma(rec_cr, qpcr_map[0, 0])
+            # used the unfiltered blocks, per spec).  All CTU-grid edges
+            # are intra CU+TU boundaries -> bS=2; per-edge QP follows
+            # the DECODED per-QG QP chain (spec 8.6.1 + 8.7.2.5.3), so
+            # AQ streams deblock bit-identically to any conformant
+            # decoder.
+            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       edge_qp_maps, effective_qp_map)
+            from ..ops.quant import chroma_qp_jnp
+            coded = (jnp.any(ly_r != 0, axis=(1, 2))
+                     | jnp.any(lcb_r != 0, axis=(1, 2))
+                     | jnp.any(lcr_r != 0, axis=(1, 2))).reshape(hc, wc)
+            eff = effective_qp_map(qp_map, coded, slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff)
+            bs2_v = jnp.full((hc, wc - 1), 2, jnp.int32)
+            bs2_h = jnp.full((hc - 1, wc), 2, jnp.int32)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs2_v, bs2_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs2_v, bs2_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs2_v, bs2_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
         sao_out = ()
         if self.sao:
             from ..ops.sao import (sao_analyse, sao_analyse_chroma,
@@ -256,15 +283,6 @@ class IntraFrameEncoder:
             sao_out = (s_ty, s_cls, s_bp, s_off,
                        c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
 
-        # pack scan outputs to dense raster order on device (one static
-        # take — outside the loop, so it compiles to an efficient slice
-        # permutation) and compute PSNR sums on device: the host then
-        # downloads only what CABAC needs.
-        slots = self._raster_slots
-        modes_r = jnp.take(out_modes.reshape(-1), slots).astype(jnp.uint8)
-        ly_r = jnp.take(out_ly.reshape(-1, 16, 16), slots, axis=0)
-        lcb_r = jnp.take(out_lcb.reshape(-1, 8, 8), slots, axis=0)
-        lcr_r = jnp.take(out_lcr.reshape(-1, 8, 8), slots, axis=0)
         from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
@@ -303,7 +321,8 @@ class IntraFrameEncoder:
         return step(
             jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
             jnp.asarray(cr, jnp.uint8), jnp.asarray(qp_map),
-            jnp.asarray(qcb), jnp.asarray(qcr), jnp.asarray(lam))
+            jnp.asarray(qcb), jnp.asarray(qcr), jnp.asarray(lam),
+            jnp.asarray(qp, jnp.int32))
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
         hc, wc = self.hc, self.wc

@@ -67,8 +67,9 @@ class IntraTreeEncoder:
     CTU = 32
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
-                 lambda_scale: float = 0.57, deblock: bool = False,
-                 sao: bool = False):
+                 lambda_scale: float = 1.0, deblock: bool = False,
+                 sao: bool = False, wpp: bool = False):
+        self.wpp = wpp
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         self.width, self.height = width, height
@@ -115,9 +116,14 @@ class IntraTreeEncoder:
     # ---- device code ----------------------------------------------------
 
     def _encode_frame(self, y, cb, cr, qp16, qpcb16, qpcr16, lam16,
-                      qp32, qpcb32, qpcr32, lam32, want_recon=False):
+                      qp32, qpcb32, qpcr32, lam32, slice_qp,
+                      want_recon=False):
         """qp16/lam16: per-16-cell maps [h16, w16]; qp32/lam32:
-        per-CTU32 maps [hc, wc] (QP of the unsplit hypothesis)."""
+        per-CTU32 maps [hc, wc].  The quantization group is the CTB
+        (PPS diff_cu_qp_delta_depth = 0, like x265's default qg-size
+        32), so qp16 is the 2x2 replication of qp32 — every CU in a
+        CTB quantizes at the CTB's QP and one cu_qp_delta is signalled
+        per coded CTB."""
         wc, hc = self.wc, self.hc
         w16, h16 = self.w16, self.h16
         y = y.astype(jnp.int32)
@@ -457,14 +463,35 @@ class IntraTreeEncoder:
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
 
         split_r = jnp.take(o_split.reshape(-1), self._raster32)
+        modes_r = jnp.take(o_modes.reshape(-1), self._raster16) \
+            .astype(jnp.uint8)
+        ly_r = jnp.take(o_ly.reshape(-1, 16, 16), self._raster16, 0)
+        lcb_r = jnp.take(o_lcb.reshape(-1, 8, 8), self._raster16, 0)
+        lcr_r = jnp.take(o_lcr.reshape(-1, 8, 8), self._raster16, 0)
         if self.deblock:
             from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       edge_qp_maps, effective_qp_map,
                                        intra_tree_bs_maps)
+            from ..ops.quant import chroma_qp_jnp
             bs_v, bs_h = intra_tree_bs_maps(
                 split_r.reshape(hc, wc), h16, w16)
-            rec_y = deblock_luma_bs(rec_y, qp16[0, 0], bs_v, bs_h)
-            rec_cb = deblock_chroma_bs(rec_cb, qpcb16[0, 0], bs_v, bs_h)
-            rec_cr = deblock_chroma_bs(rec_cr, qpcr16[0, 0], bs_v, bs_h)
+            # decoded QP chain at QG == CTB32, expanded to the 16-grid
+            coded16 = (jnp.any(ly_r != 0, axis=(1, 2))
+                       | jnp.any(lcb_r != 0, axis=(1, 2))
+                       | jnp.any(lcr_r != 0, axis=(1, 2))) \
+                .reshape(h16, w16)
+            coded32 = (coded16.reshape(hc, 2, wc, 2).any(3).any(1))
+            eff32 = effective_qp_map(qp32, coded32, slice_qp, self.wpp)
+            eff16 = jnp.repeat(jnp.repeat(eff32, 2, 0), 2, 1)
+            qp_v, qp_h = edge_qp_maps(eff16)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
         sao_out = ()
         if self.sao:
             from ..ops.sao import (sao_analyse, sao_analyse_chroma,
@@ -480,11 +507,6 @@ class IntraTreeEncoder:
             sao_out = (s_ty, s_cls, s_bp, s_off,
                        c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
 
-        modes_r = jnp.take(o_modes.reshape(-1), self._raster16) \
-            .astype(jnp.uint8)
-        ly_r = jnp.take(o_ly.reshape(-1, 16, 16), self._raster16, 0)
-        lcb_r = jnp.take(o_lcb.reshape(-1, 8, 8), self._raster16, 0)
-        lcr_r = jnp.take(o_lcr.reshape(-1, 8, 8), self._raster16, 0)
         from ..ops.metrics import ssim_plane
         sse = jnp.stack([
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
@@ -505,16 +527,21 @@ class IntraTreeEncoder:
     # ---- host wrapper ----------------------------------------------------
 
     def _maps(self, qp: int, qp_offsets):
-        qp16, qcb16, qcr16, lam16 = derive_qp_maps(
+        """QP/lambda maps.  QG == CTB: the per-16-cell maps are 2x2
+        replications of the per-CTB32 maps (AQ offsets averaged over the
+        CTB, the role of x265's qg-size 32 default)."""
+        qp16_raw, _, _, _ = derive_qp_maps(
             qp, qp_offsets, self.h16, self.w16, self.lambda_scale)
-        qp32 = qp32_of(qp16)
+        qp32 = qp32_of(qp16_raw)
         from ..ops.quant import chroma_qp_np
+        from ..utils.lambdas import lambda2_of
         qcb32 = chroma_qp_np(qp32)
         qcr32 = chroma_qp_np(qp32)
-        lam32 = (self.lambda_scale
-                 * 2.0 ** ((qp32.astype(np.float64) - 12.0) / 3.0)) \
+        lam32 = (self.lambda_scale * lambda2_of(qp32)) \
             .astype(np.float32)
-        return (qp16, qcb16, qcr16, lam16, qp32, qcb32, qcr32, lam32)
+        rep = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
+        return (rep(qp32), rep(qcb32), rep(qcr32), rep(lam32),
+                qp32, qcb32, qcr32, lam32)
 
     def encode_async(self, y, cb, cr, qp: int, want_recon: bool = False,
                      qp_offsets=None):
@@ -522,7 +549,8 @@ class IntraTreeEncoder:
         step = self._step_recon if want_recon else self._step
         return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
                     jnp.asarray(cr, jnp.uint8),
-                    *(jnp.asarray(m) for m in maps))
+                    *(jnp.asarray(m) for m in maps),
+                    jnp.asarray(qp, jnp.int32))
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
         h16, w16 = self.h16, self.w16
@@ -572,9 +600,11 @@ class IntraTreeEncoder:
         maps = self._maps(qp, None)
         maps_b = [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
                   for m in maps]
+        qp_b = jnp.full((f,), qp, jnp.int32)
         return self._step_batch(jnp.asarray(ys, jnp.uint8),
                                 jnp.asarray(cbs, jnp.uint8),
-                                jnp.asarray(crs, jnp.uint8), *maps_b)
+                                jnp.asarray(crs, jnp.uint8), *maps_b,
+                                qp_b)
 
     def collect_batch(self, outs) -> list[FrameResult]:
         """Fetch one batched step to host (one D2H per array) and split

@@ -728,6 +728,7 @@ struct SliceCtx {
   const int32_t *sao_l, *sao_c;
   int slice_qp, max_merge;
   int qp_prev;
+  int qg_coded;   // IsCuQpDeltaCoded for the current QG (== CTB)
   ScanTabs t32, t16, t8;
 };
 
@@ -865,12 +866,13 @@ CuLevels cu_levels(const SliceCtx& s, int bx, int by, int cells,
 // (when qp16 active and the CU has coded coefficients) and updates prev.
 bool cu_delta(SliceCtx& s, int bx, int by, int cells, int any_cbf,
               int* delta) {
-  if (!s.qp16) return false;
+  if (!s.qp16 || s.qg_coded) return false;
   int qp = cells == 2 ? s.qp32[(by / 2) * s.wc + bx / 2]
                       : s.qp16[by * s.w16 + bx];
   if (!any_cbf) return false;
   *delta = qp - s.qp_prev;
   s.qp_prev = qp;
+  s.qg_coded = 1;
   return true;
 }
 
@@ -971,6 +973,7 @@ void code_cu(Cabac& e, SliceCtx& s, int bx, int by, int cells,
 
 void code_ctu(Cabac& e, SliceCtx& s, int cy, int cx, int32_t* buf) {
   nc_sao_ctu(e, s, cy, cx);
+  s.qg_coded = 0;                 // new quantization group (QG == CTB)
   if (s.ctb_log2 == 5) {
     int sp = s.split[(int64_t)cy * s.wc + cx];
     int ctx = ((cx > 0 && s.split[(int64_t)cy * s.wc + cx - 1]) ? 1 : 0)
@@ -1029,6 +1032,7 @@ extern "C" int64_t hevc_encode_slice(
   s.sao_l = sao_luma; s.sao_c = sao_chroma;
   s.slice_qp = slice_qp; s.max_merge = max_merge;
   s.qp_prev = slice_qp;
+  s.qg_coded = 0;
   build_diag_scans(5, &s.t32);
   build_diag_scans(4, &s.t16);
   build_diag_scans(3, &s.t8);

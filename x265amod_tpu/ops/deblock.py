@@ -348,12 +348,54 @@ def intra_tree_bs_maps(split32, h16: int, w16: int, xp=jnp):
     return bs_v, bs_h
 
 
+def effective_qp_map(qp_sig, coded, slice_qp, wpp: bool = False):
+    """Decoded QpY per quantization group (spec 8.6.1 with QG == CTB):
+    a QG's QpY is the signaled value when it codes coefficients, else
+    the previous QG's QpY in decoding order (qPY_PREV carry-forward);
+    the chain starts at SliceQpY and, under entropy_coding_sync (WPP),
+    resets at every CTB-row start.
+
+    The deblocking filter must read THESE values, not the encoder's
+    intended AQ map — uncoded QGs never transmit their target QP.
+
+    qp_sig/coded: [hc, wc] (signaled QP targets / any-cbf flags).
+    Returns [hc, wc] int32.  Device (jnp) implementation: the serial
+    carry-forward becomes a cummax of signal positions + one gather.
+    """
+    hc, wc = qp_sig.shape
+    qp_sig = jnp.asarray(qp_sig, jnp.int32)
+    coded = jnp.asarray(coded)
+    idx = jnp.arange(hc * wc, dtype=jnp.int32).reshape(hc, wc)
+    marked = jnp.where(coded, idx, -1)
+    if wpp:
+        last = jax.lax.cummax(marked, axis=1)
+        # per-row chain: a row starts fresh at slice_qp
+    else:
+        last = jax.lax.cummax(marked.reshape(-1)).reshape(hc, wc)
+    eff = jnp.where(last >= 0,
+                    qp_sig.reshape(-1)[jnp.maximum(last, 0).reshape(-1)]
+                    .reshape(hc, wc),
+                    jnp.asarray(slice_qp, jnp.int32))
+    return eff.astype(jnp.int32)
+
+
+def edge_qp_maps(qp_eff):
+    """Per-edge luma QP (spec 8.7.2.5.3: (QpQ + QpP + 1) >> 1) from the
+    per-cell effective QP map.  Returns (qp_v [hc, wc-1], qp_h
+    [hc-1, wc]) matching the bs_v/bs_h edge grids."""
+    qp_v = (qp_eff[:, :-1] + qp_eff[:, 1:] + 1) >> 1
+    qp_h = (qp_eff[:-1, :] + qp_eff[1:, :] + 1) >> 1
+    return qp_v, qp_h
+
+
 def _vertical_pass_luma_bs(x, qp, bs_v, edge_step,
-                           beta_offset=0, tc_offset=0):
+                           beta_offset=0, tc_offset=0, qp_v=None):
     """Like _vertical_pass_luma but with per-edge bS: bs_v [hc, wc-1]
     (vertical edge left of CTU column j+1).  bS gates filtering by
     forcing tc (and beta) to 0 on bS==0 edges — every filter update
-    degenerates to a no-op exactly as the spec's skip."""
+    degenerates to a no-op exactly as the spec's skip.  qp_v (optional,
+    same shape as bs_v) supplies per-edge QP averages for per-CU QP
+    streams (AQ); qp is the uniform fallback."""
     h, w = x.shape
     xs = np.arange(edge_step, w, edge_step)
     if len(xs) == 0:
@@ -363,6 +405,8 @@ def _vertical_pass_luma_bs(x, qp, bs_v, edge_step,
     seg = win.reshape(len(xs), h // 4, 4, 8)
     segs_per_ctu = edge_step // 4
     bs_e = jnp.repeat(bs_v.T, segs_per_ctu, axis=1)   # [n_edges, h//4]
+    if qp_v is not None:
+        qp = jnp.repeat(qp_v.T, segs_per_ctu, axis=1)
     beta = jnp.asarray(BETA_TABLE)[jnp.clip(qp + beta_offset, 0, 51)]
     tc_idx = jnp.clip(qp + 2 * (bs_e - 1) + tc_offset, 0, 53)
     tc = jnp.where(bs_e > 0, jnp.asarray(TC_TABLE)[tc_idx], 0)
@@ -376,17 +420,20 @@ def _vertical_pass_luma_bs(x, qp, bs_v, edge_step,
 
 @functools.partial(jax.jit, static_argnames=("edge_step",))
 def deblock_luma_bs(plane: jax.Array, qp, bs_v, bs_h,
-                    edge_step: int = 16):
-    """Deblock a luma plane with per-edge boundary strengths
-    (frame-uniform QP).  Vertical edges first, then horizontal
-    (normative order)."""
+                    edge_step: int = 16, qp_v=None, qp_h=None):
+    """Deblock a luma plane with per-edge boundary strengths.
+    Vertical edges first, then horizontal (normative order).  qp is
+    the uniform slice QP; qp_v/qp_h (edge grids) override it per edge
+    for per-CU-QP (AQ) streams."""
     x = plane.astype(jnp.int32)
-    x = _vertical_pass_luma_bs(x, qp, bs_v, edge_step)
-    x = _vertical_pass_luma_bs(x.T, qp, bs_h.T, edge_step).T
+    x = _vertical_pass_luma_bs(x, qp, bs_v, edge_step, qp_v=qp_v)
+    x = _vertical_pass_luma_bs(x.T, qp, bs_h.T, edge_step,
+                               qp_v=None if qp_h is None else qp_h.T).T
     return x.astype(plane.dtype)
 
 
-def _vertical_pass_chroma_bs(x, tc, bs_v, edge_step):
+def _vertical_pass_chroma_bs(x, tc, bs_v, edge_step, qpc_v=None,
+                             tc_offset=0):
     h, w = x.shape
     xs = np.arange(edge_step, w, edge_step)
     if len(xs) == 0:
@@ -394,6 +441,9 @@ def _vertical_pass_chroma_bs(x, tc, bs_v, edge_step):
     cols = np.concatenate([np.arange(x0 - 2, x0 + 2) for x0 in xs])
     win = x[:, cols].reshape(h, len(xs), 4)
     # chroma filters only bS == 2 edges (spec 8.7.2.5.5)
+    if qpc_v is not None:
+        tc = jnp.asarray(TC_TABLE)[
+            jnp.clip(qpc_v.T + 2 + tc_offset, 0, 53)]  # [n_edges, hc]
     tce = jnp.where(bs_v.T == 2, tc, 0)              # [n_edges, hc]
     tce = jnp.repeat(tce, edge_step, axis=1).T       # [h, n_edges]
     p1, p0, q0, q1 = win[..., 0], win[..., 1], win[..., 2], win[..., 3]
@@ -405,11 +455,16 @@ def _vertical_pass_chroma_bs(x, tc, bs_v, edge_step):
 
 @functools.partial(jax.jit, static_argnames=("edge_step",))
 def deblock_chroma_bs(plane: jax.Array, qp_c, bs_v, bs_h,
-                      edge_step: int = 8):
+                      edge_step: int = 8, qpc_v=None, qpc_h=None):
+    """Chroma deblock (bS==2 edges).  qp_c is the uniform chroma QP;
+    qpc_v/qpc_h override per edge (already chroma-mapped from per-edge
+    luma QP averages, spec 8.7.2.5.5)."""
     tc = jnp.asarray(TC_TABLE)[jnp.clip(qp_c + 2, 0, 53)]
     x = plane.astype(jnp.int32)
-    x = _vertical_pass_chroma_bs(x, tc, bs_v, edge_step)
-    x = _vertical_pass_chroma_bs(x.T, tc, bs_h.T, edge_step).T
+    x = _vertical_pass_chroma_bs(x, tc, bs_v, edge_step, qpc_v=qpc_v)
+    x = _vertical_pass_chroma_bs(
+        x.T, tc, bs_h.T, edge_step,
+        qpc_v=None if qpc_h is None else qpc_h.T).T
     return x.astype(plane.dtype)
 
 
@@ -417,8 +472,9 @@ def deblock_chroma_bs(plane: jax.Array, qp_c, bs_v, bs_h,
 
 def deblock_luma_bs_np(plane: np.ndarray, qp: int, bs_v: np.ndarray,
                        bs_h: np.ndarray, edge_step: int = 16,
-                       beta_offset: int = 0, tc_offset: int = 0
-                       ) -> np.ndarray:
+                       beta_offset: int = 0, tc_offset: int = 0,
+                       qp_v: np.ndarray | None = None,
+                       qp_h: np.ndarray | None = None) -> np.ndarray:
     out = plane.astype(np.int64).copy()
     h, w = out.shape
     for j, x0 in enumerate(range(edge_step, w, edge_step)):
@@ -426,7 +482,8 @@ def deblock_luma_bs_np(plane: np.ndarray, qp: int, bs_v: np.ndarray,
             bs = int(bs_v[y // edge_step, j])
             if bs == 0:
                 continue
-            beta, tc = luma_params(qp, beta_offset, tc_offset, bs)
+            qpe = qp if qp_v is None else int(qp_v[y // edge_step, j])
+            beta, tc = luma_params(qpe, beta_offset, tc_offset, bs)
             fp, fq = _filter_luma_segment(out[y:y + 4, x0 - 4:x0],
                                           out[y:y + 4, x0:x0 + 4],
                                           beta, tc)
@@ -437,7 +494,8 @@ def deblock_luma_bs_np(plane: np.ndarray, qp: int, bs_v: np.ndarray,
             bs = int(bs_h[i, x // edge_step])
             if bs == 0:
                 continue
-            beta, tc = luma_params(qp, beta_offset, tc_offset, bs)
+            qpe = qp if qp_h is None else int(qp_h[i, x // edge_step])
+            beta, tc = luma_params(qpe, beta_offset, tc_offset, bs)
             fp, fq = _filter_luma_segment(out[y0 - 4:y0, x:x + 4].T,
                                           out[y0:y0 + 4, x:x + 4].T,
                                           beta, tc)
@@ -448,15 +506,20 @@ def deblock_luma_bs_np(plane: np.ndarray, qp: int, bs_v: np.ndarray,
 
 def deblock_chroma_bs_np(plane: np.ndarray, qp_c: int, bs_v: np.ndarray,
                          bs_h: np.ndarray, edge_step: int = 8,
-                         tc_offset: int = 0) -> np.ndarray:
+                         tc_offset: int = 0,
+                         qpc_v: np.ndarray | None = None,
+                         qpc_h: np.ndarray | None = None) -> np.ndarray:
     out = plane.astype(np.int64).copy()
     h, w = out.shape
-    tc = int(TC_TABLE[int(np.clip(qp_c + 2 + tc_offset, 0, 53))])
-    if tc == 0:
-        return plane.copy()
+    tc0 = int(TC_TABLE[int(np.clip(qp_c + 2 + tc_offset, 0, 53))])
     for j, x0 in enumerate(range(edge_step, w, edge_step)):
         for i in range(h // edge_step):
             if int(bs_v[i, j]) != 2:
+                continue
+            tc = tc0 if qpc_v is None else int(
+                TC_TABLE[int(np.clip(qpc_v[i, j] + 2 + tc_offset,
+                                     0, 53))])
+            if tc == 0:
                 continue
             ys = slice(i * edge_step, (i + 1) * edge_step)
             p1 = out[ys, x0 - 2].copy()
@@ -470,6 +533,11 @@ def deblock_chroma_bs_np(plane: np.ndarray, qp_c: int, bs_v: np.ndarray,
         for j in range(w // edge_step):
             if int(bs_h[i, j]) != 2:
                 continue
+            tc = tc0 if qpc_h is None else int(
+                TC_TABLE[int(np.clip(qpc_h[i, j] + 2 + tc_offset,
+                                     0, 53))])
+            if tc == 0:
+                continue
             xs2 = slice(j * edge_step, (j + 1) * edge_step)
             p1 = out[y0 - 2, xs2].copy()
             p0 = out[y0 - 1, xs2].copy()
@@ -479,3 +547,19 @@ def deblock_chroma_bs_np(plane: np.ndarray, qp_c: int, bs_v: np.ndarray,
             out[y0 - 1, xs2] = np.clip(p0 + d, 0, 255)
             out[y0, xs2] = np.clip(q0 - d, 0, 255)
     return out.astype(plane.dtype)
+
+
+def effective_qp_map_np(qp_sig: np.ndarray, coded: np.ndarray,
+                        slice_qp: int, wpp: bool = False) -> np.ndarray:
+    """Host twin of effective_qp_map (decoder oracle / tests)."""
+    hc, wc = qp_sig.shape
+    eff = np.zeros((hc, wc), np.int32)
+    prev = int(slice_qp)
+    for cy in range(hc):
+        if wpp:
+            prev = int(slice_qp)
+        for cx in range(wc):
+            if coded[cy, cx]:
+                prev = int(qp_sig[cy, cx])
+            eff[cy, cx] = prev
+    return eff

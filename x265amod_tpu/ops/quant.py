@@ -43,6 +43,17 @@ def chroma_qp_np(qp_y: np.ndarray, chroma_offset: int = 0) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def chroma_qp_jnp(qp_y, chroma_offset: int = 0):
+    """Device twin of chroma_qp_np (spec Table 8-10) for traced per-CU
+    QP arrays (deblocking per-edge chroma QP under AQ)."""
+    q = jnp.clip(jnp.asarray(qp_y, jnp.int32) + chroma_offset, 0, 57)
+    tab = jnp.asarray(_CHROMA_QP_TAB)
+    return jnp.where(q < 30, q,
+                     jnp.where(q > 43, q - 6,
+                               tab[jnp.clip(q - 30, 0, 13)])) \
+        .astype(jnp.int32)
+
+
 def quant_params(qp: int, log2_tr_size: int, bit_depth: int = 8,
                  intra: bool = True):
     """Returns (scale, qbits, offset) for forward quant."""
@@ -136,17 +147,19 @@ def dequant(level: jax.Array, qp, bit_depth: int = 8) -> jax.Array:
 
 
 def derive_qp_maps(qp: int, offsets, hc: int, wc: int,
-                   lambda_scale: float, cb_offset: int = 0,
+                   lambda_scale: float = 1.0, cb_offset: int = 0,
                    cr_offset: int = 0):
     """Host helper: per-CTU QP maps from a frame QP + AQ/CU-tree offset
     map (None -> uniform).  Returns numpy (qp_map, qp_cb, qp_cr, lam)
-    each [hc, wc]."""
+    each [hc, wc].  lam is the exact x265 SSE lambda (lambda2_tab,
+    reference constants.cpp:34-95) times lambda_scale."""
+    from ..utils.lambdas import lambda2_of
     if offsets is None:
         qp_map = np.full((hc, wc), int(qp), np.int32)
     else:
         qp_map = np.clip(int(qp) + np.rint(np.asarray(offsets)),
                          0, 51).astype(np.int32)
         assert qp_map.shape == (hc, wc), (qp_map.shape, hc, wc)
-    lam = (lambda_scale * 2.0 ** ((qp_map - 12) / 3.0)).astype(np.float32)
+    lam = (lambda_scale * lambda2_of(qp_map)).astype(np.float32)
     return (qp_map, chroma_qp_np(qp_map, cb_offset),
             chroma_qp_np(qp_map, cr_offset), lam)

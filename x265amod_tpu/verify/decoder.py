@@ -374,6 +374,7 @@ def _slice_ctu_loop(payload: bytes, slice_type: str, qp: int,
             for cx in range(wc):
                 if sao is not None:
                     sao.parse(d, cx, cy)
+                qpctx["qg_coded"] = False    # new QG (== CTB)
                 ctu_fn(d, cx, cy)
                 eos = d.decode_terminate()
                 is_last = (cy == hc - 1 and cx == wc - 1)
@@ -395,6 +396,7 @@ def _slice_ctu_loop(payload: bytes, slice_type: str, qp: int,
         for cx in range(wc):
             if sao is not None:
                 sao.parse(d, cx, cy)
+            qpctx["qg_coded"] = False        # new QG (== CTB)
             ctu_fn(d, cx, cy)
             if cx == 1:
                 row_init = d.save_contexts()
@@ -488,7 +490,8 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     split_map = np.zeros((hc, wc), dtype=np.int32)
     qp_c_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_c_cr = chroma_qp(qp, pps.cr_qp_offset)
-    qpctx = {"prev": qp}
+    qpctx = {"prev": qp,
+             "qp16": np.full((ph // 16, pw // 16), qp, np.int32)}
     sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
         if (sao_luma or sao_chroma) else None
 
@@ -503,33 +506,37 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     _slice_ctu_loop(payload, "I", qp, hc, wc, entry, qpctx, sao,
                     ctu_fn)
     if not pps.deblock_disabled:
-        assert not pps.cu_qp_delta, \
-            "deblock with per-CU QP not wired up yet"
         hp = pad // 2
+        from ..ops.deblock import (deblock_chroma_bs_np,
+                                   deblock_luma_bs_np,
+                                   intra_tree_bs_maps)
+        from ..ops.quant import chroma_qp_np
+        h16, w16 = ph // 16, pw // 16
         if ctb == 16:
-            from ..ops.deblock import deblock_chroma_np, deblock_luma_np
-            y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_np(
-                y_pl[pad:pad + ph, pad:pad + pw], qp)
-            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
-                cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb)
-            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = deblock_chroma_np(
-                cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr)
+            # every 16-grid edge is an intra CU+TU boundary -> bS = 2
+            bs_v = np.full((h16, w16 - 1), 2, np.int32)
+            bs_h = np.full((h16 - 1, w16), 2, np.int32)
         else:
-            from ..ops.deblock import (deblock_chroma_bs_np,
-                                       deblock_luma_bs_np,
-                                       intra_tree_bs_maps)
-            bs_v, bs_h = intra_tree_bs_maps(split_map, ph // 16,
-                                            pw // 16, xp=np)
-            y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_bs_np(
-                y_pl[pad:pad + ph, pad:pad + pw], qp, bs_v, bs_h)
-            cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
-                deblock_chroma_bs_np(
-                    cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb,
-                    bs_v, bs_h)
-            cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
-                deblock_chroma_bs_np(
-                    cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr,
-                    bs_v, bs_h)
+            bs_v, bs_h = intra_tree_bs_maps(split_map, h16, w16, xp=np)
+        # per-edge QP from the decoded per-CU QpY map (spec 8.7.2.5.3)
+        q16 = qpctx["qp16"]
+        qp_v = (q16[:, :-1] + q16[:, 1:] + 1) >> 1
+        qp_h = (q16[:-1, :] + q16[1:, :] + 1) >> 1
+        y_pl[pad:pad + ph, pad:pad + pw] = deblock_luma_bs_np(
+            y_pl[pad:pad + ph, pad:pad + pw], qp, bs_v, bs_h,
+            qp_v=qp_v, qp_h=qp_h)
+        cb_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
+            deblock_chroma_bs_np(
+                cb_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cb,
+                bs_v, bs_h,
+                qpc_v=chroma_qp_np(qp_v, pps.cb_qp_offset),
+                qpc_h=chroma_qp_np(qp_h, pps.cb_qp_offset))
+        cr_pl[hp:hp + ph // 2, hp:hp + pw // 2] = \
+            deblock_chroma_bs_np(
+                cr_pl[hp:hp + ph // 2, hp:hp + pw // 2], qp_c_cr,
+                bs_v, bs_h,
+                qpc_v=chroma_qp_np(qp_v, pps.cr_qp_offset),
+                qpc_h=chroma_qp_np(qp_h, pps.cr_qp_offset))
     if sao is not None:
         sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl, ctb=ctb)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
@@ -604,10 +611,12 @@ def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
 
 def _cu_qp_update(d, pps, qpctx, any_cbf: int) -> int:
     """Derive this CU's QpY (spec 8.6.1 with QG == CTB): parse
-    cu_qp_delta when enabled and coefficients are coded; predictor is
-    the previous QG's QP (left/above fall outside the CTB)."""
-    if pps.cu_qp_delta and any_cbf:
+    cu_qp_delta when enabled, coefficients are coded, and no delta was
+    parsed yet in this QG (IsCuQpDeltaCoded); predictor is the previous
+    QG's QP (left/above fall outside the CTB)."""
+    if pps.cu_qp_delta and any_cbf and not qpctx.get("qg_coded", False):
         qpctx["prev"] += S.decode_cu_qp_delta(d)
+        qpctx["qg_coded"] = True
     return qpctx["prev"]
 
 
@@ -636,6 +645,8 @@ def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
     cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
     cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
     qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+    if "qp16" in qpctx:
+        qpctx["qp16"][cy, cx] = qp
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     ly = decode_residual(d, 4, 0, 0) if cbf_y else \
@@ -701,6 +712,8 @@ def _decode_intra_cu(d, sps, pps, qpctx, bx, by, cells, w16, h16,
     cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
     cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
     qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+    if "qp16" in qpctx:
+        qpctx["qp16"][by:by + cells, bx:bx + cells] = qp
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     nc = n // 2
@@ -835,6 +848,8 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["mv"][cy, cx] = mv
         maps["imode"][cy, cx] = -1
         maps["cbf"][cy, cx] = 0
+        if "qp16" in qpctx:
+            qpctx["qp16"][cy, cx] = qp
         return
     intra = d.decode_bin(S.CTX_PRED_MODE)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
@@ -881,6 +896,8 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["mv"][cy, cx] = (0, 0)
         maps["imode"][cy, cx] = mode
         maps["cbf"][cy, cx] = int(bool(ly.any()))
+        if "qp16" in qpctx:
+            qpctx["qp16"][cy, cx] = qp
         return
     # AMVP inter
     assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
@@ -910,6 +927,8 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
     maps["mv"][cy, cx] = mv
     maps["imode"][cy, cx] = -1
     maps["cbf"][cy, cx] = int(bool(ly.any()))
+    if "qp16" in qpctx:
+        qpctx["qp16"][cy, cx] = qp
 
 
 def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
@@ -979,6 +998,8 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         dirv, mv0, mv1 = cands[midx]
         inter_recon(dirv, mv0, mv1, z16, z8, z8)
         set_motion(dirv, mv0, mv1, 1)
+        if "qp16" in qpctx:
+            qpctx["qp16"][cy, cx] = qp
         return
     intra = d.decode_bin(S.CTX_PRED_MODE)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
@@ -1026,6 +1047,8 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         maps["skip"][cy, cx] = 0
         maps["imode"][cy, cx] = mode
         maps["cbf"][cy, cx] = int(bool(ly.any()))
+        if "qp16" in qpctx:
+            qpctx["qp16"][cy, cx] = qp
         return
     assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
         "non-skip merge unsupported in v1"
@@ -1060,6 +1083,8 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
     inter_recon(dirv, mv0, mv1, ly, lcb, lcr)
     set_motion(dirv, mv0, mv1, 0, int(bool(ly.any())))
+    if "qp16" in qpctx:
+        qpctx["qp16"][cy, cx] = qp
 
 
 def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
@@ -1136,7 +1161,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "imode": np.full((hc, wc), -1, np.int32),
             "cbf": np.zeros((hc, wc), np.int32),
         }
-        qpctx = {"prev": qp}
+        qpctx = {"prev": qp,
+                 "qp16": np.full((hc, wc), qp, np.int32)}
         sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
             if (sao_luma or sao_chroma) else None
 
@@ -1160,7 +1186,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "imode": np.full((hc, wc), -1, np.int32),
             "cbf": np.zeros((hc, wc), np.int32),
         }
-        qpctx = {"prev": qp}
+        qpctx = {"prev": qp,
+                 "qp16": np.full((hc, wc), qp, np.int32)}
         sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
             if (sao_luma or sao_chroma) else None
 
@@ -1185,14 +1212,23 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             mv1_m = maps["mv1"]
         bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
                              xp=np)
+        from ..ops.quant import chroma_qp_np
+        q16 = qpctx["qp16"]
+        qp_v = (q16[:, :-1] + q16[:, 1:] + 1) >> 1
+        qp_h = (q16[:-1, :] + q16[1:, :] + 1) >> 1
         region = y_pl[pad:pad + hc * 16, pad:pad + wc * 16]
         y_pl[pad:pad + hc * 16, pad:pad + wc * 16] = \
-            deblock_luma_bs_np(region, qp, bs_v, bs_h)
+            deblock_luma_bs_np(region, qp, bs_v, bs_h,
+                               qp_v=qp_v, qp_h=qp_h)
         hp = pad // 2
-        for pl, qpc in ((cb_pl, qp_cb), (cr_pl, qp_cr)):
+        for pl, qpc, off in ((cb_pl, qp_cb, pps.cb_qp_offset),
+                             (cr_pl, qp_cr, pps.cr_qp_offset)):
             reg = pl[hp:hp + hc * 8, hp:hp + wc * 8]
             pl[hp:hp + hc * 8, hp:hp + wc * 8] = \
-                deblock_chroma_bs_np(reg, qpc, bs_v, bs_h)
+                deblock_chroma_bs_np(
+                    reg, qpc, bs_v, bs_h,
+                    qpc_v=chroma_qp_np(qp_v, off),
+                    qpc_h=chroma_qp_np(qp_h, off))
     if sao is not None:
         sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
