@@ -66,6 +66,7 @@ def test_e2e_with_deblock():
     p2.width, p2.height = w, h
     p2.qp = 35
     p2.keyint = 1
+    p2.deblock = False    # presets enable deblock by default (x265 parity)
     enc2 = Encoder(p2)
     out2 = enc2.encode_frame(y, cb, cr, return_recon=True)
     assert not np.array_equal(out.recon[0], out2.recon[0])

@@ -101,3 +101,64 @@ def test_aq_deblock_bgop_roundtrip():
     _assert_bitexact(outs, stream, n)
     types = [o.stats.slice_type for o in outs]
     assert "B" in types and "P" in types
+
+
+def test_tree_split_qp_carryin_deblock():
+    """ADVICE r2 (high): in a split CTB32, CUs decoded before the
+    cu_qp_delta parse keep the carry-in qPY_PREV; the deblock QP map
+    must follow the decoded per-CU chain, not a uniform per-CTB value.
+    Scenario: coded flat-gradient CTB (low QP) followed by a split CTB
+    whose first z-order sub-CU codes nothing and a later sub-CU signals
+    a large positive delta."""
+    from x265amod_tpu.utils.params import param_default_preset
+
+    w, h = 64, 32
+    p = param_default_preset("medium")
+    p.width, p.height = w, h
+    p.qp = 30
+    p.keyint = 1
+    p.ctu_size = 32
+    p.deblock = True
+    p.sao = False
+    p.wpp = False
+    p.aq_mode = 2
+    enc = Encoder(p)
+    assert enc.use_tree
+
+    # crafted per-16-cell AQ offsets: CTB0 -> QP 22, CTB1 -> QP 40
+    off = np.zeros((2, 4), np.float32)
+    off[:, 0:2] = -8.0
+    off[:, 2:4] = +10.0
+    enc.lookahead.ctu_qp_offsets = lambda fa: off
+
+    rng = np.random.default_rng(3)
+    y = np.zeros((h, w), np.float64)
+    xx = np.arange(32, dtype=np.float64)
+    y[:, 0:32] = 100 + 0.8 * xx[None, :]            # coded at QP 22
+    y[0:16, 32:48] = y[0, 31]                       # tl: flat, uncoded
+    y[0:16, 48:64] = 60 + rng.normal(0, 40, (16, 16))
+    y[16:32, 32:48] = 200 + rng.normal(0, 40, (16, 16))
+    y[16:32, 48:64] = np.where((np.indices((16, 16)).sum(0) % 2) == 0,
+                               30, 220)
+    y = y.clip(0, 255).astype(np.uint8)
+    cb = np.full((h // 2, w // 2), 120, np.uint8)
+    cr = np.full((h // 2, w // 2), 128, np.uint8)
+
+    # dispatch by hand so the device-side split/cbf state is inspectable
+    entries = enc._push_display_frame(y, cb, cr)
+    assert len(entries) == 1
+    pend = enc._dispatch_entry(entries[0], True)
+    res = enc.frame_encoder.collect(pend["dev"], want_recon=True)
+    coded16 = (res.levels_y.any((2, 3)) | res.levels_cb.any((2, 3))
+               | res.levels_cr.any((2, 3)))
+    # the scenario must actually occur: CTB1 split, its first z-order
+    # sub-CU uncoded, CTB0 coded (so the carry-in QP is CTB0's 22)
+    assert res.split[0, 1] == 1
+    assert not coded16[0, 2]
+    assert coded16[:, :2].any()
+    out = enc._finish(pend)
+    dec = decode_stream(out.nals)
+    assert len(dec) == 1
+    np.testing.assert_array_equal(dec[0].y, out.recon[0])
+    np.testing.assert_array_equal(dec[0].cb, out.recon[1])
+    np.testing.assert_array_equal(dec[0].cr, out.recon[2])

@@ -39,6 +39,7 @@ def test_encode_decode_bitexact(size, qp, kind):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.qp = qp
+    p.keyint = 1    # all-intra under test (zero-latency encode_frame)
     enc = Encoder(p)
     y, cb, cr = _test_frame(w, h, seed=qp, kind=kind)
     out = enc.encode_frame(y, cb, cr, return_recon=True)

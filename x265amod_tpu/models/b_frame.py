@@ -154,8 +154,13 @@ class BFrameEncoder:
             flat = jnp.argmin(cost.reshape(n, -1), axis=1)
             mv_int = jnp.stack([flat % s - sr,
                                 flat // s - sr], 1)
-            mv_q, _ = subpel_refine(ref_plane, oy, mv_int,
-                                    lam_blk[:, None], 16)
+            # subme wired (mirrors InterFrameEncoder): 0 keeps integer
+            # MVs, >=1 runs the batched qpel refinement
+            if self.subme >= 1:
+                mv_q, _ = subpel_refine(ref_plane, oy, mv_int,
+                                        lam_blk[:, None], 16)
+            else:
+                mv_q = mv_int * 4
             return grid, mv_q
 
         grid0, mv0_me = best_mv(r0y)

@@ -140,10 +140,22 @@ class Encoder:
         if param.lossless:
             assert not self.inter_enabled, \
                 "lossless is wired for all-intra (keyint=1) in v1"
+        # Zero-latency configs (all-intra, or low-delay P with
+        # bframes=0) use a depth-1 lookahead: per-frame AQ + scene-cut
+        # still run, but no future window is buffered, which keeps
+        # encode_frame's documented one-in/one-out contract.  CU-tree
+        # needs future frames to propagate from, so it is off at depth
+        # 1 — the same trade x265's zerolatency tune makes (param.cpp
+        # tune table: bframes=0, rc-lookahead=0, no cutree).
+        zero_latency = (not self.inter_enabled) or \
+            (param.bframes == 0 if self.inter_enabled else True)
+        la_depth = 1 if zero_latency \
+            else max(2, min(param.rc_lookahead, 24))
         self.lookahead = Lookahead(
             self.pad_w, self.pad_h, strength=param.aq_strength,
-            depth=max(2, min(param.rc_lookahead, 24)),
-            cutree=param.cutree and self.inter_enabled,
+            depth=la_depth,
+            cutree=param.cutree and self.inter_enabled
+            and not zero_latency,
             min_keyint=max(param.min_keyint, 2)) \
             if self.use_lookahead else None
         self.bframes = param.bframes if self.inter_enabled else 0

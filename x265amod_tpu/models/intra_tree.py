@@ -45,6 +45,35 @@ def _rbits_proxy(levels):
                              0.02), axis=(-2, -1))
 
 
+def _hadamard8() -> np.ndarray:
+    h = np.array([[1]], dtype=np.int32)
+    while h.shape[0] < 8:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+_H8 = jnp.asarray(_hadamard8(), jnp.int32)
+
+# SATD-scan candidate count for the full-RD stage (role of the
+# reference's g_intraModeNumFast fast-intra shortlist,
+# search.cpp:1509 estIntraPredQT: SATD scan of all 35 modes -> RD on
+# a small candidate list)
+RD_CANDS = 4
+
+
+def _satd_modes(orig, preds):
+    """SATD (8x8 Hadamard sa8d analog) between orig [B, n, n] and all
+    mode predictions [B, M, n, n] -> [B, M] int32."""
+    n = orig.shape[-1]
+    k = n // 8
+    d = (orig[:, None] - preds).astype(jnp.int32)
+    d = d.reshape(*d.shape[:-2], k, 8, k, 8)
+    t = jnp.einsum("ui,...aibj,vj->...aubv", _H8, d, _H8,
+                   preferred_element_type=jnp.int32)
+    per_blk = (jnp.sum(jnp.abs(t), axis=(-3, -1)) + 2) >> 2
+    return jnp.sum(per_blk, axis=(-2, -1))
+
+
 def _bc(flag, n):
     """Broadcast a [B] bool flag to [B, n]."""
     return jnp.broadcast_to(flag[:, None], (flag.shape[0], n))
@@ -144,19 +173,6 @@ class IntraTreeEncoder:
         crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
         mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
 
-        def eval_modes(orig, top, left, corner, n, c_idx, qpv):
-            """All-35-mode trial: returns (levels, recon, ssd, rbits)
-            each [B, 35, ...]."""
-            preds = predict_all_modes_batch(top, left, corner, n, c_idx)
-            coeff = fwd_transform(orig[:, None] - preds)
-            qpb = qpv[:, None, None, None]
-            levels = quant(coeff, qpb)
-            rec = jnp.clip(preds + inv_transform(dequant(levels, qpb)),
-                           0, 255)
-            ssd = jnp.sum((rec - orig[:, None]) ** 2,
-                          axis=(2, 3)).astype(jnp.float32)
-            return levels, rec, ssd, _rbits_proxy(levels)
-
         def mode_bits(left_mode):
             """Approximate intra-mode signalling cost per mode [B, 35]."""
             is_small = left_mode < 2
@@ -168,22 +184,48 @@ class IntraTreeEncoder:
                 jnp.where((modes35 == 1) | (modes35 == mpm2[:, None]),
                           3.0, 6.0))
 
-        def pick(levels, rec, ssd, rbits, lam, mbits):
-            cost = ssd + lam[:, None] * (rbits + mbits)
-            best = jnp.argmin(cost, axis=1)
-            bi = best[:, None, None, None]
-            lv = jnp.take_along_axis(levels, bi, 1)[:, 0]
-            rc = jnp.take_along_axis(rec, bi, 1)[:, 0]
-            jm = jnp.min(cost, axis=1)
-            return best, lv, rc, jm
+        def eval_luma(orig, top, left, corner, n, qpv, lamv, mbits):
+            """Two-stage intra mode decision (reference estIntraPredQT
+            search.cpp:1509): SATD scan of all 35 predictions, then
+            full transform/quant RD on the RD_CANDS best candidates.
+            Returns (best_mode, levels, recon, j)."""
+            preds = predict_all_modes_batch(top, left, corner, n, 0)
+            sat = _satd_modes(orig, preds).astype(jnp.float32)
+            scost = sat + lamv[:, None] * mbits
+            _, cand = jax.lax.top_k(-scost, RD_CANDS)        # [B, K]
+            cpred = jnp.take_along_axis(
+                preds, cand[:, :, None, None], 1)            # [B,K,n,n]
+            coeff = fwd_transform(orig[:, None] - cpred)
+            qpb = qpv[:, None, None, None]
+            levels = quant(coeff, qpb)
+            rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb)),
+                           0, 255)
+            ssd = jnp.sum((rec - orig[:, None]) ** 2,
+                          axis=(2, 3)).astype(jnp.float32)
+            rb = _rbits_proxy(levels)
+            mbK = jnp.take_along_axis(mbits, cand, 1)
+            cost = ssd + lamv[:, None] * (rb + mbK)
+            k = jnp.argmin(cost, axis=1)
+            ki = k[:, None, None, None]
+            best = jnp.take_along_axis(cand, k[:, None], 1)[:, 0]
+            lv = jnp.take_along_axis(levels, ki, 1)[:, 0]
+            rc = jnp.take_along_axis(rec, ki, 1)[:, 0]
+            return best, lv, rc, jnp.min(cost, axis=1)
 
-        def chroma_at(levels, rec, ssd, rbits, best):
-            bi = best[:, None, None, None]
-            lv = jnp.take_along_axis(levels, bi, 1)[:, 0]
-            rc = jnp.take_along_axis(rec, bi, 1)[:, 0]
-            sd = jnp.take_along_axis(ssd, best[:, None], 1)[:, 0]
-            rb = jnp.take_along_axis(rbits, best[:, None], 1)[:, 0]
-            return lv, rc, sd, rb
+        def eval_chroma(orig, top, left, corner, n, c_idx, qpv, best):
+            """Single-mode chroma chain at the luma mode (DM chroma):
+            one transform/quant instead of 35."""
+            preds = predict_all_modes_batch(top, left, corner, n, c_idx)
+            pred = jnp.take_along_axis(
+                preds, best[:, None, None, None], 1)[:, 0]
+            coeff = fwd_transform(orig - pred)
+            qpb = qpv[:, None, None]
+            levels = quant(coeff, qpb)
+            rec = jnp.clip(pred + inv_transform(dequant(levels, qpb)),
+                           0, 255)
+            ssd = jnp.sum((rec - orig) ** 2,
+                          axis=(1, 2)).astype(jnp.float32)
+            return levels, rec, ssd, _rbits_proxy(levels)
 
         def body(state, xs):
             yb, cbb, crb, mode16 = state
@@ -215,16 +257,15 @@ class IntraTreeEncoder:
                 top32, left32, cor32, at32, al32, at_top & at_left, 32)
             qp_a = qp32[cy, cx]
             lam_a = lam32[cy, cx]
-            lvA, rcA, ssdA, rbA = eval_modes(
-                # original 32 block assembled from 4 cells
-                jnp.concatenate([
-                    jnp.concatenate([oy[by, bx], oy[by, bx + 1]], -1),
-                    jnp.concatenate([oy[by + 1, bx], oy[by + 1, bx + 1]],
-                                    -1)], -2),
-                t32, l32, c32, 32, 0, qp_a)
             left_mode32 = jnp.where(at_left, mode16[by, bxl], 1)
-            bestA, lvA_y, rcA_y, jA_y = pick(lvA, rcA, ssdA, rbA, lam_a,
-                                             mode_bits(left_mode32))
+            # original 32 block assembled from 4 cells
+            oy32 = jnp.concatenate([
+                jnp.concatenate([oy[by, bx], oy[by, bx + 1]], -1),
+                jnp.concatenate([oy[by + 1, bx], oy[by + 1, bx + 1]],
+                                -1)], -2)
+            bestA, lvA_y, rcA_y, jA_y = eval_luma(
+                oy32, t32, l32, c32, 32, qp_a, lam_a,
+                mode_bits(left_mode32))
 
             # CU32 chroma: TU16 on the 8-grid
             topc = jnp.concatenate(
@@ -246,7 +287,8 @@ class IntraTreeEncoder:
             def chroma32(topx, leftx, crx, orig):
                 t, l, c = substitute_refs_general(
                     topx, leftx, crx, at16c, al16c, at_top & at_left, 16)
-                return eval_modes(orig, t, l, c, 16, 1, qpcb32[cy, cx])
+                return eval_chroma(orig, t, l, c, 16, 1, qpcb32[cy, cx],
+                                   bestA)
 
             ocb32 = jnp.concatenate([
                 jnp.concatenate([ocb[by, bx], ocb[by, bx + 1]], -1),
@@ -256,10 +298,10 @@ class IntraTreeEncoder:
                 jnp.concatenate([ocr[by, bx], ocr[by, bx + 1]], -1),
                 jnp.concatenate([ocr[by + 1, bx], ocr[by + 1, bx + 1]],
                                 -1)], -2)
-            lvAcb, rcAcb, sdAcb, rbAcb = chroma_at(
-                *chroma32(topc, leftc, cbb[byu, bxl, 7, 7], ocb32), bestA)
-            lvAcr, rcAcr, sdAcr, rbAcr = chroma_at(
-                *chroma32(topr, leftr, crb[byu, bxl, 7, 7], ocr32), bestA)
+            lvAcb, rcAcb, sdAcb, rbAcb = chroma32(
+                topc, leftc, cbb[byu, bxl, 7, 7], ocb32)
+            lvAcr, rcAcr, sdAcr, rbAcr = chroma32(
+                topr, leftr, crb[byu, bxl, 7, 7], ocr32)
             jA = jA_y + sdAcb + sdAcr + lam_a * (rbAcb + rbAcr + 4.0)
 
             # ---- hypothesis B: 4 CU16 quadrants in z-scan order --------
@@ -276,24 +318,19 @@ class IntraTreeEncoder:
                      qpv, qpcv, lamv, left_mode):
                 tY, lY, cY = substitute_refs_general(
                     topY, leftY, corY, avtY, altY, avcY, 16)
-                lv, rc, sd, rb = eval_modes(orig16, tY, lY, cY, 16, 0,
-                                            qpv)
-                best, lv_y, rc_y, j_y = pick(lv, rc, sd, rb, lamv,
-                                             mode_bits(left_mode))
+                best, lv_y, rc_y, j_y = eval_luma(
+                    orig16, tY, lY, cY, 16, qpv, lamv,
+                    mode_bits(left_mode))
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
                 tC, lC, cC = substitute_refs_general(
                     topC, leftC, corC, avt8, alt8, avcY, 8)
-                lvc, rcc, sdc, rbc = eval_modes(oc8, tC, lC, cC, 8, 1,
-                                                qpcv)
-                lv_cb, rc_cb, sd_cb, rb_cb = chroma_at(lvc, rcc, sdc,
-                                                       rbc, best)
+                lv_cb, rc_cb, sd_cb, rb_cb = eval_chroma(
+                    oc8, tC, lC, cC, 8, 1, qpcv, best)
                 tR, lR, cR = substitute_refs_general(
                     topR, leftR, corR, avt8, alt8, avcY, 8)
-                lvr, rcr, sdr, rbr = eval_modes(or8, tR, lR, cR, 8, 2,
-                                                qpcv)
-                lv_cr, rc_cr, sd_cr, rb_cr = chroma_at(lvr, rcr, sdr,
-                                                       rbr, best)
+                lv_cr, rc_cr, sd_cr, rb_cr = eval_chroma(
+                    or8, tR, lR, cR, 8, 2, qpcv, best)
                 j = j_y + sd_cb + sd_cr + lamv * (rb_cb + rb_cr + 4.0)
                 return (best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr, j)
 
@@ -470,19 +507,21 @@ class IntraTreeEncoder:
         lcr_r = jnp.take(o_lcr.reshape(-1, 8, 8), self._raster16, 0)
         if self.deblock:
             from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
-                                       edge_qp_maps, effective_qp_map,
+                                       edge_qp_maps, effective_qp16_tree,
                                        intra_tree_bs_maps)
             from ..ops.quant import chroma_qp_jnp
             bs_v, bs_h = intra_tree_bs_maps(
                 split_r.reshape(hc, wc), h16, w16)
-            # decoded QP chain at QG == CTB32, expanded to the 16-grid
+            # decoded QP chain at QG == CTB32, resolved PER 16-CELL:
+            # in a split CTB, CUs before the first coded CU in z-order
+            # keep the carry-in qPY_PREV (spec 8.6.1) — a uniform
+            # per-CTB map diverges from the decoder there
             coded16 = (jnp.any(ly_r != 0, axis=(1, 2))
                        | jnp.any(lcb_r != 0, axis=(1, 2))
                        | jnp.any(lcr_r != 0, axis=(1, 2))) \
                 .reshape(h16, w16)
-            coded32 = (coded16.reshape(hc, 2, wc, 2).any(3).any(1))
-            eff32 = effective_qp_map(qp32, coded32, slice_qp, self.wpp)
-            eff16 = jnp.repeat(jnp.repeat(eff32, 2, 0), 2, 1)
+            eff16 = effective_qp16_tree(qp32, split_r.reshape(hc, wc),
+                                        coded16, slice_qp, self.wpp)
             qp_v, qp_h = edge_qp_maps(eff16)
             rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
                                     qp_v=qp_v, qp_h=qp_h)

@@ -379,6 +379,45 @@ def effective_qp_map(qp_sig, coded, slice_qp, wpp: bool = False):
     return eff.astype(jnp.int32)
 
 
+def effective_qp16_tree(qp32, split, coded16, slice_qp, wpp: bool = False):
+    """Decoded per-16-cell QpY inside a CTB32 quadtree (spec 8.6.1 with
+    QG == CTB32): CUs decoded BEFORE the cu_qp_delta parse in the QG
+    keep the carry-in qPY_PREV (CuQpDeltaVal == 0 until parsed); the
+    first CU with coded coefficients in z-order signals the delta, and
+    every later CU of the QG shares the new value.  Mirrors the
+    decoder's per-CU assignment (verify/decoder.py _cu_qp_update) so
+    encoder-side deblock reads exactly the QPs a decoder derives.
+
+    qp32/split: [hc, wc] (signaled CTB QP targets / split_cu_flag),
+    coded16: [h16, w16] any-cbf per 16-cell.  Returns [h16, w16] int32.
+    """
+    hc, wc = qp32.shape
+    qp32 = jnp.asarray(qp32, jnp.int32)
+    # z-order cells per CTB: tl, tr, bl, br
+    c = jnp.asarray(coded16).reshape(hc, 2, wc, 2) \
+        .transpose(0, 2, 1, 3).reshape(hc, wc, 4)
+    anyc = c.any(-1)
+    eff32 = effective_qp_map(qp32, anyc, slice_qp, wpp)
+    sq = jnp.reshape(jnp.asarray(slice_qp, jnp.int32), (1,))
+    if wpp:
+        carry = jnp.concatenate(
+            [jnp.broadcast_to(sq, (hc, 1)), eff32[:, :-1]], axis=1)
+    else:
+        carry = jnp.concatenate([sq, eff32.reshape(-1)[:-1]]) \
+            .reshape(hc, wc)
+    # z index of the CU that parses the delta: first coded cell for a
+    # split CTB, cell 0 for an unsplit-and-coded CTB, 4 (never) if the
+    # CTB codes nothing
+    firstz = jnp.where(jnp.asarray(split).astype(bool),
+                       jnp.argmax(c, axis=-1), 0)
+    firstz = jnp.where(anyc, firstz, 4)
+    k = jnp.arange(4, dtype=jnp.int32)
+    cell = jnp.where(k[None, None, :] < firstz[..., None],
+                     carry[..., None], qp32[..., None])
+    return cell.reshape(hc, wc, 2, 2).transpose(0, 2, 1, 3) \
+        .reshape(hc * 2, wc * 2).astype(jnp.int32)
+
+
 def edge_qp_maps(qp_eff):
     """Per-edge luma QP (spec 8.7.2.5.3: (QpQ + QpP + 1) >> 1) from the
     per-cell effective QP map.  Returns (qp_v [hc, wc-1], qp_h

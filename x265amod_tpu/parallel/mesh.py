@@ -36,21 +36,23 @@ def make_mesh(n_frame: int | None = None, n_row: int = 1,
 def frame_parallel_step(mesh: Mesh, frame_encode_fn):
     """Wrap a single-frame encode fn into a frame-sharded step.
 
-    frame_encode_fn(y, cb, cr, qp, qp_cb, qp_cr, lam) -> pytree of
-    per-frame outputs.  The wrapped step takes batched inputs with a
-    leading frames axis sharded over the ``frame`` mesh axis, runs the
-    wavefront encode per frame, and all-reduces summary stats (total
-    distortion proxy) across the mesh — the RC aggregation collective.
+    frame_encode_fn(y, cb, cr, qp, qp_cb, qp_cr, lam, slice_qp) ->
+    pytree of per-frame outputs.  The wrapped step takes batched inputs
+    with a leading frames axis sharded over the ``frame`` mesh axis,
+    runs the wavefront encode per frame, and all-reduces summary stats
+    (total distortion proxy) across the mesh — the RC aggregation
+    collective.
     """
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("frame"), P("frame"), P("frame"), P(), P(), P(), P()),
+        in_specs=(P("frame"), P("frame"), P("frame"), P(), P(), P(),
+                  P(), P()),
         out_specs=(P("frame"), P()),
         check_vma=False)
-    def step(y, cb, cr, qp, qp_cb, qp_cr, lam):
+    def step(y, cb, cr, qp, qp_cb, qp_cr, lam, slice_qp):
         out = jax.vmap(
             lambda a, b, c: frame_encode_fn(a, b, c, qp, qp_cb, qp_cr,
-                                            lam))(y, cb, cr)
+                                            lam, slice_qp))(y, cb, cr)
         # cross-frame stat reduction (ABR/VBV feed): nonzero-level count
         # as the complexity proxy, all-reduced over the mesh
         levels = out[1]
