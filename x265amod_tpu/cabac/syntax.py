@@ -629,6 +629,82 @@ def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
     _encode_residual_root(enc, ctu, qp_delta)
 
 
+def encode_cu_pb(enc: CabacEncoder, slice_type: str, cells: int,
+                 cu: dict, left_skip: int, above_skip: int,
+                 cand_a_intra: int, cand_b_intra: int,
+                 max_merge: int = 2, qp_delta: int | None = None,
+                 ct_depth: int = 0) -> None:
+    """One P/B-slice CU of size cells*16 (PART_2Nx2N) — generalizes
+    encode_inter_ctu16/encode_b_ctu16 to the CTB32 quadtree (mirror of
+    native/cabac.cpp code_cu; spec 7.3.8.5/7.3.8.6).
+
+    cu keys: kind ('skip'|'inter'|'intra'); merge_idx; levels_y/cb/cr
+    (TU-sized: 32/16 for cells=2, 16/8 for cells=1); P: mvd, mvp_idx;
+    B: inter_dir, mvd0/mvp0, mvd1/mvp1; intra: luma_mode.
+    ct_depth: coding-tree depth (inter_pred_idc bin0 ctx, 9.3.4.2.2).
+    """
+    skip = cu["kind"] == "skip"
+    enc.encode_bin(CTX_CU_SKIP + left_skip + above_skip,
+                   1 if skip else 0)
+    if skip:
+        encode_merge_idx(enc, cu["merge_idx"], max_merge)
+        return
+    intra = cu["kind"] == "intra"
+    enc.encode_bin(CTX_PRED_MODE, 1 if intra else 0)
+    # part_mode: always coded for inter; for intra only at min CB size
+    if not intra or cells == 1:
+        enc.encode_bin(CTX_PART_MODE, 1)
+    cbf_cb = int(cu["levels_cb"].any())
+    cbf_cr = int(cu["levels_cr"].any())
+    cbf_y = int(cu["levels_y"].any())
+    log2l = 4 if cells == 1 else 5
+
+    def residuals():
+        if cbf_y:
+            residual_coding(enc, cu["levels_y"], log2l, 0, 0)
+        if cbf_cb:
+            residual_coding(enc, cu["levels_cb"], log2l - 1, 1, 0)
+        if cbf_cr:
+            residual_coding(enc, cu["levels_cr"], log2l - 1, 2, 0)
+
+    if intra:
+        _encode_intra_luma_mode(enc, cu["luma_mode"],
+                                mpm_list(cand_a_intra, cand_b_intra))
+        enc.encode_bin(CTX_CHROMA_PRED, 0)          # DM chroma
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
+        enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+        if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
+            encode_cu_qp_delta(enc, qp_delta)
+        residuals()
+        return
+    enc.encode_bin(CTX_MERGE_FLAG, 0)
+    if slice_type == "B":
+        d = cu["inter_dir"]
+        enc.encode_bin(CTX_INTER_DIR + ct_depth, 1 if d == 3 else 0)
+        if d != 3:
+            enc.encode_bin(CTX_INTER_DIR + 4, 1 if d == 2 else 0)
+        if d != 2:
+            encode_mvd(enc, cu["mvd0"][0], cu["mvd0"][1])
+            enc.encode_bin(CTX_MVP, cu["mvp0"])
+        if d != 1:
+            encode_mvd(enc, cu["mvd1"][0], cu["mvd1"][1])
+            enc.encode_bin(CTX_MVP, cu["mvp1"])
+    else:
+        encode_mvd(enc, cu["mvd"][0], cu["mvd"][1])
+        enc.encode_bin(CTX_MVP, cu["mvp_idx"])
+    root = 1 if (cbf_y or cbf_cb or cbf_cr) else 0
+    enc.encode_bin(CTX_RQT_ROOT_CBF, root)
+    if root:
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cb)
+        enc.encode_bin(CTX_QT_CBF_CHROMA, cbf_cr)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(CTX_QT_CBF_LUMA + 1, cbf_y)
+        if qp_delta is not None:
+            encode_cu_qp_delta(enc, qp_delta)
+        residuals()
+
+
 # ---- SAO syntax (spec 7.3.8.3, luma component) ------------------------------
 
 def encode_sao_luma(enc: CabacEncoder, type_idx: int, eo_class: int,

@@ -1,0 +1,809 @@
+"""P-slice CTU32 quadtree encoder (depth-1 CU tree, TPU-shaped).
+
+Extends the CU quadtree from all-intra (`intra_tree.py`) to inter
+slices — the role of the reference's recursive inter CU analysis
+(`encoder/analysis.cpp:1146` compressInterCU_rd0_4 over CU sizes) as a
+wavefront-batched TWO-HYPOTHESIS evaluation.  For every CTU32 on an
+anti-diagonal the decide pass evaluates
+
+  (a) one CU32 2Nx2N: skip (merge, zero residual) or AMVP inter with a
+      TU32 luma / TU16 chroma residual, and
+  (b) the 4 CU16 quadrants in z-scan order, each choosing among
+      skip / AMVP inter / intra exactly like the flat CTU16 pipeline,
+      with z-scan neighbor-motion availability (spec 6.4.1),
+
+then picks split vs no-split by RD cost.  Three-phase structure
+mirrors the flat pipeline (estimate-then-commit): parallel ME/trials ->
+wavefront decide scan (motion only) -> parallel MC + residuals at the
+final MVs -> wavefront commit scan (intra lanes re-analysed from true
+recon).  No intra at CU32 (the reference similarly restricts intra
+sizes in inter slices via b-intra / limit-modes heuristics).
+
+Data layout matches intra_tree: all state on the 16-grid; an unsplit
+CTU stores its TU32 coefficient quadrants in its four 16-cells.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intra import substitute_refs_general
+from ..ops.me import (mc_chroma_qpel, mc_luma_qpel, me_ssd_grid,
+                      subpel_refine)
+from ..ops.quant import dequant, derive_qp_maps, quant
+from ..ops.transforms import fwd_transform, inv_transform
+from .inter_frame import MAX_MERGE, InterFrameResult, _mvd_bits, \
+    _rbits_proxy
+from .intra_frame import _diag_schedule
+from .intra_tree import (_bc, eval_intra_chroma, eval_intra_luma,
+                         intra_mode_bits, qp32_of)
+
+
+def _merge2(av_a1, mv_a1, av_b1, mv_b1, av_b0, mv_b0, av_b2, mv_b2):
+    """First two spatial merge candidates, vectorized (spec 8.5.3.2.3
+    availability + pairwise pruning, zero-filled).  Mirrors
+    mvpred.merge_candidates_scalar."""
+    eq = lambda a, b: jnp.all(a == b, axis=-1)
+    m_a1 = av_a1
+    m_b1 = av_b1 & ~(av_a1 & eq(mv_b1, mv_a1))
+    m_b0 = av_b0 & ~(av_b1 & eq(mv_b0, mv_b1))
+    m_b2 = av_b2 & ~(av_a1 & eq(mv_b2, mv_a1)) & \
+        ~(av_b1 & eq(mv_b2, mv_b1))
+    avs = jnp.stack([m_a1, m_b1, m_b0, m_b2], 1)
+    mvs = jnp.stack([mv_a1, mv_b1, mv_b0, mv_b2], 1)
+    pos = jnp.cumsum(avs.astype(jnp.int32), axis=1)
+    mrg0 = jnp.sum(mvs * (avs & (pos == 1))[..., None], axis=1)
+    mrg1 = jnp.sum(mvs * (avs & (pos == 2))[..., None], axis=1)
+    return mrg0, mrg1
+
+
+def _amvp2(av_a1, mv_a1, av_b1, mv_b1, av_b0, mv_b0, av_b2, mv_b2):
+    """AMVP predictor pair (spec 8.5.3.2.6 single-ref simplification).
+    Mirrors mvpred.amvp_candidates_scalar: A = A1; B = first available
+    of (B0, B1, B2), pruned against A; zero-filled."""
+    eq = lambda a, b: jnp.all(a == b, axis=-1)
+    avB = av_b0 | av_b1 | av_b2
+    mvB = jnp.where(av_b0[:, None], mv_b0,
+                    jnp.where(av_b1[:, None], mv_b1, mv_b2))
+    avB2 = avB & ~(av_a1 & avB & eq(mvB, mv_a1))
+    amvp0 = jnp.where(av_a1[:, None], mv_a1,
+                      jnp.where(avB2[:, None], mvB, 0))
+    amvp1 = jnp.where((av_a1 & avB2)[:, None], mvB, 0)
+    return amvp0, amvp1
+
+
+class InterTreeEncoder:
+    """Per-resolution compiled P-frame CTU32 quadtree encoder."""
+
+    CTU = 32
+
+    def __init__(self, width: int, height: int,
+                 lambda_scale: float = 1.0, sao: bool = False,
+                 deblock: bool = False, wpp: bool = False,
+                 search_range: int = 16, subme: int = 2):
+        assert width % 32 == 0 and height % 32 == 0, \
+            "caller pads to CTU32 multiple"
+        assert 4 <= search_range <= 32, "dense-grid ME range"
+        self.sr = int(search_range)
+        self.subme = int(subme)
+        self.width, self.height = width, height
+        self.wc, self.hc = width // 32, height // 32      # 32-grid
+        self.w16, self.h16 = width // 16, height // 16    # 16-grid
+        self.lambda_scale = lambda_scale
+        self.sao = sao
+        self.deblock = deblock
+        self.wpp = wpp
+        diags = _diag_schedule(self.wc, self.hc)
+        self.n_diags = len(diags)
+        self.bmax = max(len(d) for d in diags)
+        coords = np.zeros((self.n_diags, self.bmax, 2), dtype=np.int32)
+        valid = np.zeros((self.n_diags, self.bmax), dtype=bool)
+        slot32 = np.full(self.hc * self.wc, -1, np.int64)
+        slot_raster32 = np.zeros(self.n_diags * self.bmax, np.int64)
+        for i, cells in enumerate(diags):
+            for j, (cx, cy) in enumerate(cells):
+                coords[i, j] = (cx, cy)
+                valid[i, j] = True
+                slot32[cy * self.wc + cx] = i * self.bmax + j
+                slot_raster32[i * self.bmax + j] = cy * self.wc + cx
+        assert (slot32 >= 0).all()
+        self._coords = jnp.asarray(coords)
+        self._valid = jnp.asarray(valid)
+        self._raster32 = jnp.asarray(slot32)       # 32-raster -> slot
+        self._slot_raster32 = jnp.asarray(slot_raster32)
+        # 16-cell raster -> (slot, z-quadrant) permutations
+        slot16 = np.zeros(self.h16 * self.w16, np.int64)
+        cell_of = np.zeros(self.n_diags * self.bmax * 4, np.int64)
+        for by in range(self.h16):
+            for bx in range(self.w16):
+                q = (by & 1) * 2 + (bx & 1)
+                s32 = slot32[(by // 2) * self.wc + bx // 2]
+                slot16[by * self.w16 + bx] = s32 * 4 + q
+                cell_of[s32 * 4 + q] = by * self.w16 + bx
+        self._raster16 = jnp.asarray(slot16)       # 16-raster -> slotq
+        self._slotq_raster16 = jnp.asarray(cell_of)
+        self._step = jax.jit(functools.partial(self._encode, wr=False))
+        self._step_recon = jax.jit(functools.partial(self._encode,
+                                                     wr=True))
+
+    def _to_slots32(self, arr):
+        """[n32, ...] raster -> [D, Bmax, ...] scan-slot order."""
+        out = jnp.take(arr, self._slot_raster32, axis=0)
+        return out.reshape(self.n_diags, self.bmax, *arr.shape[1:])
+
+    def _to_slots16q(self, arr):
+        """[n16, ...] raster -> [D, Bmax, 4, ...] (z-quadrant axis)."""
+        out = jnp.take(arr, self._slotq_raster16, axis=0)
+        return out.reshape(self.n_diags, self.bmax, 4, *arr.shape[1:])
+
+    # ------------------------------------------------------------------
+    def _encode(self, y, cb, cr, ref_y, ref_cb, ref_cr, qp16_blk,
+                qpc16_blk, lam16_blk, qp32_blk, qpc32_blk, lam32_blk,
+                slice_qp, wr=False):
+        """qp16_blk/qpc16_blk/lam16_blk: [n16] per-16-cell raster (2x2
+        replication of the per-CTB values — QG == CTB); qp32_blk etc.:
+        [n32] per-CTB raster."""
+        wc, hc = self.wc, self.hc
+        w16, h16 = self.w16, self.h16
+        n16 = h16 * w16
+        n32 = hc * wc
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+        ref_y = ref_y.astype(jnp.int32)
+        ref_cb = ref_cb.astype(jnp.int32)
+        ref_cr = ref_cr.astype(jnp.int32)
+
+        def to_blocks(plane, bn):
+            hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
+            return plane.reshape(hb, bn, wb, bn).transpose(0, 2, 1, 3)
+
+        oy = to_blocks(y, 16)            # [h16, w16, 16, 16]
+        ocb = to_blocks(cb, 8)
+        ocr = to_blocks(cr, 8)
+        oy_flat = oy.reshape(n16, 16, 16)
+        ocb_flat = ocb.reshape(n16, 8, 8)
+        ocr_flat = ocr.reshape(n16, 8, 8)
+        oy32 = to_blocks(y, 32).reshape(n32, 32, 32)
+
+        # ---- 1. parallel ME + trials at both CU sizes -----------------
+        sr = self.sr
+        s = 2 * sr + 1
+        ssd16 = me_ssd_grid(oy, ref_y, sr)               # [n16, S, S]
+        ssd32 = me_ssd_grid(to_blocks(y, 32), ref_y, sr, bn=32)
+        off = jnp.arange(s) - sr
+        mygrid, mxgrid = jnp.meshgrid(off, off, indexing="ij")
+        mvbits_grid = _mvd_bits(
+            jnp.stack([mxgrid * 4, mygrid * 4], -1))     # [S, S]
+
+        def best_mv(grid, lam, blocks, bn):
+            cost = grid + lam[:, None, None] * mvbits_grid[None]
+            flat = jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
+            mv_int = jnp.stack([flat % s - sr, flat // s - sr], 1)
+            if self.subme >= 1:
+                mv_q, _ = subpel_refine(ref_y, blocks, mv_int,
+                                        lam[:, None], bn)
+            else:
+                mv_q = mv_int * 4
+            return mv_q
+
+        mv16_me = best_mv(ssd16, lam16_blk, oy, 16)
+        mv32_me = best_mv(ssd32, lam32_blk, to_blocks(y, 32), 32)
+
+        qp3_16 = qp16_blk[:, None, None]
+        qp3_32 = qp32_blk[:, None, None]
+
+        def inter_trial(orig, mv, qp3, bn):
+            pred = mc_luma_qpel(ref_y, mv, bn)
+            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
+                           0, 255)
+            d = jnp.sum((rec - orig) ** 2, axis=(1, 2)) \
+                .astype(jnp.float32)
+            return d, _rbits_proxy(lv)
+
+        d16, rb16 = inter_trial(oy_flat, mv16_me, qp3_16, 16)
+        d32, rb32 = inter_trial(oy32, mv32_me, qp3_32, 32)
+
+        # ---- intra trial at 16 with source-pixel references -----------
+        from ..ops.intra import predict_all_modes_batch, substitute_refs
+        all_cx = jnp.arange(n16, dtype=jnp.int32) % w16
+        all_cy = jnp.arange(n16, dtype=jnp.int32) // w16
+        srcb = jnp.concatenate(
+            [oy, jnp.full((1, w16, 16, 16), 128, jnp.int32)], 0)
+        cyu = jnp.maximum(all_cy - 1, 0)
+        cxl = jnp.maximum(all_cx - 1, 0)
+        cxr = jnp.minimum(all_cx + 1, w16 - 1)
+        traw = jnp.concatenate([srcb[cyu, all_cx, 15, :],
+                                srcb[cyu, cxr, 15, :]], 1)
+        lraw0 = srcb[all_cy, cxl, :, 15]
+        lraw = jnp.concatenate([lraw0, lraw0], 1)
+        craw = srcb[cyu, cxl, 15, 15]
+        tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
+                                      16, w16)
+        preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
+        qp4 = qp16_blk[:, None, None, None]
+        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp4)
+        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp4)),
+                         0, 255)
+        ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
+                        axis=(2, 3)).astype(jnp.float32)
+        rb_i = _rbits_proxy(lv_i)
+        j_intra_modes = ssd_i + lam16_blk[:, None] * (rb_i + 6.0)
+        d_intra16 = jnp.min(j_intra_modes, axis=1)
+
+        # ---- 2. decide scan over the 32-grid wavefront -----------------
+        # 16-grid motion state (+2 dummy rows for invalid lanes)
+        mv_map = jnp.zeros((h16 + 2, w16, 2), jnp.int32)
+        inter_map = jnp.zeros((h16 + 2, w16), jnp.int32)
+
+        def lookup(grid, idx, mv_int):
+            mx = jnp.clip(mv_int[:, 0] + sr, 0, s - 1)
+            my = jnp.clip(mv_int[:, 1] + sr, 0, s - 1)
+            val = grid[idx, my, mx]
+            inside = (jnp.abs(mv_int[:, 0]) <= sr) & \
+                     (jnp.abs(mv_int[:, 1]) <= sr)
+            return jnp.where(inside, val, jnp.float32(1e18))
+
+        xs_decide = (self._coords, self._valid,
+                     self._to_slots32(d32), self._to_slots32(rb32),
+                     self._to_slots32(mv32_me),
+                     self._to_slots32(lam32_blk),
+                     self._to_slots16q(d16), self._to_slots16q(rb16),
+                     self._to_slots16q(mv16_me),
+                     self._to_slots16q(d_intra16),
+                     self._to_slots16q(lam16_blk))
+
+        def decide_body(state, xs):
+            mv_map, inter_map = state
+            (coords_d, val, d32_d, rb32_d, mv32_d, lam32_d,
+             d16_d, rb16_d, mv16_d, di16_d, lam16_d) = xs
+            cx = coords_d[:, 0]
+            cy = coords_d[:, 1]
+            bx = 2 * cx
+            by = 2 * cy
+            B = cx.shape[0]
+            true_ = jnp.ones((B,), bool)
+
+            def nb(px, py, ok):
+                pxc = jnp.clip(px, 0, w16 - 1)
+                pyc = jnp.clip(py, 0, h16 - 1)
+                avail = ok & (inter_map[pyc, pxc] == 1)
+                return avail, jnp.where(avail[:, None],
+                                        mv_map[pyc, pxc], 0)
+
+            def decide_cu(cands, dd, rbd, mvme, lamv, di, idx16, grid,
+                          with_intra):
+                """One CU decision from its 4 neighbor candidates.
+                Returns (kind, merge_idx, mv_fin, mvd, mvp_idx, j)."""
+                (av_a1, mv_a1), (av_b1, mv_b1), (av_b0, mv_b0), \
+                    (av_b2, mv_b2) = cands
+                mrg0, mrg1 = _merge2(av_a1, mv_a1, av_b1, mv_b1,
+                                     av_b0, mv_b0, av_b2, mv_b2)
+                amvp0, amvp1 = _amvp2(av_a1, mv_a1, av_b1, mv_b1,
+                                      av_b0, mv_b0, av_b2, mv_b2)
+                mvd0 = mvme - amvp0
+                mvd1 = mvme - amvp1
+                b0 = _mvd_bits(mvd0)
+                b1 = _mvd_bits(mvd1)
+                use1 = b1 < b0
+                mvp_idx = use1.astype(jnp.int32)
+                mvd = jnp.where(use1[:, None], mvd1, mvd0)
+                j_inter = dd + lamv * (rbd + jnp.minimum(b0, b1) + 6.0)
+                j_s0 = lookup(grid, idx16, mrg0 >> 2) + lamv * 2.0
+                j_s1 = lookup(grid, idx16, mrg1 >> 2) + lamv * 3.0
+                if with_intra:
+                    js = jnp.stack(
+                        [j_s0, j_s1, j_inter, di + lamv * 3.0], 1)
+                else:
+                    js = jnp.stack([j_s0, j_s1, j_inter], 1)
+                choice = jnp.argmin(js, axis=1)
+                kind = jnp.where(choice <= 1, 0,
+                                 jnp.where(choice == 2, 1, 2))
+                merge_idx = jnp.minimum(choice, 1)
+                mv_fin = jnp.where(choice[:, None] == 0, mrg0,
+                                   jnp.where(choice[:, None] == 1,
+                                             mrg1, mvme))
+                mv_fin = jnp.where(kind[:, None] == 2, 0, mv_fin)
+                return (kind, merge_idx, mv_fin, mvd, mvp_idx,
+                        jnp.min(js, axis=1))
+
+            # ---- hypothesis A: one CU32 (no intra at 32) --------------
+            c32 = (nb(bx - 1, by + 1, cx > 0),
+                   nb(bx + 1, by - 1, cy > 0),
+                   nb(bx + 2, by - 1, (cy > 0) & (cx < wc - 1)),
+                   nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
+            idx32 = cy * wc + cx
+            k32, mg32, mv32f, mvd32, mvp32, j32 = decide_cu(
+                c32, d32_d, rb32_d, mv32_d, lam32_d, None, idx32,
+                ssd32, False)
+
+            # ---- hypothesis B: 4 CU16 quadrants in z-scan --------------
+            # local (in-CTU) candidates come from earlier quadrants'
+            # results; cross-CTU ones from the committed motion maps
+            def loc(kq, mvq):
+                return (kq <= 1), mvq
+
+            # q0
+            c0 = (nb(bx - 1, by, cx > 0), nb(bx, by - 1, cy > 0),
+                  nb(bx + 1, by - 1, cy > 0),
+                  nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
+            i0 = by * w16 + bx
+            k0, mg0, mvf0, mvd0q, mvp0q, j0 = decide_cu(
+                c0, d16_d[:, 0], rb16_d[:, 0], mv16_d[:, 0],
+                lam16_d[:, 0], di16_d[:, 0], i0, ssd16, True)
+            # q1: A1 = q0 (local); B's from above CTU row
+            c1 = (loc(k0, mvf0), nb(bx + 1, by - 1, cy > 0),
+                  nb(bx + 2, by - 1, (cy > 0) & (cx < wc - 1)),
+                  nb(bx, by - 1, cy > 0))
+            i1 = by * w16 + bx + 1
+            k1, mg1, mvf1, mvd1q, mvp1q, j1 = decide_cu(
+                c1, d16_d[:, 1], rb16_d[:, 1], mv16_d[:, 1],
+                lam16_d[:, 1], di16_d[:, 1], i1, ssd16, True)
+            # q2: B1 = q0, B0 = q1 (local); A1/B2 from left CTU
+            c2 = (nb(bx - 1, by + 1, cx > 0), loc(k0, mvf0),
+                  loc(k1, mvf1), nb(bx - 1, by, cx > 0))
+            i2 = (by + 1) * w16 + bx
+            k2, mg2, mvf2, mvd2q, mvp2q, j2 = decide_cu(
+                c2, d16_d[:, 2], rb16_d[:, 2], mv16_d[:, 2],
+                lam16_d[:, 2], di16_d[:, 2], i2, ssd16, True)
+            # q3: A1 = q2, B1 = q1, B2 = q0 (local); B0 undecoded
+            false_ = jnp.zeros((B,), bool)
+            c3 = (loc(k2, mvf2), loc(k1, mvf1),
+                  (false_, jnp.zeros_like(mvf0)), loc(k0, mvf0))
+            i3 = (by + 1) * w16 + bx + 1
+            k3, mg3, mvf3, mvd3q, mvp3q, j3 = decide_cu(
+                c3, d16_d[:, 3], rb16_d[:, 3], mv16_d[:, 3],
+                lam16_d[:, 3], di16_d[:, 3], i3, ssd16, True)
+
+            # ---- split decision ---------------------------------------
+            split = ((j0 + j1 + j2 + j3) < j32).astype(jnp.int32)
+            sp = split == 1
+            spn = sp[:, None]
+
+            kq = jnp.stack([k0, k1, k2, k3], 1)
+            mgq = jnp.stack([mg0, mg1, mg2, mg3], 1)
+            mvfq = jnp.stack([mvf0, mvf1, mvf2, mvf3], 1)
+            mvdq = jnp.stack([mvd0q, mvd1q, mvd2q, mvd3q], 1)
+            mvpq = jnp.stack([mvp0q, mvp1q, mvp2q, mvp3q], 1)
+
+            # committed per-cell motion: quadrant results when split,
+            # the CU32 motion replicated otherwise
+            cell_mv = jnp.where(spn[:, None], mvfq,
+                                jnp.broadcast_to(mv32f[:, None],
+                                                 mvfq.shape))
+            cell_inter = jnp.where(sp[:, None], (kq <= 1).astype(
+                jnp.int32), 1)
+            safe_by = jnp.where(val, by, h16)
+            idx_by = jnp.stack([safe_by, safe_by, safe_by + 1,
+                                safe_by + 1], 1).reshape(-1)
+            idx_bx = jnp.stack([bx, bx + 1, bx, bx + 1], 1).reshape(-1)
+            mv_map = mv_map.at[idx_by, idx_bx].set(
+                cell_mv.reshape(-1, 2))
+            inter_map = inter_map.at[idx_by, idx_bx].set(
+                cell_inter.reshape(-1))
+
+            ys = (split.astype(jnp.int8), k32.astype(jnp.int8),
+                  mg32.astype(jnp.int8), mvd32.astype(jnp.int16),
+                  mvp32.astype(jnp.int8), mv32f,
+                  kq.astype(jnp.int8), mgq.astype(jnp.int8),
+                  mvdq.astype(jnp.int16), mvpq.astype(jnp.int8),
+                  cell_mv)
+            return (mv_map, inter_map), ys
+
+        state = (mv_map, inter_map)
+        _, (o_split, o_k32, o_mg32, o_mvd32, o_mvp32, o_mv32,
+            o_kq, o_mgq, o_mvdq, o_mvpq, o_cellmv) = jax.lax.scan(
+            decide_body, state, xs_decide)
+
+        # raster views
+        split_r = jnp.take(o_split.reshape(-1), self._raster32)  # [n32]
+        split_cell = jnp.repeat(
+            jnp.repeat(split_r.reshape(hc, wc), 2, 0), 2, 1) \
+            .reshape(-1).astype(jnp.int32)                       # [n16]
+        k32_cell = jnp.repeat(jnp.repeat(
+            jnp.take(o_k32.reshape(-1), self._raster32)
+            .reshape(hc, wc), 2, 0), 2, 1).reshape(-1).astype(jnp.int32)
+        mg32_cell = jnp.repeat(jnp.repeat(
+            jnp.take(o_mg32.reshape(-1), self._raster32)
+            .reshape(hc, wc), 2, 0), 2, 1).reshape(-1).astype(jnp.int32)
+        mvd32_cell = jnp.repeat(jnp.repeat(
+            jnp.take(o_mvd32.reshape(-1, 2), self._raster32, 0)
+            .reshape(hc, wc, 2), 2, 0), 2, 1).reshape(-1, 2) \
+            .astype(jnp.int32)
+        mvp32_cell = jnp.repeat(jnp.repeat(
+            jnp.take(o_mvp32.reshape(-1), self._raster32)
+            .reshape(hc, wc), 2, 0), 2, 1).reshape(-1).astype(jnp.int32)
+
+        kq_r = jnp.take(o_kq.reshape(-1), self._raster16) \
+            .astype(jnp.int32)                                  # [n16]
+        mgq_r = jnp.take(o_mgq.reshape(-1), self._raster16) \
+            .astype(jnp.int32)
+        mvdq_r = jnp.take(o_mvdq.reshape(-1, 2), self._raster16, 0) \
+            .astype(jnp.int32)
+        mvpq_r = jnp.take(o_mvpq.reshape(-1), self._raster16) \
+            .astype(jnp.int32)
+        mv_cell = jnp.take(o_cellmv.reshape(-1, 2), self._raster16, 0)
+
+        is_split = split_cell == 1
+        kinds16 = jnp.where(is_split, kq_r, k32_cell)
+        merge16 = jnp.where(is_split, mgq_r, mg32_cell)
+        mvd16 = jnp.where(is_split[:, None], mvdq_r, mvd32_cell)
+        mvp16 = jnp.where(is_split, mvpq_r, mvp32_cell)
+
+        # ---- 3. parallel final MC + residuals ---------------------------
+        pred_y = mc_luma_qpel(ref_y, mv_cell, 16)          # [n16,16,16]
+        pred_cb = mc_chroma_qpel(ref_cb, mv_cell, 8)
+        pred_cr = mc_chroma_qpel(ref_cr, mv_cell, 8)
+        qpc3_16 = qpc16_blk[:, None, None]
+
+        def coded16(orig, pred, qp3):
+            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
+                           0, 255)
+            return lv, rec
+
+        lv16_y, rec16_y = coded16(oy_flat, pred_y, qp3_16)
+        lv16_cb, rec16_cb = coded16(ocb_flat, pred_cb, qpc3_16)
+        lv16_cr, rec16_cr = coded16(ocr_flat, pred_cr, qpc3_16)
+        skip16 = (kinds16 == 0) | ~is_split
+        lv16_y = jnp.where(skip16[:, None, None], 0, lv16_y)
+        lv16_cb = jnp.where(skip16[:, None, None], 0, lv16_cb)
+        lv16_cr = jnp.where(skip16[:, None, None], 0, lv16_cr)
+        rec16_y = jnp.where((kinds16 == 0)[:, None, None], pred_y,
+                            rec16_y)
+        rec16_cb = jnp.where((kinds16 == 0)[:, None, None], pred_cb,
+                             rec16_cb)
+        rec16_cr = jnp.where((kinds16 == 0)[:, None, None], pred_cr,
+                             rec16_cr)
+
+        def cells_to32(arr, bn):
+            # [n16, bn, bn] -> [n32, 2bn, 2bn] by CTU assembly
+            a = arr.reshape(hc, 2, wc, 2, bn, bn)
+            return a.transpose(0, 2, 1, 4, 3, 5).reshape(
+                n32, 2 * bn, 2 * bn)
+
+        def to_cells(arr, bn):
+            # [n32, 2bn, 2bn] -> [n16, bn, bn]
+            a = arr.reshape(hc, wc, 2, bn, 2, bn)
+            return a.transpose(0, 2, 1, 4, 3, 5).reshape(n16, bn, bn)
+
+        pred32_y = cells_to32(pred_y, 16)
+        pred32_cb = cells_to32(pred_cb, 8)
+        pred32_cr = cells_to32(pred_cr, 8)
+        ocb32 = cells_to32(ocb_flat, 8)
+        ocr32 = cells_to32(ocr_flat, 8)
+        qpc3_32 = qpc32_blk[:, None, None]
+        lv32_y, rec32_y = coded16(oy32, pred32_y, qp3_32)
+        lv32_cb, rec32_cb = coded16(ocb32, pred32_cb, qpc3_32)
+        lv32_cr, rec32_cr = coded16(ocr32, pred32_cr, qpc3_32)
+        k32_r = jnp.take(o_k32.reshape(-1), self._raster32) \
+            .astype(jnp.int32)
+        skip32 = (k32_r == 0)
+        lv32_y = jnp.where(skip32[:, None, None], 0, lv32_y)
+        lv32_cb = jnp.where(skip32[:, None, None], 0, lv32_cb)
+        lv32_cr = jnp.where(skip32[:, None, None], 0, lv32_cr)
+        rec32_y = jnp.where(skip32[:, None, None], pred32_y, rec32_y)
+        rec32_cb = jnp.where(skip32[:, None, None], pred32_cb, rec32_cb)
+        rec32_cr = jnp.where(skip32[:, None, None], pred32_cr, rec32_cr)
+
+        isn = is_split[:, None, None]
+        fin_lv_y = jnp.where(isn, lv16_y, to_cells(lv32_y, 16))
+        fin_lv_cb = jnp.where(isn, lv16_cb, to_cells(lv32_cb, 8))
+        fin_lv_cr = jnp.where(isn, lv16_cr, to_cells(lv32_cr, 8))
+        fin_rec_y = jnp.where(isn, rec16_y, to_cells(rec32_y, 16))
+        fin_rec_cb = jnp.where(isn, rec16_cb, to_cells(rec32_cb, 8))
+        fin_rec_cr = jnp.where(isn, rec16_cr, to_cells(rec32_cr, 8))
+
+        # ---- 4. commit scan: intra lanes from true recon -----------------
+        yb = jnp.full((h16 + 2, w16, 16, 16), 128, jnp.int32)
+        cbb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
+        crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
+        mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
+
+        xs_commit = (self._coords, self._valid,
+                     self._to_slots16q(kinds16),
+                     self._to_slots16q(oy_flat),
+                     self._to_slots16q(ocb_flat),
+                     self._to_slots16q(ocr_flat),
+                     self._to_slots16q(fin_rec_y),
+                     self._to_slots16q(fin_rec_cb),
+                     self._to_slots16q(fin_rec_cr),
+                     self._to_slots16q(fin_lv_y),
+                     self._to_slots16q(fin_lv_cb),
+                     self._to_slots16q(fin_lv_cr),
+                     self._to_slots16q(qp16_blk),
+                     self._to_slots16q(qpc16_blk),
+                     self._to_slots16q(lam16_blk))
+
+        def commit_body(state, xs):
+            yb, cbb, crb, mode16 = state
+            (coords_d, val, kq_d, oy_d, ocb_d, ocr_d, ry_d, rcb_d,
+             rcr_d, lvy_d, lvcb_d, lvcr_d, qp_d, qpc_d, lam_d) = xs
+            cx = coords_d[:, 0]
+            cy = coords_d[:, 1]
+            bx = 2 * cx
+            by = 2 * cy
+            at_top = cy > 0
+            at_left = cx > 0
+            at_tr = (cy > 0) & (cx < wc - 1)
+            byu = jnp.maximum(by - 1, 0)
+            bxl = jnp.maximum(bx - 1, 0)
+            bx2c = jnp.minimum(bx + 2, w16 - 1)
+            zero = jnp.zeros_like(at_top)
+            one = jnp.ones_like(at_top)
+
+            def quad_intra(orig16, oc8, or8, topY, leftY, corY, avtY,
+                           altY, avcY, topC, leftC, corC, topR, leftR,
+                           corR, qpv, qpcv, lamv, left_mode):
+                tY, lY, cY = substitute_refs_general(
+                    topY, leftY, corY, avtY, altY, avcY, 16)
+                best, lv_y, rc_y, _ = eval_intra_luma(
+                    orig16, tY, lY, cY, 16, qpv, lamv,
+                    intra_mode_bits(left_mode))
+                avt8 = avtY[:, ::2]
+                alt8 = altY[:, ::2]
+                tC, lC, cC = substitute_refs_general(
+                    topC, leftC, corC, avt8, alt8, avcY, 8)
+                lv_cb, rc_cb, _, _ = eval_intra_chroma(
+                    oc8, tC, lC, cC, 8, 1, qpcv, best)
+                tR, lR, cR = substitute_refs_general(
+                    topR, leftR, corR, avt8, alt8, avcY, 8)
+                lv_cr, rc_cr, _, _ = eval_intra_chroma(
+                    or8, tR, lR, cR, 8, 2, qpcv, best)
+                return best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr
+
+            def fin(q, intra_res, prev_cells):
+                """Select intra vs inter results for quadrant q and
+                return the committed cell tensors."""
+                best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr = intra_res
+                ii = kq_d[:, q] == 2
+                iix = ii[:, None, None]
+                return (jnp.where(ii, best.astype(jnp.int32), 1),
+                        jnp.where(iix, rc_y, ry_d[:, q]),
+                        jnp.where(iix, rc_cb, rcb_d[:, q]),
+                        jnp.where(iix, rc_cr, rcr_d[:, q]),
+                        jnp.where(iix, lv_y, lvy_d[:, q]),
+                        jnp.where(iix, lv_cb, lvcb_d[:, q]),
+                        jnp.where(iix, lv_cr, lvcr_d[:, q]))
+
+            # q0
+            r0 = quad_intra(
+                oy_d[:, 0], ocb_d[:, 0], ocr_d[:, 0],
+                jnp.concatenate([yb[byu, bx, 15, :],
+                                 yb[byu, bx + 1, 15, :]], 1),
+                jnp.concatenate([yb[by, bxl, :, 15],
+                                 yb[by + 1, bxl, :, 15]], 1),
+                yb[byu, bxl, 15, 15],
+                jnp.concatenate([_bc(at_top, 16), _bc(at_top, 16)], 1),
+                jnp.concatenate([_bc(at_left, 16), _bc(at_left, 16)], 1),
+                at_top & at_left,
+                jnp.concatenate([cbb[byu, bx, 7, :],
+                                 cbb[byu, bx + 1, 7, :]], 1),
+                jnp.concatenate([cbb[by, bxl, :, 7],
+                                 cbb[by + 1, bxl, :, 7]], 1),
+                cbb[byu, bxl, 7, 7],
+                jnp.concatenate([crb[byu, bx, 7, :],
+                                 crb[byu, bx + 1, 7, :]], 1),
+                jnp.concatenate([crb[by, bxl, :, 7],
+                                 crb[by + 1, bxl, :, 7]], 1),
+                crb[byu, bxl, 7, 7],
+                qp_d[:, 0], qpc_d[:, 0], lam_d[:, 0],
+                jnp.where(at_left, mode16[by, bxl], 1))
+            m0, fy0, fcb0, fcr0, fly0, flcb0, flcr0 = fin(0, r0, None)
+            # q1
+            r1 = quad_intra(
+                oy_d[:, 1], ocb_d[:, 1], ocr_d[:, 1],
+                jnp.concatenate([yb[byu, bx + 1, 15, :],
+                                 yb[byu, bx2c, 15, :]], 1),
+                jnp.concatenate([fy0[:, :, 15], fy0[:, :, 15]], 1),
+                yb[byu, bx, 15, 15],
+                jnp.concatenate([_bc(at_top, 16), _bc(at_tr, 16)], 1),
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                at_top,
+                jnp.concatenate([cbb[byu, bx + 1, 7, :],
+                                 cbb[byu, bx2c, 7, :]], 1),
+                jnp.concatenate([fcb0[:, :, 7], fcb0[:, :, 7]], 1),
+                cbb[byu, bx, 7, 7],
+                jnp.concatenate([crb[byu, bx + 1, 7, :],
+                                 crb[byu, bx2c, 7, :]], 1),
+                jnp.concatenate([fcr0[:, :, 7], fcr0[:, :, 7]], 1),
+                crb[byu, bx, 7, 7],
+                qp_d[:, 1], qpc_d[:, 1], lam_d[:, 1], m0)
+            m1, fy1, fcb1, fcr1, fly1, flcb1, flcr1 = fin(1, r1, None)
+            # q2
+            r2 = quad_intra(
+                oy_d[:, 2], ocb_d[:, 2], ocr_d[:, 2],
+                jnp.concatenate([fy0[:, 15, :], fy1[:, 15, :]], 1),
+                jnp.concatenate([yb[by + 1, bxl, :, 15],
+                                 yb[by + 1, bxl, :, 15]], 1),
+                yb[by, bxl, 15, 15],
+                jnp.concatenate([_bc(one, 16), _bc(one, 16)], 1),
+                jnp.concatenate([_bc(at_left, 16), _bc(zero, 16)], 1),
+                at_left,
+                jnp.concatenate([fcb0[:, 7, :], fcb1[:, 7, :]], 1),
+                jnp.concatenate([cbb[by + 1, bxl, :, 7],
+                                 cbb[by + 1, bxl, :, 7]], 1),
+                cbb[by, bxl, 7, 7],
+                jnp.concatenate([fcr0[:, 7, :], fcr1[:, 7, :]], 1),
+                jnp.concatenate([crb[by + 1, bxl, :, 7],
+                                 crb[by + 1, bxl, :, 7]], 1),
+                crb[by, bxl, 7, 7],
+                qp_d[:, 2], qpc_d[:, 2], lam_d[:, 2],
+                jnp.where(at_left, mode16[by + 1, bxl], 1))
+            m2, fy2, fcb2, fcr2, fly2, flcb2, flcr2 = fin(2, r2, None)
+            # q3
+            r3 = quad_intra(
+                oy_d[:, 3], ocb_d[:, 3], ocr_d[:, 3],
+                jnp.concatenate([fy1[:, 15, :], fy1[:, 15, :]], 1),
+                jnp.concatenate([fy2[:, :, 15], fy2[:, :, 15]], 1),
+                fy0[:, 15, 15],
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                jnp.concatenate([_bc(one, 16), _bc(zero, 16)], 1),
+                one > 0,
+                jnp.concatenate([fcb1[:, 7, :], fcb1[:, 7, :]], 1),
+                jnp.concatenate([fcb2[:, :, 7], fcb2[:, :, 7]], 1),
+                fcb0[:, 7, 7],
+                jnp.concatenate([fcr1[:, 7, :], fcr1[:, 7, :]], 1),
+                jnp.concatenate([fcr2[:, :, 7], fcr2[:, :, 7]], 1),
+                fcr0[:, 7, 7],
+                qp_d[:, 3], qpc_d[:, 3], lam_d[:, 3], m2)
+            m3, fy3, fcb3, fcr3, fly3, flcb3, flcr3 = fin(3, r3, None)
+
+            safe_by = jnp.where(val, by, h16)
+            idx_by = jnp.stack([safe_by, safe_by, safe_by + 1,
+                                safe_by + 1], 1).reshape(-1)
+            idx_bx = jnp.stack([bx, bx + 1, bx, bx + 1], 1).reshape(-1)
+            yb = yb.at[idx_by, idx_bx].set(
+                jnp.stack([fy0, fy1, fy2, fy3], 1).reshape(-1, 16, 16))
+            cbb = cbb.at[idx_by, idx_bx].set(
+                jnp.stack([fcb0, fcb1, fcb2, fcb3], 1).reshape(-1, 8, 8))
+            crb = crb.at[idx_by, idx_bx].set(
+                jnp.stack([fcr0, fcr1, fcr2, fcr3], 1).reshape(-1, 8, 8))
+            mode16 = mode16.at[idx_by, idx_bx].set(
+                jnp.stack([m0, m1, m2, m3], 1).reshape(-1))
+            ys = (jnp.stack([m0, m1, m2, m3], 1),
+                  jnp.stack([fly0, fly1, fly2, fly3], 1)
+                  .astype(jnp.int16),
+                  jnp.stack([flcb0, flcb1, flcb2, flcb3], 1)
+                  .astype(jnp.int16),
+                  jnp.stack([flcr0, flcr1, flcr2, flcr3], 1)
+                  .astype(jnp.int16))
+            return (yb, cbb, crb, mode16), ys
+
+        state = (yb, cbb, crb, mode16)
+        state, (o_modes, o_ly, o_lcb, o_lcr) = jax.lax.scan(
+            commit_body, state, xs_commit)
+        yb, cbb, crb, _ = state
+
+        modes_r = jnp.take(o_modes.reshape(-1), self._raster16) \
+            .astype(jnp.uint8)
+        ly_r = jnp.take(o_ly.reshape(-1, 16, 16), self._raster16, 0)
+        lcb_r = jnp.take(o_lcb.reshape(-1, 8, 8), self._raster16, 0)
+        lcr_r = jnp.take(o_lcr.reshape(-1, 8, 8), self._raster16, 0)
+
+        def to_plane(blocks, bn, h, w):
+            return blocks[:h // bn].transpose(0, 2, 1, 3).reshape(h, w)
+
+        rec_y = to_plane(yb, 16, self.height, self.width)
+        rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
+        rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
+
+        split32_m = split_r.reshape(hc, wc)
+        if self.deblock:
+            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       edge_qp_maps, effective_qp16_tree,
+                                       inter_tree_bs_maps)
+            from ..ops.quant import chroma_qp_jnp
+            intra_m = (kinds16 == 2).reshape(h16, w16)
+            # luma cbf per cell; a TU32's cbf is shared by its 4 cells
+            cbf_cell = jnp.any(ly_r != 0, axis=(1, 2)).reshape(h16, w16)
+            cbf32 = cbf_cell.reshape(hc, 2, wc, 2).any((1, 3))
+            cbf_m = jnp.where(
+                jnp.repeat(jnp.repeat(split32_m, 2, 0), 2, 1) == 1,
+                cbf_cell,
+                jnp.repeat(jnp.repeat(cbf32, 2, 0), 2, 1))
+            dir_m = jnp.where(intra_m, 0, 1)
+            mv0_m = jnp.where(intra_m[..., None], 0,
+                              mv_cell.reshape(h16, w16, 2))
+            mv1_m = jnp.zeros_like(mv0_m)
+            bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
+                                            mv0_m, mv1_m, split32_m)
+            coded16_m = (jnp.any(ly_r != 0, axis=(1, 2))
+                         | jnp.any(lcb_r != 0, axis=(1, 2))
+                         | jnp.any(lcr_r != 0, axis=(1, 2))) \
+                .reshape(h16, w16)
+            eff16 = effective_qp16_tree(
+                qp32_blk.reshape(hc, wc), split32_m, coded16_m,
+                slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff16)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam32_blk, 32)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 32)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr,
+                                   lam32_blk, 16)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 16)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
+
+        from ..ops.metrics import ssim_plane
+        sse = jnp.stack([
+            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
+        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
+                merge16.astype(jnp.uint8), mvd16.astype(jnp.int16),
+                mvp16.astype(jnp.uint8), modes_r, ly_r, lcb_r, lcr_r,
+                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+                rec_cr.astype(jnp.uint8)) + sao_out
+
+    # ------------------------------------------------------------------
+    def _maps(self, qp: int, qp_offsets):
+        """Per-CTB QP/lambda maps (QG == CTB: 16-cell maps are 2x2
+        replications of the CTB32 maps)."""
+        qp16_raw, _, _, _ = derive_qp_maps(
+            qp, qp_offsets, self.h16, self.w16, self.lambda_scale)
+        qp32 = qp32_of(qp16_raw)
+        from ..ops.quant import chroma_qp_np
+        from ..utils.lambdas import lambda2_of
+        qcb32 = chroma_qp_np(qp32)
+        lam32 = (self.lambda_scale * lambda2_of(qp32)).astype(np.float32)
+        rep = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1).reshape(-1)
+        return (rep(qp32), rep(qcb32), rep(lam32),
+                qp32.reshape(-1), qcb32.reshape(-1), lam32.reshape(-1))
+
+    def encode_async(self, y, cb, cr, ref_dev, qp: int,
+                     want_recon: bool = False,
+                     qp_offsets: np.ndarray | None = None):
+        maps = self._maps(qp, qp_offsets)
+        step = self._step_recon if want_recon else self._step
+        ref_y, ref_cb, ref_cr = ref_dev
+        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
+                    jnp.asarray(cr, jnp.uint8), ref_y, ref_cb, ref_cr,
+                    *(jnp.asarray(m) for m in maps),
+                    jnp.asarray(qp, jnp.int32))
+
+    def collect(self, outs, want_recon: bool = False) -> InterFrameResult:
+        h16, w16 = self.h16, self.w16
+        host = [np.asarray(a) for a in outs[:10]]
+        (split, kinds, mrg, mvd, mvp, modes, ly, lcb, lcr, sse) = host
+        res = InterFrameResult(
+            kinds.reshape(h16, w16).astype(np.int32),
+            mrg.reshape(h16, w16).astype(np.int32),
+            mvd.reshape(h16, w16, 2).astype(np.int32),
+            mvp.reshape(h16, w16).astype(np.int32),
+            modes.reshape(h16, w16).astype(np.int32),
+            ly.reshape(h16, w16, 16, 16).astype(np.int32),
+            lcb.reshape(h16, w16, 8, 8).astype(np.int32),
+            lcr.reshape(h16, w16, 8, 8).astype(np.int32),
+            sse, recon_dev=outs[10:13])
+        res.split = split.reshape(self.hc, self.wc).astype(np.int32)
+        if want_recon:
+            res.recon_y = np.asarray(outs[10])
+            res.recon_cb = np.asarray(outs[11])
+            res.recon_cr = np.asarray(outs[12])
+        if self.sao:
+            arrs = [np.asarray(a) for a in outs[13:23]]
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = arrs[:4]
+            res.sao_c = tuple(arrs[4:10])
+        return res

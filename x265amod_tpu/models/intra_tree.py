@@ -79,6 +79,64 @@ def _bc(flag, n):
     return jnp.broadcast_to(flag[:, None], (flag.shape[0], n))
 
 
+def intra_mode_bits(left_mode):
+    """Approximate intra-mode signalling cost per mode [B, 35] from the
+    left neighbor mode (MPM-biased rate estimate)."""
+    is_small = left_mode < 2
+    mpm0 = jnp.where(is_small, 0, left_mode)
+    mpm2 = jnp.where(is_small, 26, 0)
+    modes35 = jnp.arange(35)[None, :]
+    return jnp.where(
+        modes35 == mpm0[:, None], 2.0,
+        jnp.where((modes35 == 1) | (modes35 == mpm2[:, None]),
+                  3.0, 6.0))
+
+
+def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits):
+    """Two-stage intra mode decision (reference estIntraPredQT
+    search.cpp:1509): SATD scan of all 35 predictions, then full
+    transform/quant RD on the RD_CANDS best candidates.
+    Returns (best_mode, levels, recon, j)."""
+    preds = predict_all_modes_batch(top, left, corner, n, 0)
+    sat = _satd_modes(orig, preds).astype(jnp.float32)
+    scost = sat + lamv[:, None] * mbits
+    _, cand = jax.lax.top_k(-scost, RD_CANDS)        # [B, K]
+    cpred = jnp.take_along_axis(
+        preds, cand[:, :, None, None], 1)            # [B,K,n,n]
+    coeff = fwd_transform(orig[:, None] - cpred)
+    qpb = qpv[:, None, None, None]
+    levels = quant(coeff, qpb)
+    rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb)),
+                   0, 255)
+    ssd = jnp.sum((rec - orig[:, None]) ** 2,
+                  axis=(2, 3)).astype(jnp.float32)
+    rb = _rbits_proxy(levels)
+    mbK = jnp.take_along_axis(mbits, cand, 1)
+    cost = ssd + lamv[:, None] * (rb + mbK)
+    k = jnp.argmin(cost, axis=1)
+    ki = k[:, None, None, None]
+    best = jnp.take_along_axis(cand, k[:, None], 1)[:, 0]
+    lv = jnp.take_along_axis(levels, ki, 1)[:, 0]
+    rc = jnp.take_along_axis(rec, ki, 1)[:, 0]
+    return best, lv, rc, jnp.min(cost, axis=1)
+
+
+def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best):
+    """Single-mode chroma chain at the luma mode (DM chroma):
+    one transform/quant instead of 35."""
+    preds = predict_all_modes_batch(top, left, corner, n, c_idx)
+    pred = jnp.take_along_axis(
+        preds, best[:, None, None, None], 1)[:, 0]
+    coeff = fwd_transform(orig - pred)
+    qpb = qpv[:, None, None]
+    levels = quant(coeff, qpb)
+    rec = jnp.clip(pred + inv_transform(dequant(levels, qpb)),
+                   0, 255)
+    ssd = jnp.sum((rec - orig) ** 2,
+                  axis=(1, 2)).astype(jnp.float32)
+    return levels, rec, ssd, _rbits_proxy(levels)
+
+
 def qp32_of(qp16: np.ndarray) -> np.ndarray:
     """CU32 QP from the four 16-cell QPs (rounded mean — the reference
     averages AQ offsets over the CU area, analysis.cpp setLambdaFromQP).
@@ -173,59 +231,9 @@ class IntraTreeEncoder:
         crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
         mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
 
-        def mode_bits(left_mode):
-            """Approximate intra-mode signalling cost per mode [B, 35]."""
-            is_small = left_mode < 2
-            mpm0 = jnp.where(is_small, 0, left_mode)
-            mpm2 = jnp.where(is_small, 26, 0)
-            modes35 = jnp.arange(35)[None, :]
-            return jnp.where(
-                modes35 == mpm0[:, None], 2.0,
-                jnp.where((modes35 == 1) | (modes35 == mpm2[:, None]),
-                          3.0, 6.0))
-
-        def eval_luma(orig, top, left, corner, n, qpv, lamv, mbits):
-            """Two-stage intra mode decision (reference estIntraPredQT
-            search.cpp:1509): SATD scan of all 35 predictions, then
-            full transform/quant RD on the RD_CANDS best candidates.
-            Returns (best_mode, levels, recon, j)."""
-            preds = predict_all_modes_batch(top, left, corner, n, 0)
-            sat = _satd_modes(orig, preds).astype(jnp.float32)
-            scost = sat + lamv[:, None] * mbits
-            _, cand = jax.lax.top_k(-scost, RD_CANDS)        # [B, K]
-            cpred = jnp.take_along_axis(
-                preds, cand[:, :, None, None], 1)            # [B,K,n,n]
-            coeff = fwd_transform(orig[:, None] - cpred)
-            qpb = qpv[:, None, None, None]
-            levels = quant(coeff, qpb)
-            rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb)),
-                           0, 255)
-            ssd = jnp.sum((rec - orig[:, None]) ** 2,
-                          axis=(2, 3)).astype(jnp.float32)
-            rb = _rbits_proxy(levels)
-            mbK = jnp.take_along_axis(mbits, cand, 1)
-            cost = ssd + lamv[:, None] * (rb + mbK)
-            k = jnp.argmin(cost, axis=1)
-            ki = k[:, None, None, None]
-            best = jnp.take_along_axis(cand, k[:, None], 1)[:, 0]
-            lv = jnp.take_along_axis(levels, ki, 1)[:, 0]
-            rc = jnp.take_along_axis(rec, ki, 1)[:, 0]
-            return best, lv, rc, jnp.min(cost, axis=1)
-
-        def eval_chroma(orig, top, left, corner, n, c_idx, qpv, best):
-            """Single-mode chroma chain at the luma mode (DM chroma):
-            one transform/quant instead of 35."""
-            preds = predict_all_modes_batch(top, left, corner, n, c_idx)
-            pred = jnp.take_along_axis(
-                preds, best[:, None, None, None], 1)[:, 0]
-            coeff = fwd_transform(orig - pred)
-            qpb = qpv[:, None, None]
-            levels = quant(coeff, qpb)
-            rec = jnp.clip(pred + inv_transform(dequant(levels, qpb)),
-                           0, 255)
-            ssd = jnp.sum((rec - orig) ** 2,
-                          axis=(1, 2)).astype(jnp.float32)
-            return levels, rec, ssd, _rbits_proxy(levels)
+        mode_bits = intra_mode_bits
+        eval_luma = eval_intra_luma
+        eval_chroma = eval_intra_chroma
 
         def body(state, xs):
             yb, cbb, crb, mode16 = state

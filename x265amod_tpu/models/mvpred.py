@@ -86,6 +86,47 @@ def neighbor_state(pred_map: np.ndarray, mv_map: np.ndarray,
     return a1, b1, b0, b2
 
 
+def neighbor_state_tree(inter16: np.ndarray, mv16: np.ndarray,
+                        bx: int, by: int, cells: int, w16: int,
+                        h16: int, zavail):
+    """Scalar neighbor fetch for CUs inside a CTB32 quadtree: motion
+    state lives on the 16-cell grid; candidate positions follow spec
+    8.5.3.2.2 (A1/B1/B0/B2; A0 is never decoded in this layout) and
+    availability is z-scan order (6.4.1, `zavail` predicate).
+
+    Returns (a1, b1, b0, b2) as (mvx, mvy) tuples or None."""
+    def get(nx, ny):
+        if not zavail(bx, by, nx, ny, w16, h16):
+            return None
+        if not inter16[ny, nx]:
+            return None
+        return (int(mv16[ny, nx, 0]), int(mv16[ny, nx, 1]))
+    a1 = get(bx - 1, by + cells - 1)
+    b1 = get(bx + cells - 1, by - 1)
+    b0 = get(bx + cells, by - 1)
+    b2 = get(bx - 1, by - 1)
+    return a1, b1, b0, b2
+
+
+def neighbor_state_tree_b(dir16: np.ndarray, mv0_16: np.ndarray,
+                          mv1_16: np.ndarray, bx: int, by: int,
+                          cells: int, w16: int, h16: int, zavail):
+    """B-slice variant: returns (a1, b1, b0, b2) as (dir, mv0, mv1)."""
+    def get(nx, ny):
+        if not zavail(bx, by, nx, ny, w16, h16):
+            return None
+        d = int(dir16[ny, nx])
+        if d == 0:
+            return None
+        return (d, (int(mv0_16[ny, nx, 0]), int(mv0_16[ny, nx, 1])),
+                (int(mv1_16[ny, nx, 0]), int(mv1_16[ny, nx, 1])))
+    a1 = get(bx - 1, by + cells - 1)
+    b1 = get(bx + cells - 1, by - 1)
+    b0 = get(bx + cells, by - 1)
+    b2 = get(bx - 1, by - 1)
+    return a1, b1, b0, b2
+
+
 # ---------------------------------------------------------------------------
 # B-slice motion (two reference lists, one active ref per list)
 #

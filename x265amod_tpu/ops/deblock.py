@@ -348,6 +348,32 @@ def intra_tree_bs_maps(split32, h16: int, w16: int, xp=jnp):
     return bs_v, bs_h
 
 
+def inter_tree_bs_maps(intra16, cbf16, dir16, mv0, mv1, split32, xp=jnp):
+    """bS maps for a P/B-slice CTU32 quadtree frame: bS from per-CU
+    coding state (spec 8.7.2.4) on the 16-cell edge grid, with internal
+    16-edges of an UNSPLIT CTU zeroed — a CU32 with TU32 has no TU/PU
+    boundary there, so those edges are not filtered.
+
+    intra16/cbf16: [h16, w16]; dir16: [h16, w16]; mv0/mv1 [h16, w16, 2];
+    split32: [hc32, wc32].  cbf16 must carry the TU's cbf (a TU32's cbf
+    is broadcast over its four cells by the caller)."""
+    bs_v, bs_h = bs_maps(intra16, cbf16, dir16, mv0, mv1, xp)
+    h16, w16 = intra16.shape
+    jv = xp.arange(w16 - 1)
+    internal_v = (jv % 2 == 0)        # edge between cols j, j+1 is
+    ctu_col = (jv + 1) // 2           # CTU-internal iff j even
+    rows32 = xp.arange(h16) // 2
+    split_v = split32[rows32[:, None], ctu_col[None, :]]
+    bs_v = xp.where(internal_v[None, :] & (split_v == 0), 0, bs_v)
+    ji = xp.arange(h16 - 1)
+    internal_h = (ji % 2 == 0)
+    ctu_row = (ji + 1) // 2
+    cols32 = xp.arange(w16) // 2
+    split_h = split32[ctu_row[:, None], cols32[None, :]]
+    bs_h = xp.where(internal_h[:, None] & (split_h == 0), 0, bs_h)
+    return bs_v.astype(xp.int32), bs_h.astype(xp.int32)
+
+
 def effective_qp_map(qp_sig, coded, slice_qp, wpp: bool = False):
     """Decoded QpY per quantization group (spec 8.6.1 with QG == CTB):
     a QG's QpY is the signaled value when it codes coefficients, else

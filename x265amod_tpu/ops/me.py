@@ -28,12 +28,14 @@ import numpy as np
 _CHROMA_HALF = np.array([-4, 36, 36, -4], dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "lam_shift"))
+@functools.partial(jax.jit, static_argnames=("search_range", "lam_shift",
+                                              "bn"))
 def me_ssd_grid(cur_blocks: jax.Array, ref_plane: jax.Array,
-                search_range: int = 16, lam_shift: int = 0):
-    """Dense SSD grids for all 16x16 blocks of a frame.
+                search_range: int = 16, lam_shift: int = 0,
+                bn: int = 16):
+    """Dense SSD grids for all bn x bn blocks of a frame.
 
-    cur_blocks: [hc, wc, 16, 16] int32 current frame blocks.
+    cur_blocks: [hc, wc, bn, bn] int32 current frame blocks.
     ref_plane:  [H, W] int32 reference (unpadded; edge handling via
                 clamp-padding inside).
     Returns (ssd_grid [hc*wc, S, S] f32, offsets) where S = 2R+1 and
@@ -45,27 +47,27 @@ def me_ssd_grid(cur_blocks: jax.Array, ref_plane: jax.Array,
     h, w = ref_plane.shape
     refp = jnp.pad(ref_plane, r, mode="edge").astype(jnp.float32)
     n = hc * wc
-    cur = cur_blocks.reshape(n, 16, 16).astype(jnp.float32)
+    cur = cur_blocks.reshape(n, bn, bn).astype(jnp.float32)
 
-    # windows per block: [n, 16+2r, 16+2r] -- static strided slices
+    # windows per block: [n, bn+2r, bn+2r] -- static strided slices
     win = refp.reshape(1, 1, h + 2 * r, w + 2 * r)
-    # grouped correlation: input [1, n, Hw, Ww] filters [n, 1, 16, 16]
+    # grouped correlation: input [1, n, Hw, Ww] filters [n, 1, bn, bn]
     # extract per-block windows via conv patches trick: instead, build
     # windows with lax.conv_general_dilated_patches on the padded ref
-    wsz = 16 + 2 * r
+    wsz = bn + 2 * r
     patches = jax.lax.conv_general_dilated_patches(
-        win, filter_shape=(wsz, wsz), window_strides=(16, 16),
+        win, filter_shape=(wsz, wsz), window_strides=(bn, bn),
         padding="VALID")  # [1, wsz*wsz, hc, wc]
     windows = patches[0].reshape(wsz * wsz, hc * wc).T.reshape(
         n, 1, wsz, wsz)
 
     corr = jax.lax.conv_general_dilated(
         windows.reshape(1, n, wsz, wsz),
-        cur.reshape(n, 1, 16, 16),
+        cur.reshape(n, 1, bn, bn),
         window_strides=(1, 1), padding="VALID",
         feature_group_count=n,
         preferred_element_type=jnp.float32)[0]        # [n, S, S]
-    ones = jnp.ones((1, 1, 16, 16), jnp.float32)
+    ones = jnp.ones((1, 1, bn, bn), jnp.float32)
     w2 = jax.lax.conv_general_dilated(
         (windows * windows).reshape(1, n, wsz, wsz),
         jnp.tile(ones, (n, 1, 1, 1)),

@@ -931,6 +931,144 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         qpctx["qp16"][cy, cx] = qp
 
 
+def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
+                      y_pl, cb_pl, cr_pl, ref, maps, pad):
+    """One P-slice CU of cells*16 luma size at 16-cell (bx, by) inside
+    a CTB32 quadtree (mirror of cabac.syntax.encode_cu_pb / native
+    code_cu).  Motion/coding state lives on the 16-cell grid."""
+    from ..models.mvpred import neighbor_state_tree
+    qp = qpctx["prev"]
+    qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+    qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+    skip_l = int(maps["skip"][by, bx - 1]) if bx > 0 else 0
+    skip_a = int(maps["skip"][by - 1, bx]) if by > 0 else 0
+    skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
+    ref_y, ref_cb, ref_cr = ref
+    n = cells * 16
+    log2n = 4 + (cells - 1)
+    nc = n // 2
+    x0, y0 = bx * 16, by * 16
+    zn = np.zeros((n, n), np.int32)
+    znc = np.zeros((nc, nc), np.int32)
+
+    def set_cells(inter, skipf, mv, imode, cbf, qpv):
+        maps["inter"][by:by + cells, bx:bx + cells] = inter
+        maps["skip"][by:by + cells, bx:bx + cells] = skipf
+        maps["mv"][by:by + cells, bx:bx + cells] = mv
+        maps["imode"][by:by + cells, bx:bx + cells] = imode
+        maps["cbf"][by:by + cells, bx:bx + cells] = cbf
+        if "qp16" in qpctx:
+            qpctx["qp16"][by:by + cells, bx:bx + cells] = qpv
+
+    def inter_recon(mv_q, lv_y, lv_cb, lv_cr, qpv):
+        qcb = chroma_qp(qpv, pps.cb_qp_offset)
+        qcr = chroma_qp(qpv, pps.cr_qp_offset)
+        py = mc_luma_qpel_np(ref_y, x0, y0, mv_q[0], mv_q[1], n)
+        pcb = mc_chroma_qpel_np(ref_cb, x0 // 2, y0 // 2, mv_q[0],
+                                mv_q[1], nc)
+        pcr = mc_chroma_qpel_np(ref_cr, x0 // 2, y0 // 2, mv_q[0],
+                                mv_q[1], nc)
+        ry = np.clip(py + (inv_transform_np(dequant_np(lv_y, qpv))
+                           if lv_y.any() else 0), 0, 255)
+        rcb = np.clip(pcb + (inv_transform_np(dequant_np(lv_cb, qcb))
+                             if lv_cb.any() else 0), 0, 255)
+        rcr = np.clip(pcr + (inv_transform_np(dequant_np(lv_cr, qcr))
+                             if lv_cr.any() else 0), 0, 255)
+        y_pl[pad + y0:pad + y0 + n, pad + x0:pad + x0 + n] = ry
+        hp = pad // 2
+        cb_pl[hp + y0 // 2:hp + y0 // 2 + nc,
+              hp + x0 // 2:hp + x0 // 2 + nc] = rcb
+        cr_pl[hp + y0 // 2:hp + y0 // 2 + nc,
+              hp + x0 // 2:hp + x0 // 2 + nc] = rcr
+
+    nbs = neighbor_state_tree(maps["inter"], maps["mv"], bx, by,
+                              cells, w16, h16, _zavail)
+    a1, b1, b0, b2 = nbs
+    if skip:
+        midx = _decode_merge_idx(d, MAX_MERGE)
+        cands = merge_candidates_scalar(a1, b1, b0, b2)
+        mv = cands[midx]
+        inter_recon(mv, zn, znc, znc, qp)
+        set_cells(1, 1, mv, -1, 0, qp)
+        return
+    intra = d.decode_bin(S.CTX_PRED_MODE)
+    if not intra or cells == 1:
+        assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
+    if intra:
+        li = int(maps["imode"][by, bx - 1]) if bx > 0 else -1
+        cand_a = li if li >= 0 else 1
+        # above candidate forced to DC outside the current CTB (8.4.2)
+        ai = int(maps["imode"][by - 1, bx]) if (by % 2 == 1) else -1
+        cand_b = ai if ai >= 0 else 1
+        mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+        assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else zn
+        resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
+            else znc
+        resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr \
+            else znc
+        at, al, ac = _zavail_masks(bx, by, cells, w16, h16, n)
+        _intra_recon_block(y_pl, pad + x0, pad + y0, n, mode, 0,
+                           resi_y, al, at, avail_corner=ac)
+        hp = pad // 2
+        _intra_recon_block(cb_pl, hp + x0 // 2, hp + y0 // 2, nc, mode,
+                           1, resi_cb, al[::2], at[::2],
+                           avail_corner=ac)
+        _intra_recon_block(cr_pl, hp + x0 // 2, hp + y0 // 2, nc, mode,
+                           2, resi_cr, al[::2], at[::2],
+                           avail_corner=ac)
+        set_cells(0, 0, (0, 0), mode, int(bool(ly.any())), qp)
+        return
+    # AMVP inter
+    assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
+        "non-skip merge unsupported"
+    mvd = _decode_mvd(d)
+    mvp_idx = d.decode_bin(S.CTX_MVP)
+    amvp = amvp_candidates_scalar(a1, b0, b1, b2)
+    mv = (amvp[mvp_idx][0] + mvd[0], amvp[mvp_idx][1] + mvd[1])
+    root = d.decode_bin(S.CTX_RQT_ROOT_CBF)
+    ly, lcb, lcr = zn, znc, znc
+    if root:
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
+            if (cbf_cb or cbf_cr) else 1
+        qp = _cu_qp_update(d, pps, qpctx, 1)
+        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+    inter_recon(mv, ly, lcb, lcr, qp)
+    set_cells(1, 0, mv, -1, int(bool(ly.any())), qp)
+
+
+def _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32, y_pl, cb_pl,
+                      cr_pl, ref, maps, split_map, pad):
+    """P-slice CTU32 with depth-1 CU quadtree (spec 7.3.8.4)."""
+    w16, h16 = wc32 * 2, hc32 * 2
+    split = S.decode_split_cu(
+        d, int(split_map[cy, cx - 1]) if cx > 0 else 0,
+        int(split_map[cy - 1, cx]) if cy > 0 else 0, cx > 0, cy > 0)
+    split_map[cy, cx] = split
+    by, bx = 2 * cy, 2 * cx
+    if split:
+        for q in range(4):
+            _decode_p_cu_tree(d, pps, qpctx, bx + (q & 1),
+                              by + (q >> 1), 1, w16, h16,
+                              y_pl, cb_pl, cr_pl, ref, maps, pad)
+    else:
+        _decode_p_cu_tree(d, pps, qpctx, bx, by, 2, w16, h16,
+                          y_pl, cb_pl, cr_pl, ref, maps, pad)
+
+
 def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
                     cr_pl, ref0, ref1, dsf0, dsf1, maps, pad):
     """Decode one B-slice CTU; maps carry dir/mv0/mv1 motion state."""
@@ -1143,6 +1281,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     ref0 = dpb[ref0_poc]
     ref0_pl = (ref0.full_y, ref0.full_cb, ref0.full_cr)
 
+    ctb = 1 << sps.log2_ctb
     wc = -(-sps.width // 16)
     hc = -(-sps.height // 16)
     pad = 16
@@ -1152,8 +1291,31 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     assert max_merge == MAX_MERGE
+    split_map = None
 
-    if st == 1:
+    if st == 1 and ctb == 32:
+        # CTB32 depth-1 CU quadtree P slice: state on the 16-cell grid
+        wc32, hc32 = -(-sps.width // 32), -(-sps.height // 32)
+        maps = {
+            "inter": np.zeros((hc, wc), np.int32),
+            "skip": np.zeros((hc, wc), np.int32),
+            "mv": np.zeros((hc, wc, 2), np.int32),
+            "imode": np.full((hc, wc), -1, np.int32),
+            "cbf": np.zeros((hc, wc), np.int32),
+        }
+        split_map = np.zeros((hc32, wc32), np.int32)
+        qpctx = {"prev": qp,
+                 "qp16": np.full((hc, wc), qp, np.int32)}
+        sao = _SaoState(hc32, wc32, bool(sao_luma), bool(sao_chroma)) \
+            if (sao_luma or sao_chroma) else None
+
+        def ctu_fn(d, cx, cy):
+            _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32,
+                              y_pl, cb_pl, cr_pl, ref0_pl, maps,
+                              split_map, pad)
+        _slice_ctu_loop(payload, "P", qp, hc32, wc32, entry, qpctx,
+                        sao, ctu_fn)
+    elif st == 1:
         maps = {
             "inter": np.zeros((hc, wc), np.int32),
             "skip": np.zeros((hc, wc), np.int32),
@@ -1199,7 +1361,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                         ctu_fn)
     if not pps.deblock_disabled:
         from ..ops.deblock import (bs_maps, deblock_chroma_bs_np,
-                                   deblock_luma_bs_np)
+                                   deblock_luma_bs_np,
+                                   inter_tree_bs_maps)
         intra_m = maps["imode"] >= 0
         cbf_m = maps["cbf"].astype(bool)
         if st == 1:
@@ -1210,8 +1373,13 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             dir_m = maps["dir"]
             mv0_m = maps["mv0"]
             mv1_m = maps["mv1"]
-        bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
-                             xp=np)
+        if split_map is not None:
+            bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
+                                            mv0_m, mv1_m, split_map,
+                                            xp=np)
+        else:
+            bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
+                                 xp=np)
         from ..ops.quant import chroma_qp_np
         q16 = qpctx["qp16"]
         qp_v = (q16[:, :-1] + q16[:, 1:] + 1) >> 1
@@ -1230,7 +1398,11 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                     qpc_v=chroma_qp_np(qp_v, off),
                     qpc_h=chroma_qp_np(qp_h, off))
     if sao is not None:
-        sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
+        if split_map is not None:
+            sao.apply(y_pl, pad, split_map.shape[0],
+                      split_map.shape[1], cb_pl, cr_pl, ctb=32)
+        else:
+            sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     fy = y_pl[pad:pad + hc * 16, pad:pad + wc * 16].astype(np.uint8)
     fcb = cb_pl[pad // 2:pad // 2 + hc * 8,
