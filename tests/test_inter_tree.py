@@ -148,6 +148,92 @@ def test_ptree_beats_flat16_rd():
     assert p32 > p16 - 0.05, (p16, p32)
 
 
+def _cfg_b(w, h, **kw):
+    p = _cfg(w, h)
+    p.bframes = 3
+    p.rc_lookahead = 4
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def _encode_by_poc(p, frames):
+    enc = Encoder(p.copy())
+    nals = b""
+    by_poc = {}
+    for f in frames:
+        for out in enc.encode_push(*f, return_recon=True):
+            nals += out.nals
+            by_poc[out.stats.poc] = out.recon
+    for out in enc.flush(return_recon=True):
+        nals += out.nals
+        by_poc[out.stats.poc] = out.recon
+    return nals, by_poc
+
+
+B_CONFIGS = [
+    ("plain", {}),
+    ("aq-deblock-sao", dict(aq_mode=2, cutree=True, deblock=True,
+                            sao=True)),
+    ("wpp", dict(wpp=True)),
+]
+
+
+@pytest.mark.parametrize("name,kw", B_CONFIGS,
+                         ids=[c[0] for c in B_CONFIGS])
+def test_btree_encode_decode_bitexact(name, kw):
+    frames = _frames(6, 96, 64)
+    nals, by_poc = _encode_by_poc(_cfg_b(96, 64, **kw), frames)
+    dec = decode_stream(nals)
+    assert len(dec) == 6
+    for d in dec:
+        r = by_poc[d.poc]
+        np.testing.assert_array_equal(d.y, r[0],
+                                      err_msg=f"{name} poc{d.poc} y")
+        np.testing.assert_array_equal(d.cb, r[1],
+                                      err_msg=f"{name} poc{d.poc} cb")
+        np.testing.assert_array_equal(d.cr, r[2],
+                                      err_msg=f"{name} poc{d.poc} cr")
+
+
+def test_btree_beats_flat16_rd():
+    frames = _frames(8, 160, 96, seed=7)
+
+    def run(ctu):
+        p = _cfg_b(160, 96, deblock=True)
+        p.qp = 32
+        p.ctu_size = ctu
+        enc = Encoder(p)
+        bits = 0
+        psnr = []
+        for f in frames:
+            for out in enc.encode_push(*f):
+                bits += out.stats.bits
+                psnr.append(out.stats.psnr_y)
+        for out in enc.flush():
+            bits += out.stats.bits
+            psnr.append(out.stats.psnr_y)
+        return bits, float(np.mean(psnr))
+
+    b16, p16 = run(16)
+    b32, p32 = run(32)
+    assert b32 < b16 * 1.01, (b16, b32)
+    assert p32 > p16 - 0.05, (p16, p32)
+
+
+def test_btree_native_matches_python(monkeypatch):
+    assert native_mod.get_cabac_lib() is not None, "native lib missing"
+    frames = _frames(6, 96, 64)
+    p = _cfg_b(96, 64, aq_mode=2, cutree=True, deblock=True, sao=True)
+    nat, _ = _encode(p, frames, ret=False)
+    real = native_mod.encode_slice_native
+    monkeypatch.setattr(native_mod, "encode_slice_native",
+                        lambda *a, **k: None)
+    py, _ = _encode(p, frames, ret=False)
+    monkeypatch.setattr(native_mod, "encode_slice_native", real)
+    assert nat == py, "B-tree native payload diverges from oracle"
+
+
 def test_ptree_native_matches_python(monkeypatch):
     assert native_mod.get_cabac_lib() is not None, "native lib missing"
     frames = _frames(4, 96, 64)

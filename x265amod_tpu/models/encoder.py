@@ -79,14 +79,11 @@ class Encoder:
             param.sao = False
         w, h = param.width, param.height
         self.inter_enabled = param.keyint != 1
-        # CU quadtree (CTU32, depth-1) is the default pipeline for
-        # all-intra AND low-delay P (I + P slices share the CTB32 SPS);
-        # the flat CTU16 pipeline remains for lossless (per-CU
-        # transquant bypass at 16 keeps recon == source everywhere),
-        # explicit --ctu 16, and B-pyramid streams (B tree: next)
-        self.use_tree = (param.ctu_size >= 32 and not param.lossless
-                         and (not self.inter_enabled
-                              or param.bframes == 0))
+        # CU quadtree (CTU32, depth-1) is the default pipeline for ALL
+        # slice types (I/P/B share the CTB32 SPS); the flat CTU16
+        # pipeline remains for lossless (per-CU transquant bypass at 16
+        # keeps recon == source everywhere) and explicit --ctu 16
+        self.use_tree = param.ctu_size >= 32 and not param.lossless
         if param.ctu_size >= 32 and not self.use_tree:
             param.ctu_size = 16
         ctu = 32 if self.use_tree else 16
@@ -189,11 +186,19 @@ class Encoder:
                 search_range=param.me_range, subme=param.subme)
         else:
             self.inter_encoder = None
-        self.b_encoder = BFrameEncoder(
-            self.pad_w, self.pad_h, sao=param.sao,
-            deblock=param.deblock, wpp=param.wpp,
-            search_range=param.me_range, subme=param.subme) \
-            if self.bframes else None
+        if self.bframes and self.use_tree:
+            from .inter_tree import BTreeEncoder
+            self.b_encoder = BTreeEncoder(
+                self.pad_w, self.pad_h, sao=param.sao,
+                deblock=param.deblock, wpp=param.wpp,
+                search_range=param.me_range, subme=param.subme)
+        elif self.bframes:
+            self.b_encoder = BFrameEncoder(
+                self.pad_w, self.pad_h, sao=param.sao,
+                deblock=param.deblock, wpp=param.wpp,
+                search_range=param.me_range, subme=param.subme)
+        else:
+            self.b_encoder = None
         self.total_bits = 0
         self.frame_stats: list[FrameStats] = []
         self.rc = RateControl(param)
@@ -434,12 +439,13 @@ class Encoder:
                 self._dpb[e["ref1"]], qp, dsf0, dsf1,
                 want_recon=return_recon, qp_offsets=qp_off)
             if e["is_ref"]:
-                self._dpb[poc] = dev[12:15]
+                self._dpb[poc] = dev[13:16] if self.use_tree \
+                    else dev[12:15]
         if self.pps.cu_qp_delta_enabled:
             from ..ops.quant import derive_qp_maps
             hc, wc = self.pad_h // 16, self.pad_w // 16
             qp16 = derive_qp_maps(qp, qp_off, hc, wc, 1.0)[0]
-            if self.use_tree and stype in ("I", "P"):
+            if self.use_tree:
                 # QG == CTB32: the signalled map is the 2x2 replication
                 # of the per-CTB map (matches the tree encoders' _maps)
                 from .intra_tree import qp32_of
@@ -1050,7 +1056,76 @@ class Encoder:
                                else int(deltas[cy, cx]))
         return self._encode_slice_payload("P", qp, hc, wc, ctu_fn)
 
+    def _cabac_b_tree(self, res, qp, qp_map=None):
+        """Slice payload for the CTU32 quadtree B pipeline (mirror of
+        native/cabac.cpp code_ctu for st=2, ctb_log2=5)."""
+        native = self._native_slice(
+            "B", res, qp, qp_map, kinds=res.kinds,
+            merge_idx=res.merge_idx, inter_dir=res.inter_dir,
+            mvd0=res.mvd0, mvp0=res.mvp0, mvd1=res.mvd1,
+            mvp1=res.mvp1, max_merge=MAX_MERGE)
+        if native is not None:
+            return native
+        from ..cabac.syntax import encode_cu_pb
+        hc32, wc32 = res.split.shape
+        split = res.split
+        kinds = res.kinds
+        modes = res.modes
+        deltas = self._qp_deltas_tree(res, qp, qp_map) \
+            if qp_map is not None else None
+
+        def cu(enc, by, bx, cells, ct_depth):
+            k = int(kinds[by, bx])
+            if cells == 2:
+                ly = assemble_tu32(res.levels_y, by, bx)
+                lcb = assemble_tu32(res.levels_cb, by, bx)
+                lcr = assemble_tu32(res.levels_cr, by, bx)
+            else:
+                ly = res.levels_y[by, bx]
+                lcb = res.levels_cb[by, bx]
+                lcr = res.levels_cr[by, bx]
+            cu_d = {
+                "kind": ("skip", "inter", "intra")[k],
+                "merge_idx": int(res.merge_idx[by, bx]),
+                "inter_dir": int(res.inter_dir[by, bx]),
+                "mvd0": (int(res.mvd0[by, bx, 0]),
+                         int(res.mvd0[by, bx, 1])),
+                "mvp0": int(res.mvp0[by, bx]),
+                "mvd1": (int(res.mvd1[by, bx, 0]),
+                         int(res.mvd1[by, bx, 1])),
+                "mvp1": int(res.mvp1[by, bx]),
+                "luma_mode": int(modes[by, bx]),
+                "levels_y": ly, "levels_cb": lcb, "levels_cr": lcr,
+            }
+            left_skip = int(kinds[by, bx - 1] == 0) if bx > 0 else 0
+            above_skip = int(kinds[by - 1, bx] == 0) if by > 0 else 0
+            cand_a = int(modes[by, bx - 1]) \
+                if (bx > 0 and kinds[by, bx - 1] == 2) else 1
+            cand_b = int(modes[by - 1, bx]) \
+                if (by % 2 == 1 and kinds[by - 1, bx] == 2) else 1
+            qpd = deltas.get((by, bx)) if deltas is not None else None
+            encode_cu_pb(enc, "B", cells, cu_d, left_skip, above_skip,
+                         cand_a, cand_b, MAX_MERGE, qp_delta=qpd,
+                         ct_depth=ct_depth)
+
+        def ctu_fn(enc, cy, cx):
+            self._sao_ctu(enc, res, cy, cx)
+            by, bx = 2 * cy, 2 * cx
+            sp = int(split[cy, cx])
+            encode_split_cu(enc, sp,
+                            int(split[cy, cx - 1]) if cx > 0 else 0,
+                            int(split[cy - 1, cx]) if cy > 0 else 0,
+                            cx > 0, cy > 0)
+            if sp:
+                for q in range(4):
+                    cu(enc, by + (q >> 1), bx + (q & 1), 1, 1)
+            else:
+                cu(enc, by, bx, 2, 0)
+        return self._encode_slice_payload("B", qp, hc32, wc32, ctu_fn)
+
     def _cabac_b(self, res, qp, qp_map=None):
+        if getattr(res, "split", None) is not None:
+            return self._cabac_b_tree(res, qp, qp_map)
         native = self._native_slice(
             "B", res, qp, qp_map, kinds=res.kinds,
             merge_idx=res.merge_idx, inter_dir=res.inter_dir,

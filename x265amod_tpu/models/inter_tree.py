@@ -210,31 +210,8 @@ class InterTreeEncoder:
         d32, rb32 = inter_trial(oy32, mv32_me, qp3_32, 32)
 
         # ---- intra trial at 16 with source-pixel references -----------
-        from ..ops.intra import predict_all_modes_batch, substitute_refs
-        all_cx = jnp.arange(n16, dtype=jnp.int32) % w16
-        all_cy = jnp.arange(n16, dtype=jnp.int32) // w16
-        srcb = jnp.concatenate(
-            [oy, jnp.full((1, w16, 16, 16), 128, jnp.int32)], 0)
-        cyu = jnp.maximum(all_cy - 1, 0)
-        cxl = jnp.maximum(all_cx - 1, 0)
-        cxr = jnp.minimum(all_cx + 1, w16 - 1)
-        traw = jnp.concatenate([srcb[cyu, all_cx, 15, :],
-                                srcb[cyu, cxr, 15, :]], 1)
-        lraw0 = srcb[all_cy, cxl, :, 15]
-        lraw = jnp.concatenate([lraw0, lraw0], 1)
-        craw = srcb[cyu, cxl, 15, 15]
-        tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
-                                      16, w16)
-        preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
-        qp4 = qp16_blk[:, None, None, None]
-        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp4)
-        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp4)),
-                         0, 255)
-        ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
-                        axis=(2, 3)).astype(jnp.float32)
-        rb_i = _rbits_proxy(lv_i)
-        j_intra_modes = ssd_i + lam16_blk[:, None] * (rb_i + 6.0)
-        d_intra16 = jnp.min(j_intra_modes, axis=1)
+        d_intra16 = self._intra_trial16(oy, oy_flat, qp16_blk,
+                                        lam16_blk)
 
         # ---- 2. decide scan over the 32-grid wavefront -----------------
         # 16-grid motion state (+2 dummy rows for invalid lanes)
@@ -500,6 +477,121 @@ class InterTreeEncoder:
         fin_rec_cr = jnp.where(isn, rec16_cr, to_cells(rec32_cr, 8))
 
         # ---- 4. commit scan: intra lanes from true recon -----------------
+        (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb,
+         rec_cr) = self._commit_scan(
+            kinds16, oy_flat, ocb_flat, ocr_flat, fin_rec_y, fin_rec_cb,
+            fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr, qp16_blk,
+            qpc16_blk, lam16_blk)
+
+
+        split32_m = split_r.reshape(hc, wc)
+        if self.deblock:
+            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       edge_qp_maps, effective_qp16_tree,
+                                       inter_tree_bs_maps)
+            from ..ops.quant import chroma_qp_jnp
+            intra_m = (kinds16 == 2).reshape(h16, w16)
+            # luma cbf per cell; a TU32's cbf is shared by its 4 cells
+            cbf_cell = jnp.any(ly_r != 0, axis=(1, 2)).reshape(h16, w16)
+            cbf32 = cbf_cell.reshape(hc, 2, wc, 2).any((1, 3))
+            cbf_m = jnp.where(
+                jnp.repeat(jnp.repeat(split32_m, 2, 0), 2, 1) == 1,
+                cbf_cell,
+                jnp.repeat(jnp.repeat(cbf32, 2, 0), 2, 1))
+            dir_m = jnp.where(intra_m, 0, 1)
+            mv0_m = jnp.where(intra_m[..., None], 0,
+                              mv_cell.reshape(h16, w16, 2))
+            mv1_m = jnp.zeros_like(mv0_m)
+            bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
+                                            mv0_m, mv1_m, split32_m)
+            coded16_m = (jnp.any(ly_r != 0, axis=(1, 2))
+                         | jnp.any(lcb_r != 0, axis=(1, 2))
+                         | jnp.any(lcr_r != 0, axis=(1, 2))) \
+                .reshape(h16, w16)
+            eff16 = effective_qp16_tree(
+                qp32_blk.reshape(hc, wc), split32_m, coded16_m,
+                slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff16)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam32_blk, 32)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 32)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr,
+                                   lam32_blk, 16)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 16)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
+
+        from ..ops.metrics import ssim_plane
+        sse = jnp.stack([
+            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
+        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
+                merge16.astype(jnp.uint8), mvd16.astype(jnp.int16),
+                mvp16.astype(jnp.uint8), modes_r, ly_r, lcb_r, lcr_r,
+                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+                rec_cr.astype(jnp.uint8)) + sao_out
+
+
+    # ------------------------------------------------------------------
+    def _intra_trial16(self, oy, oy_flat, qp16_blk, lam16_blk):
+        """Parallel 35-mode intra cost estimate per 16-cell using
+        SOURCE-pixel neighbor references (the decide pass's intra
+        hypothesis; exact refs are applied at commit)."""
+        from ..ops.intra import predict_all_modes_batch, substitute_refs
+        w16, h16 = self.w16, self.h16
+        n16 = h16 * w16
+        all_cx = jnp.arange(n16, dtype=jnp.int32) % w16
+        all_cy = jnp.arange(n16, dtype=jnp.int32) // w16
+        srcb = jnp.concatenate(
+            [oy, jnp.full((1, w16, 16, 16), 128, jnp.int32)], 0)
+        cyu = jnp.maximum(all_cy - 1, 0)
+        cxl = jnp.maximum(all_cx - 1, 0)
+        cxr = jnp.minimum(all_cx + 1, w16 - 1)
+        traw = jnp.concatenate([srcb[cyu, all_cx, 15, :],
+                                srcb[cyu, cxr, 15, :]], 1)
+        lraw0 = srcb[all_cy, cxl, :, 15]
+        lraw = jnp.concatenate([lraw0, lraw0], 1)
+        craw = srcb[cyu, cxl, 15, 15]
+        tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
+                                      16, w16)
+        preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
+        qp4 = qp16_blk[:, None, None, None]
+        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp4)
+        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp4)),
+                         0, 255)
+        ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
+                        axis=(2, 3)).astype(jnp.float32)
+        rb_i = _rbits_proxy(lv_i)
+        return jnp.min(ssd_i + lam16_blk[:, None] * (rb_i + 6.0),
+                       axis=1)
+
+    # ------------------------------------------------------------------
+    def _commit_scan(self, kinds16, oy_flat, ocb_flat, ocr_flat,
+                     fin_rec_y, fin_rec_cb, fin_rec_cr, fin_lv_y,
+                     fin_lv_cb, fin_lv_cr, qp16_blk, qpc16_blk,
+                     lam16_blk):
+        """Wavefront commit pass shared by the P and B tree encoders:
+        re-analyses intra cells from true neighbor reconstruction
+        (z-scan refs, spec 6.4.1) and assembles the final recon planes.
+        Returns (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb, rec_cr)."""
+        wc, hc = self.wc, self.hc
+        w16, h16 = self.w16, self.h16
         yb = jnp.full((h16 + 2, w16, 16, 16), 128, jnp.int32)
         cbb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
         crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
@@ -692,69 +784,7 @@ class InterTreeEncoder:
         rec_y = to_plane(yb, 16, self.height, self.width)
         rec_cb = to_plane(cbb, 8, self.height // 2, self.width // 2)
         rec_cr = to_plane(crb, 8, self.height // 2, self.width // 2)
-
-        split32_m = split_r.reshape(hc, wc)
-        if self.deblock:
-            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
-                                       edge_qp_maps, effective_qp16_tree,
-                                       inter_tree_bs_maps)
-            from ..ops.quant import chroma_qp_jnp
-            intra_m = (kinds16 == 2).reshape(h16, w16)
-            # luma cbf per cell; a TU32's cbf is shared by its 4 cells
-            cbf_cell = jnp.any(ly_r != 0, axis=(1, 2)).reshape(h16, w16)
-            cbf32 = cbf_cell.reshape(hc, 2, wc, 2).any((1, 3))
-            cbf_m = jnp.where(
-                jnp.repeat(jnp.repeat(split32_m, 2, 0), 2, 1) == 1,
-                cbf_cell,
-                jnp.repeat(jnp.repeat(cbf32, 2, 0), 2, 1))
-            dir_m = jnp.where(intra_m, 0, 1)
-            mv0_m = jnp.where(intra_m[..., None], 0,
-                              mv_cell.reshape(h16, w16, 2))
-            mv1_m = jnp.zeros_like(mv0_m)
-            bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
-                                            mv0_m, mv1_m, split32_m)
-            coded16_m = (jnp.any(ly_r != 0, axis=(1, 2))
-                         | jnp.any(lcb_r != 0, axis=(1, 2))
-                         | jnp.any(lcr_r != 0, axis=(1, 2))) \
-                .reshape(h16, w16)
-            eff16 = effective_qp16_tree(
-                qp32_blk.reshape(hc, wc), split32_m, coded16_m,
-                slice_qp, self.wpp)
-            qp_v, qp_h = edge_qp_maps(eff16)
-            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
-                                    qp_v=qp_v, qp_h=qp_h)
-            rec_cb = deblock_chroma_bs(
-                rec_cb, slice_qp, bs_v, bs_h, 8,
-                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
-            rec_cr = deblock_chroma_bs(
-                rec_cr, slice_qp, bs_v, bs_h, 8,
-                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
-        sao_out = ()
-        if self.sao:
-            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
-                                   sao_apply)
-            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
-                y, rec_y, lam32_blk, 32)
-            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 32)
-            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
-                sao_analyse_chroma(cb, rec_cb, cr, rec_cr,
-                                   lam32_blk, 16)
-            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 16)
-            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 16)
-            sao_out = (s_ty, s_cls, s_bp, s_off,
-                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
-
-        from ..ops.metrics import ssim_plane
-        sse = jnp.stack([
-            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
-            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
-            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
-            ssim_plane(y, rec_y)])
-        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
-                merge16.astype(jnp.uint8), mvd16.astype(jnp.int16),
-                mvp16.astype(jnp.uint8), modes_r, ly_r, lcb_r, lcr_r,
-                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8)) + sao_out
+        return modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb, rec_cr
 
     # ------------------------------------------------------------------
     def _maps(self, qp: int, qp_offsets):
@@ -803,6 +833,610 @@ class InterTreeEncoder:
             res.recon_cr = np.asarray(outs[12])
         if self.sao:
             arrs = [np.asarray(a) for a in outs[13:23]]
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = arrs[:4]
+            res.sao_c = tuple(arrs[4:10])
+        return res
+
+def _scale_mv_vec(mv, dsf):
+    """Vectorized spec 8.5.3.2.8 MV scaling; mv [..., 2] qpel int32."""
+    x = dsf * mv
+    mag = (jnp.abs(x) + 127) >> 8
+    return jnp.clip(jnp.sign(x) * mag, -32768, 32767).astype(jnp.int32)
+
+
+def _uni(pred14):
+    return jnp.clip((pred14 + 32) >> 6, 0, 255).astype(jnp.int32)
+
+
+class BTreeEncoder(InterTreeEncoder):
+    """B-slice CTU32 quadtree encoder: the P-tree two-hypothesis
+    structure with two reference lists (role of the reference's
+    checkBidir2Nx2N / L0/L1/BI trials inside compressInterCU_rd0_4,
+    analysis.cpp:3145/1146, recast over CU sizes 32 and 16)."""
+
+    # ------------------------------------------------------------------
+    def _encode(self, y, cb, cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                qp16_blk, qpc16_blk, lam16_blk, qp32_blk, qpc32_blk,
+                lam32_blk, dsf0, dsf1, slice_qp, wr=False):
+        from ..ops.me import bi_combine, mc_chroma_qpel14, mc_luma_qpel14
+        wc, hc = self.wc, self.hc
+        w16, h16 = self.w16, self.h16
+        n16 = h16 * w16
+        n32 = hc * wc
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+        r0y = r0y.astype(jnp.int32)
+        r0cb = r0cb.astype(jnp.int32)
+        r0cr = r0cr.astype(jnp.int32)
+        r1y = r1y.astype(jnp.int32)
+        r1cb = r1cb.astype(jnp.int32)
+        r1cr = r1cr.astype(jnp.int32)
+
+        def to_blocks(plane, bn):
+            hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
+            return plane.reshape(hb, bn, wb, bn).transpose(0, 2, 1, 3)
+
+        oy = to_blocks(y, 16)
+        ocb = to_blocks(cb, 8)
+        ocr = to_blocks(cr, 8)
+        oy_flat = oy.reshape(n16, 16, 16)
+        ocb_flat = ocb.reshape(n16, 8, 8)
+        ocr_flat = ocr.reshape(n16, 8, 8)
+        oy32 = to_blocks(y, 32).reshape(n32, 32, 32)
+
+        # ---- 1. ME on both refs at both CU sizes + L0/L1/BI trials ----
+        sr = self.sr
+        s = 2 * sr + 1
+        off = jnp.arange(s) - sr
+        mygrid, mxgrid = jnp.meshgrid(off, off, indexing="ij")
+        mvbits_grid = _mvd_bits(
+            jnp.stack([mxgrid * 4, mygrid * 4], -1))
+
+        def best_mv(ref_plane, blocks, lam, bn):
+            grid = me_ssd_grid(blocks, ref_plane, sr, bn=bn)
+            cost = grid + lam[:, None, None] * mvbits_grid[None]
+            flat = jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
+            mv_int = jnp.stack([flat % s - sr, flat // s - sr], 1)
+            if self.subme >= 1:
+                mv_q, _ = subpel_refine(ref_plane, blocks, mv_int,
+                                        lam[:, None], bn)
+            else:
+                mv_q = mv_int * 4
+            return grid, mv_q
+
+        g0_16, mv0_16me = best_mv(r0y, oy, lam16_blk, 16)
+        g1_16, mv1_16me = best_mv(r1y, oy, lam16_blk, 16)
+        oy32b = to_blocks(y, 32)
+        g0_32, mv0_32me = best_mv(r0y, oy32b, lam32_blk, 32)
+        g1_32, mv1_32me = best_mv(r1y, oy32b, lam32_blk, 32)
+
+        qp3_16 = qp16_blk[:, None, None]
+        qp3_32 = qp32_blk[:, None, None]
+
+        def coded_dist(orig, pred, qp3):
+            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
+                           0, 255)
+            d = jnp.sum((rec - orig) ** 2, axis=(1, 2)) \
+                .astype(jnp.float32)
+            return d, _rbits_proxy(lv)
+
+        def trials(orig, mv0me, mv1me, qp3, bn):
+            p14_0 = mc_luma_qpel14(r0y, mv0me, bn)
+            p14_1 = mc_luma_qpel14(r1y, mv1me, bn)
+            dl0, rl0 = coded_dist(orig, _uni(p14_0), qp3)
+            dl1, rl1 = coded_dist(orig, _uni(p14_1), qp3)
+            dbi, rbi = coded_dist(orig, bi_combine(p14_0, p14_1), qp3)
+            return dl0, rl0, dl1, rl1, dbi, rbi
+
+        dl0_16, rl0_16, dl1_16, rl1_16, dbi_16, rbi_16 = trials(
+            oy_flat, mv0_16me, mv1_16me, qp3_16, 16)
+        dl0_32, rl0_32, dl1_32, rl1_32, dbi_32, rbi_32 = trials(
+            oy32, mv0_32me, mv1_32me, qp3_32, 32)
+        d_intra16 = self._intra_trial16(oy, oy_flat, qp16_blk,
+                                        lam16_blk)
+
+        # ---- 2. decide scan over the 32-grid wavefront -----------------
+        dir_map = jnp.zeros((h16 + 2, w16), jnp.int32)
+        mv0_map = jnp.zeros((h16 + 2, w16, 2), jnp.int32)
+        mv1_map = jnp.zeros((h16 + 2, w16, 2), jnp.int32)
+
+        def lookup(grid, idx, mv_int):
+            mx = jnp.clip(mv_int[:, 0] + sr, 0, s - 1)
+            my = jnp.clip(mv_int[:, 1] + sr, 0, s - 1)
+            val = grid[idx, my, mx]
+            inside = (jnp.abs(mv_int[:, 0]) <= sr) & \
+                     (jnp.abs(mv_int[:, 1]) <= sr)
+            return jnp.where(inside, val, jnp.float32(1e18))
+
+        xs_decide = (self._coords, self._valid,
+                     self._to_slots32(dl0_32), self._to_slots32(rl0_32),
+                     self._to_slots32(dl1_32), self._to_slots32(rl1_32),
+                     self._to_slots32(dbi_32), self._to_slots32(rbi_32),
+                     self._to_slots32(mv0_32me),
+                     self._to_slots32(mv1_32me),
+                     self._to_slots32(lam32_blk),
+                     self._to_slots16q(dl0_16), self._to_slots16q(rl0_16),
+                     self._to_slots16q(dl1_16), self._to_slots16q(rl1_16),
+                     self._to_slots16q(dbi_16), self._to_slots16q(rbi_16),
+                     self._to_slots16q(mv0_16me),
+                     self._to_slots16q(mv1_16me),
+                     self._to_slots16q(d_intra16),
+                     self._to_slots16q(lam16_blk))
+
+        def decide_body(state, xs):
+            dir_map, mv0_map, mv1_map = state
+            (coords_d, val, a_dl0, a_rl0, a_dl1, a_rl1, a_dbi, a_rbi,
+             a_mv0, a_mv1, a_lam, q_dl0, q_rl0, q_dl1, q_rl1, q_dbi,
+             q_rbi, q_mv0, q_mv1, q_di, q_lam) = xs
+            cx = coords_d[:, 0]
+            cy = coords_d[:, 1]
+            bx = 2 * cx
+            by = 2 * cy
+            B = cx.shape[0]
+            false_ = jnp.zeros((B,), bool)
+
+            def nb(px, py, ok):
+                pxc = jnp.clip(px, 0, w16 - 1)
+                pyc = jnp.clip(py, 0, h16 - 1)
+                avail = ok & (dir_map[pyc, pxc] > 0)
+                return (avail, dir_map[pyc, pxc], mv0_map[pyc, pxc],
+                        mv1_map[pyc, pxc])
+
+            def decide_cu(cands, dl0, rl0, dl1, rl1, dbi, rbi, mv0me,
+                          mv1me, di, lamv, idx, g0, g1, with_intra):
+                a1, b1, b0, b2 = cands
+
+                def eq(na, nbt):
+                    return (na[1] == nbt[1]) & \
+                        jnp.all(na[2] == nbt[2], -1) & \
+                        jnp.all(na[3] == nbt[3], -1)
+
+                m_a1 = a1[0]
+                m_b1 = b1[0] & ~(a1[0] & eq(b1, a1))
+                m_b0 = b0[0] & ~(b1[0] & eq(b0, b1))
+                m_b2 = b2[0] & ~(a1[0] & eq(b2, a1)) & \
+                    ~(b1[0] & eq(b2, b1))
+                avs = jnp.stack([m_a1, m_b1, m_b0, m_b2], 1)
+                dirs = jnp.stack([a1[1], b1[1], b0[1], b2[1]], 1)
+                mv0s = jnp.stack([a1[2], b1[2], b0[2], b2[2]], 1)
+                mv1s = jnp.stack([a1[3], b1[3], b0[3], b2[3]], 1)
+                pos = jnp.cumsum(avs.astype(jnp.int32), axis=1)
+
+                def pick(k):
+                    m = avs & (pos == k + 1)
+                    got = jnp.any(m, 1)
+                    d = jnp.sum(dirs * m, 1)
+                    v0 = jnp.sum(mv0s * m[..., None], 1)
+                    v1 = jnp.sum(mv1s * m[..., None], 1)
+                    d = jnp.where(got, d, 3)     # zero-bi fill
+                    v0 = jnp.where(got[:, None], v0, 0)
+                    v1 = jnp.where(got[:, None], v1, 0)
+                    return d, v0, v1
+                mrg0_d, mrg0_v0, mrg0_v1 = pick(0)
+                mrg1_d, mrg1_v0, mrg1_v1 = pick(1)
+
+                def amvp(list_x, dsf):
+                    def mvp_of(nbt):
+                        has = (nbt[1] >> list_x) & 1
+                        own = nbt[2] if list_x == 0 else nbt[3]
+                        other = nbt[3] if list_x == 0 else nbt[2]
+                        return jnp.where(has[:, None] == 1, own,
+                                         _scale_mv_vec(other, dsf))
+                    ca = mvp_of(a1)
+                    ca_v = a1[0]
+                    hasx = [(x[0] & (((x[1] >> list_x) & 1) == 1))
+                            for x in (b0, b1, b2)]
+                    ownx = [x[2] if list_x == 0 else x[3]
+                            for x in (b0, b1, b2)]
+                    bp1_v = hasx[0] | hasx[1] | hasx[2]
+                    bp1 = jnp.where(hasx[0][:, None], ownx[0],
+                                    jnp.where(hasx[1][:, None], ownx[1],
+                                              ownx[2]))
+                    bs_v = b0[0] | b1[0] | b2[0]
+                    bs = jnp.where(b0[0][:, None], mvp_of(b0),
+                                   jnp.where(b1[0][:, None], mvp_of(b1),
+                                             mvp_of(b2)))
+                    c0 = jnp.where(ca_v[:, None], ca,
+                                   jnp.where(bp1_v[:, None], bp1,
+                                             jnp.where(bs_v[:, None],
+                                                       bs, 0)))
+                    c1raw = jnp.where(ca_v[:, None], jnp.where(
+                        bp1_v[:, None], bp1, 0),
+                        jnp.where((bp1_v & bs_v)[:, None], bs, 0))
+                    c1_v = jnp.where(ca_v, bp1_v, bp1_v & bs_v)
+                    dup = c1_v & jnp.all(c1raw == c0, -1)
+                    c1 = jnp.where((c1_v & ~dup)[:, None], c1raw, 0)
+                    return c0, c1
+                amvp0_a, amvp0_b = amvp(0, dsf0)
+                amvp1_a, amvp1_b = amvp(1, dsf1)
+
+                def pick_mvp(mvq, ca, cb_):
+                    ba = _mvd_bits(mvq - ca)
+                    bb = _mvd_bits(mvq - cb_)
+                    use_b = bb < ba
+                    mvd = jnp.where(use_b[:, None], mvq - cb_,
+                                    mvq - ca)
+                    return mvd, use_b.astype(jnp.int32), \
+                        jnp.minimum(ba, bb)
+                mvd0, mvp0, bits0 = pick_mvp(mv0me, amvp0_a, amvp0_b)
+                mvd1, mvp1, bits1 = pick_mvp(mv1me, amvp1_a, amvp1_b)
+
+                def skip_cost(d, v0, v1):
+                    l0 = lookup(g0, idx, v0 >> 2)
+                    l1 = lookup(g1, idx, v1 >> 2)
+                    return jnp.where(
+                        d == 3, 0.5 * (l0 + l1),
+                        jnp.where(d == 1, l0, l1))
+                j_skip0 = skip_cost(mrg0_d, mrg0_v0, mrg0_v1) \
+                    + lamv * 2.0
+                j_skip1 = skip_cost(mrg1_d, mrg1_v0, mrg1_v1) \
+                    + lamv * 3.0
+                j_l0 = dl0 + lamv * (rl0 + bits0 + 8.0)
+                j_l1 = dl1 + lamv * (rl1 + bits1 + 8.0)
+                j_bi = dbi + lamv * (rbi + bits0 + bits1 + 10.0)
+                opts = [j_skip0, j_skip1, j_l0, j_l1, j_bi]
+                if with_intra:
+                    opts.append(di + lamv * 3.0)
+                js = jnp.stack(opts, 1)
+                choice = jnp.argmin(js, axis=1)
+                kind = jnp.where(choice <= 1, 0,
+                                 jnp.where(choice <= 4, 1, 2))
+                merge_idx = jnp.minimum(choice, 1)
+                dir_fin = jnp.where(
+                    choice == 0, mrg0_d,
+                    jnp.where(choice == 1, mrg1_d,
+                              jnp.where(choice == 2, 1,
+                                        jnp.where(choice == 3, 2,
+                                                  jnp.where(choice == 4,
+                                                            3, 0)))))
+                mv0_fin = jnp.where(
+                    (choice == 0)[:, None], mrg0_v0,
+                    jnp.where((choice == 1)[:, None], mrg1_v0, mv0me))
+                mv1_fin = jnp.where(
+                    (choice == 0)[:, None], mrg0_v1,
+                    jnp.where((choice == 1)[:, None], mrg1_v1, mv1me))
+                mv0_fin = jnp.where(((dir_fin & 1) == 1)[:, None],
+                                    mv0_fin, 0)
+                mv1_fin = jnp.where(((dir_fin & 2) == 2)[:, None],
+                                    mv1_fin, 0)
+                return (kind, merge_idx, dir_fin, mv0_fin, mv1_fin,
+                        mvd0, mvp0, mvd1, mvp1, jnp.min(js, axis=1))
+
+            # ---- hypothesis A: one CU32 ------------------------------
+            c32 = (nb(bx - 1, by + 1, cx > 0),
+                   nb(bx + 1, by - 1, cy > 0),
+                   nb(bx + 2, by - 1, (cy > 0) & (cx < wc - 1)),
+                   nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
+            idx32 = cy * wc + cx
+            (k32, mg32, dir32, mv0f32, mv1f32, mvd0_32, mvp0_32,
+             mvd1_32, mvp1_32, j32) = decide_cu(
+                c32, a_dl0, a_rl0, a_dl1, a_rl1, a_dbi, a_rbi,
+                a_mv0, a_mv1, None, a_lam, idx32, g0_32, g1_32, False)
+
+            # ---- hypothesis B: 4 CU16 quadrants (z-scan) --------------
+            def loc(kq, dq, v0q, v1q):
+                return (kq <= 1), dq, v0q, v1q
+
+            qres = []
+            for q in range(4):
+                if q == 0:
+                    cands = (nb(bx - 1, by, cx > 0),
+                             nb(bx, by - 1, cy > 0),
+                             nb(bx + 1, by - 1, cy > 0),
+                             nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
+                    idx = by * w16 + bx
+                elif q == 1:
+                    k0, _, d0, v00, v10 = qres[0][:5]
+                    cands = (loc(k0, d0, v00, v10),
+                             nb(bx + 1, by - 1, cy > 0),
+                             nb(bx + 2, by - 1,
+                                (cy > 0) & (cx < wc - 1)),
+                             nb(bx, by - 1, cy > 0))
+                    idx = by * w16 + bx + 1
+                elif q == 2:
+                    k0, _, d0, v00, v10 = qres[0][:5]
+                    k1, _, d1, v01, v11 = qres[1][:5]
+                    cands = (nb(bx - 1, by + 1, cx > 0),
+                             loc(k0, d0, v00, v10),
+                             loc(k1, d1, v01, v11),
+                             nb(bx - 1, by, cx > 0))
+                    idx = (by + 1) * w16 + bx
+                else:
+                    k0, _, d0, v00, v10 = qres[0][:5]
+                    k1, _, d1, v01, v11 = qres[1][:5]
+                    k2, _, d2, v02, v12 = qres[2][:5]
+                    cands = (loc(k2, d2, v02, v12),
+                             loc(k1, d1, v01, v11),
+                             (false_, jnp.zeros_like(d0),
+                              jnp.zeros_like(v00), jnp.zeros_like(v10)),
+                             loc(k0, d0, v00, v10))
+                    idx = (by + 1) * w16 + bx + 1
+                (kq_, mgq_, dq_, v0q_, v1q_, md0q_, mp0q_, md1q_,
+                 mp1q_, jq_) = decide_cu(
+                    cands, q_dl0[:, q], q_rl0[:, q], q_dl1[:, q],
+                    q_rl1[:, q], q_dbi[:, q], q_rbi[:, q],
+                    q_mv0[:, q], q_mv1[:, q], q_di[:, q], q_lam[:, q],
+                    idx, g0_16, g1_16, True)
+                qres.append((kq_, mgq_, dq_, v0q_, v1q_, md0q_, mp0q_,
+                             md1q_, mp1q_, jq_))
+
+            j_split = sum(r[9] for r in qres)
+            split = (j_split < j32).astype(jnp.int32)
+            sp = split == 1
+
+            kq = jnp.stack([r[0] for r in qres], 1)
+            mgq = jnp.stack([r[1] for r in qres], 1)
+            dq = jnp.stack([r[2] for r in qres], 1)
+            v0q = jnp.stack([r[3] for r in qres], 1)
+            v1q = jnp.stack([r[4] for r in qres], 1)
+            md0q = jnp.stack([r[5] for r in qres], 1)
+            mp0q = jnp.stack([r[6] for r in qres], 1)
+            md1q = jnp.stack([r[7] for r in qres], 1)
+            mp1q = jnp.stack([r[8] for r in qres], 1)
+
+            cell_dir = jnp.where(
+                sp[:, None], jnp.where(kq == 2, 0, dq),
+                jnp.broadcast_to(dir32[:, None], dq.shape))
+            cell_v0 = jnp.where(sp[:, None, None], v0q,
+                                jnp.broadcast_to(mv0f32[:, None],
+                                                 v0q.shape))
+            cell_v1 = jnp.where(sp[:, None, None], v1q,
+                                jnp.broadcast_to(mv1f32[:, None],
+                                                 v1q.shape))
+            safe_by = jnp.where(val, by, h16)
+            idx_by = jnp.stack([safe_by, safe_by, safe_by + 1,
+                                safe_by + 1], 1).reshape(-1)
+            idx_bx = jnp.stack([bx, bx + 1, bx, bx + 1], 1).reshape(-1)
+            dir_map = dir_map.at[idx_by, idx_bx].set(
+                cell_dir.reshape(-1))
+            mv0_map = mv0_map.at[idx_by, idx_bx].set(
+                cell_v0.reshape(-1, 2))
+            mv1_map = mv1_map.at[idx_by, idx_bx].set(
+                cell_v1.reshape(-1, 2))
+
+            ys = (split.astype(jnp.int8), k32.astype(jnp.int8),
+                  mg32.astype(jnp.int8), dir32.astype(jnp.int8),
+                  mvd0_32.astype(jnp.int16), mvp0_32.astype(jnp.int8),
+                  mvd1_32.astype(jnp.int16), mvp1_32.astype(jnp.int8),
+                  kq.astype(jnp.int8), mgq.astype(jnp.int8),
+                  dq.astype(jnp.int8),
+                  md0q.astype(jnp.int16), mp0q.astype(jnp.int8),
+                  md1q.astype(jnp.int16), mp1q.astype(jnp.int8),
+                  cell_dir, cell_v0, cell_v1)
+            return (dir_map, mv0_map, mv1_map), ys
+
+        state = (dir_map, mv0_map, mv1_map)
+        _, (o_split, o_k32, o_mg32, o_dir32, o_mvd0_32, o_mvp0_32,
+            o_mvd1_32, o_mvp1_32, o_kq, o_mgq, o_dq, o_md0q, o_mp0q,
+            o_md1q, o_mp1q, o_cdir, o_cv0, o_cv1) = jax.lax.scan(
+            decide_body, state, xs_decide)
+
+        def r32cell(o, vec=False):
+            """[n32(-shaped scan out)] -> per-cell [n16] replication."""
+            if vec:
+                a = jnp.take(o.reshape(-1, 2), self._raster32, 0) \
+                    .reshape(hc, wc, 2)
+                return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1) \
+                    .reshape(-1, 2).astype(jnp.int32)
+            a = jnp.take(o.reshape(-1), self._raster32).reshape(hc, wc)
+            return jnp.repeat(jnp.repeat(a, 2, 0), 2, 1) \
+                .reshape(-1).astype(jnp.int32)
+
+        def r16(o, vec=False):
+            if vec:
+                return jnp.take(o.reshape(-1, 2), self._raster16, 0) \
+                    .astype(jnp.int32)
+            return jnp.take(o.reshape(-1), self._raster16) \
+                .astype(jnp.int32)
+
+        split_r = jnp.take(o_split.reshape(-1), self._raster32)
+        split_cell = r32cell(o_split)
+        is_split = split_cell == 1
+        kinds16 = jnp.where(is_split, r16(o_kq), r32cell(o_k32))
+        merge16 = jnp.where(is_split, r16(o_mgq), r32cell(o_mg32))
+        dir16 = jnp.where(is_split, r16(o_dq), r32cell(o_dir32))
+        dir16 = jnp.where(kinds16 == 2, 0, dir16)
+        mvd0_16 = jnp.where(is_split[:, None], r16(o_md0q, True),
+                            r32cell(o_mvd0_32, True))
+        mvp0_16 = jnp.where(is_split, r16(o_mp0q), r32cell(o_mvp0_32))
+        mvd1_16 = jnp.where(is_split[:, None], r16(o_md1q, True),
+                            r32cell(o_mvd1_32, True))
+        mvp1_16 = jnp.where(is_split, r16(o_mp1q), r32cell(o_mvp1_32))
+        mv0_cell = r16(o_cv0, True)
+        mv1_cell = r16(o_cv1, True)
+        dir_cell = r16(o_cdir)
+
+        # ---- 3. parallel final MC + residuals --------------------------
+        use0 = ((dir_cell & 1) == 1)
+        use1 = ((dir_cell & 2) == 2)
+
+        def mc_select(ref0, ref1, mc14, bn):
+            q14_0 = mc14(ref0, mv0_cell, bn)
+            q14_1 = mc14(ref1, mv1_cell, bn)
+            both = (use0 & use1)[:, None, None]
+            return jnp.where(
+                both, bi_combine(q14_0, q14_1),
+                jnp.where(use0[:, None, None], _uni(q14_0),
+                          _uni(q14_1)))
+
+        pred_y = mc_select(r0y, r1y, mc_luma_qpel14, 16)
+        pred_cb = mc_select(r0cb, r1cb, mc_chroma_qpel14, 8)
+        pred_cr = mc_select(r0cr, r1cr, mc_chroma_qpel14, 8)
+        qpc3_16 = qpc16_blk[:, None, None]
+
+        def coded(orig, pred, qp3):
+            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
+                           0, 255)
+            return lv, rec
+
+        lv16_y, rec16_y = coded(oy_flat, pred_y, qp3_16)
+        lv16_cb, rec16_cb = coded(ocb_flat, pred_cb, qpc3_16)
+        lv16_cr, rec16_cr = coded(ocr_flat, pred_cr, qpc3_16)
+        skipc = (kinds16 == 0)
+        lv16_y = jnp.where((skipc | ~is_split)[:, None, None], 0,
+                           lv16_y)
+        lv16_cb = jnp.where((skipc | ~is_split)[:, None, None], 0,
+                            lv16_cb)
+        lv16_cr = jnp.where((skipc | ~is_split)[:, None, None], 0,
+                            lv16_cr)
+        rec16_y = jnp.where(skipc[:, None, None], pred_y, rec16_y)
+        rec16_cb = jnp.where(skipc[:, None, None], pred_cb, rec16_cb)
+        rec16_cr = jnp.where(skipc[:, None, None], pred_cr, rec16_cr)
+
+        def cells_to32(arr, bn):
+            a = arr.reshape(hc, 2, wc, 2, bn, bn)
+            return a.transpose(0, 2, 1, 4, 3, 5).reshape(
+                n32, 2 * bn, 2 * bn)
+
+        def to_cells(arr, bn):
+            a = arr.reshape(hc, wc, 2, bn, 2, bn)
+            return a.transpose(0, 2, 1, 4, 3, 5).reshape(n16, bn, bn)
+
+        pred32_y = cells_to32(pred_y, 16)
+        pred32_cb = cells_to32(pred_cb, 8)
+        pred32_cr = cells_to32(pred_cr, 8)
+        ocb32 = cells_to32(ocb_flat, 8)
+        ocr32 = cells_to32(ocr_flat, 8)
+        qpc3_32 = qpc32_blk[:, None, None]
+        lv32_y, rec32_y = coded(oy32, pred32_y, qp3_32)
+        lv32_cb, rec32_cb = coded(ocb32, pred32_cb, qpc3_32)
+        lv32_cr, rec32_cr = coded(ocr32, pred32_cr, qpc3_32)
+        k32_r = jnp.take(o_k32.reshape(-1), self._raster32) \
+            .astype(jnp.int32)
+        skip32 = (k32_r == 0)
+        lv32_y = jnp.where(skip32[:, None, None], 0, lv32_y)
+        lv32_cb = jnp.where(skip32[:, None, None], 0, lv32_cb)
+        lv32_cr = jnp.where(skip32[:, None, None], 0, lv32_cr)
+        rec32_y = jnp.where(skip32[:, None, None], pred32_y, rec32_y)
+        rec32_cb = jnp.where(skip32[:, None, None], pred32_cb,
+                             rec32_cb)
+        rec32_cr = jnp.where(skip32[:, None, None], pred32_cr,
+                             rec32_cr)
+
+        isn = is_split[:, None, None]
+        fin_lv_y = jnp.where(isn, lv16_y, to_cells(lv32_y, 16))
+        fin_lv_cb = jnp.where(isn, lv16_cb, to_cells(lv32_cb, 8))
+        fin_lv_cr = jnp.where(isn, lv16_cr, to_cells(lv32_cr, 8))
+        fin_rec_y = jnp.where(isn, rec16_y, to_cells(rec32_y, 16))
+        fin_rec_cb = jnp.where(isn, rec16_cb, to_cells(rec32_cb, 8))
+        fin_rec_cr = jnp.where(isn, rec16_cr, to_cells(rec32_cr, 8))
+
+        # ---- 4. commit scan (shared with the P tree) --------------------
+        (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb,
+         rec_cr) = self._commit_scan(
+            kinds16, oy_flat, ocb_flat, ocr_flat, fin_rec_y, fin_rec_cb,
+            fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr, qp16_blk,
+            qpc16_blk, lam16_blk)
+
+        split32_m = split_r.reshape(hc, wc)
+        if self.deblock:
+            from ..ops.deblock import (deblock_chroma_bs, deblock_luma_bs,
+                                       edge_qp_maps, effective_qp16_tree,
+                                       inter_tree_bs_maps)
+            from ..ops.quant import chroma_qp_jnp
+            intra_m = (kinds16 == 2).reshape(h16, w16)
+            cbf_cell = jnp.any(ly_r != 0, axis=(1, 2)).reshape(h16, w16)
+            cbf32 = cbf_cell.reshape(hc, 2, wc, 2).any((1, 3))
+            cbf_m = jnp.where(
+                jnp.repeat(jnp.repeat(split32_m, 2, 0), 2, 1) == 1,
+                cbf_cell,
+                jnp.repeat(jnp.repeat(cbf32, 2, 0), 2, 1))
+            dir_m = dir_cell.reshape(h16, w16)
+            mv0_m = mv0_cell.reshape(h16, w16, 2)
+            mv1_m = mv1_cell.reshape(h16, w16, 2)
+            bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
+                                            mv0_m, mv1_m, split32_m)
+            coded16_m = (jnp.any(ly_r != 0, axis=(1, 2))
+                         | jnp.any(lcb_r != 0, axis=(1, 2))
+                         | jnp.any(lcr_r != 0, axis=(1, 2))) \
+                .reshape(h16, w16)
+            eff16 = effective_qp16_tree(
+                qp32_blk.reshape(hc, wc), split32_m, coded16_m,
+                slice_qp, self.wpp)
+            qp_v, qp_h = edge_qp_maps(eff16)
+            rec_y = deblock_luma_bs(rec_y, slice_qp, bs_v, bs_h, 16,
+                                    qp_v=qp_v, qp_h=qp_h)
+            rec_cb = deblock_chroma_bs(
+                rec_cb, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+            rec_cr = deblock_chroma_bs(
+                rec_cr, slice_qp, bs_v, bs_h, 8,
+                qpc_v=chroma_qp_jnp(qp_v), qpc_h=chroma_qp_jnp(qp_h))
+        sao_out = ()
+        if self.sao:
+            from ..ops.sao import (sao_analyse, sao_analyse_chroma,
+                                   sao_apply)
+            s_ty, s_cls, s_bp, s_off, _ = sao_analyse(
+                y, rec_y, lam32_blk, 32)
+            rec_y = sao_apply(rec_y, s_ty, s_cls, s_bp, s_off, 32)
+            c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr = \
+                sao_analyse_chroma(cb, rec_cb, cr, rec_cr,
+                                   lam32_blk, 16)
+            rec_cb = sao_apply(rec_cb, c_ty, c_cls, c_bcb, c_ocb, 16)
+            rec_cr = sao_apply(rec_cr, c_ty, c_cls, c_bcr, c_ocr, 16)
+            sao_out = (s_ty, s_cls, s_bp, s_off,
+                       c_ty, c_cls, c_bcb, c_ocb, c_bcr, c_ocr)
+
+        from ..ops.metrics import ssim_plane
+        sse = jnp.stack([
+            jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
+            jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
+            ssim_plane(y, rec_y)])
+        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
+                merge16.astype(jnp.uint8), dir16.astype(jnp.uint8),
+                mvd0_16.astype(jnp.int16), mvp0_16.astype(jnp.uint8),
+                mvd1_16.astype(jnp.int16), mvp1_16.astype(jnp.uint8),
+                modes_r, ly_r, lcb_r, lcr_r,
+                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
+                rec_cr.astype(jnp.uint8)) + sao_out
+
+    # ------------------------------------------------------------------
+    def encode_async(self, y, cb, cr, ref0_dev, ref1_dev, qp: int,
+                     dsf0: int, dsf1: int, want_recon: bool = False,
+                     qp_offsets: np.ndarray | None = None):
+        maps = self._maps(qp, qp_offsets)
+        step = self._step_recon if want_recon else self._step
+        r0y, r0cb, r0cr = ref0_dev
+        r1y, r1cb, r1cr = ref1_dev
+        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
+                    jnp.asarray(cr, jnp.uint8), r0y, r0cb, r0cr,
+                    r1y, r1cb, r1cr,
+                    *(jnp.asarray(m) for m in maps),
+                    jnp.asarray(dsf0, jnp.int32),
+                    jnp.asarray(dsf1, jnp.int32),
+                    jnp.asarray(qp, jnp.int32))
+
+    def collect(self, outs, want_recon: bool = False):
+        from .b_frame import BFrameResult
+        h16, w16 = self.h16, self.w16
+        host = [np.asarray(a) for a in outs[:13]]
+        (split, kinds, mrg, idir, mvd0, mvp0, mvd1, mvp1, modes, ly,
+         lcb, lcr, sse) = host
+        res = BFrameResult(
+            kinds.reshape(h16, w16).astype(np.int32),
+            mrg.reshape(h16, w16).astype(np.int32),
+            idir.reshape(h16, w16).astype(np.int32),
+            mvd0.reshape(h16, w16, 2).astype(np.int32),
+            mvp0.reshape(h16, w16).astype(np.int32),
+            mvd1.reshape(h16, w16, 2).astype(np.int32),
+            mvp1.reshape(h16, w16).astype(np.int32),
+            modes.reshape(h16, w16).astype(np.int32),
+            ly.reshape(h16, w16, 16, 16).astype(np.int32),
+            lcb.reshape(h16, w16, 8, 8).astype(np.int32),
+            lcr.reshape(h16, w16, 8, 8).astype(np.int32),
+            sse, recon_dev=outs[13:16])
+        res.split = split.reshape(self.hc, self.wc).astype(np.int32)
+        if want_recon:
+            res.recon_y = np.asarray(outs[13])
+            res.recon_cb = np.asarray(outs[14])
+            res.recon_cr = np.asarray(outs[15])
+        if self.sao:
+            arrs = [np.asarray(a) for a in outs[16:26]]
             res.sao_type, res.sao_eo_class, res.sao_band_pos, \
                 res.sao_offsets = arrs[:4]
             res.sao_c = tuple(arrs[4:10])

@@ -1069,6 +1069,174 @@ def _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32, y_pl, cb_pl,
                           y_pl, cb_pl, cr_pl, ref, maps, pad)
 
 
+def _decode_b_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
+                      y_pl, cb_pl, cr_pl, ref0, ref1, dsf0, dsf1,
+                      maps, pad, ct_depth):
+    """One B-slice CU of cells*16 luma size at 16-cell (bx, by) inside
+    a CTB32 quadtree (mirror of cabac.syntax.encode_cu_pb st=B)."""
+    from ..models.mvpred import (amvp_candidates_b_scalar,
+                                 merge_candidates_b_scalar,
+                                 neighbor_state_tree_b)
+    from ..ops.me_ref import (bi_combine_np, mc_chroma_qpel14_np,
+                              mc_luma_qpel14_np)
+    qp = qpctx["prev"]
+    skip_l = int(maps["skip"][by, bx - 1]) if bx > 0 else 0
+    skip_a = int(maps["skip"][by - 1, bx]) if by > 0 else 0
+    skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
+    r0y, r0cb, r0cr = ref0
+    r1y, r1cb, r1cr = ref1
+    n = cells * 16
+    log2n = 4 + (cells - 1)
+    nc = n // 2
+    x0, y0 = bx * 16, by * 16
+    zn = np.zeros((n, n), np.int32)
+    znc = np.zeros((nc, nc), np.int32)
+
+    def set_cells(dirv, mv0, mv1, skipf, imode, cbf, qpv):
+        maps["dir"][by:by + cells, bx:bx + cells] = dirv
+        maps["mv0"][by:by + cells, bx:bx + cells] = \
+            mv0 if (dirv & 1) else (0, 0)
+        maps["mv1"][by:by + cells, bx:bx + cells] = \
+            mv1 if (dirv & 2) else (0, 0)
+        maps["skip"][by:by + cells, bx:bx + cells] = skipf
+        maps["imode"][by:by + cells, bx:bx + cells] = imode
+        maps["cbf"][by:by + cells, bx:bx + cells] = cbf
+        if "qp16" in qpctx:
+            qpctx["qp16"][by:by + cells, bx:bx + cells] = qpv
+
+    def mc_plane(refa, refb, dirv, mv0, mv1, px, py, bn, luma):
+        mc = mc_luma_qpel14_np if luma else mc_chroma_qpel14_np
+        if dirv == 3:
+            p0 = mc(refa, px, py, mv0[0], mv0[1], bn)
+            p1 = mc(refb, px, py, mv1[0], mv1[1], bn)
+            return bi_combine_np(p0, p1)
+        mv = mv0 if dirv == 1 else mv1
+        ref = refa if dirv == 1 else refb
+        p14 = mc(ref, px, py, mv[0], mv[1], bn)
+        return np.clip((p14 + 32) >> 6, 0, 255).astype(np.int32)
+
+    def inter_recon(dirv, mv0, mv1, lv_y, lv_cb, lv_cr, qpv):
+        qcb = chroma_qp(qpv, pps.cb_qp_offset)
+        qcr = chroma_qp(qpv, pps.cr_qp_offset)
+        py = mc_plane(r0y, r1y, dirv, mv0, mv1, x0, y0, n, True)
+        pcb = mc_plane(r0cb, r1cb, dirv, mv0, mv1, x0 // 2, y0 // 2,
+                       nc, False)
+        pcr = mc_plane(r0cr, r1cr, dirv, mv0, mv1, x0 // 2, y0 // 2,
+                       nc, False)
+        ry = np.clip(py + (inv_transform_np(dequant_np(lv_y, qpv))
+                           if lv_y.any() else 0), 0, 255)
+        rcb = np.clip(pcb + (inv_transform_np(dequant_np(lv_cb, qcb))
+                             if lv_cb.any() else 0), 0, 255)
+        rcr = np.clip(pcr + (inv_transform_np(dequant_np(lv_cr, qcr))
+                             if lv_cr.any() else 0), 0, 255)
+        y_pl[pad + y0:pad + y0 + n, pad + x0:pad + x0 + n] = ry
+        hp = pad // 2
+        cb_pl[hp + y0 // 2:hp + y0 // 2 + nc,
+              hp + x0 // 2:hp + x0 // 2 + nc] = rcb
+        cr_pl[hp + y0 // 2:hp + y0 // 2 + nc,
+              hp + x0 // 2:hp + x0 // 2 + nc] = rcr
+
+    nbs = neighbor_state_tree_b(maps["dir"], maps["mv0"], maps["mv1"],
+                                bx, by, cells, w16, h16, _zavail)
+    a1, b1, b0, b2 = nbs
+    if skip:
+        midx = _decode_merge_idx(d, MAX_MERGE)
+        cands = merge_candidates_b_scalar(a1, b1, b0, b2, MAX_MERGE)
+        dirv, mv0, mv1 = cands[midx]
+        inter_recon(dirv, mv0, mv1, zn, znc, znc, qp)
+        set_cells(dirv, mv0, mv1, 1, -1, 0, qp)
+        return
+    intra = d.decode_bin(S.CTX_PRED_MODE)
+    if not intra or cells == 1:
+        assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
+    if intra:
+        li = int(maps["imode"][by, bx - 1]) if bx > 0 else -1
+        cand_a = li if li >= 0 else 1
+        ai = int(maps["imode"][by - 1, bx]) if (by % 2 == 1) else -1
+        cand_b = ai if ai >= 0 else 1
+        mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+        assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1)
+        qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else zn
+        resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
+            else znc
+        resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr \
+            else znc
+        at, al, ac = _zavail_masks(bx, by, cells, w16, h16, n)
+        _intra_recon_block(y_pl, pad + x0, pad + y0, n, mode, 0,
+                           resi_y, al, at, avail_corner=ac)
+        hp = pad // 2
+        _intra_recon_block(cb_pl, hp + x0 // 2, hp + y0 // 2, nc, mode,
+                           1, resi_cb, al[::2], at[::2],
+                           avail_corner=ac)
+        _intra_recon_block(cr_pl, hp + x0 // 2, hp + y0 // 2, nc, mode,
+                           2, resi_cr, al[::2], at[::2],
+                           avail_corner=ac)
+        set_cells(0, (0, 0), (0, 0), 0, mode, int(bool(ly.any())), qp)
+        return
+    assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
+        "non-skip merge unsupported"
+    # inter_pred_idc (9.3.4.2.2: bin0 ctx CtDepth; bin1 ctx 4)
+    if d.decode_bin(S.CTX_INTER_DIR + ct_depth):
+        dirv = 3
+    else:
+        dirv = 2 if d.decode_bin(S.CTX_INTER_DIR + 4) else 1
+    mv0 = mv1 = (0, 0)
+    if dirv != 2:
+        mvd0 = _decode_mvd(d)
+        mvp0 = d.decode_bin(S.CTX_MVP)
+        amvp = amvp_candidates_b_scalar(a1, b1, b0, b2, 0, dsf0)
+        mv0 = (amvp[mvp0][0] + mvd0[0], amvp[mvp0][1] + mvd0[1])
+    if dirv != 1:
+        mvd1 = _decode_mvd(d)
+        mvp1 = d.decode_bin(S.CTX_MVP)
+        amvp = amvp_candidates_b_scalar(a1, b1, b0, b2, 1, dsf1)
+        mv1 = (amvp[mvp1][0] + mvd1[0], amvp[mvp1][1] + mvd1[1])
+    root = d.decode_bin(S.CTX_RQT_ROOT_CBF)
+    ly, lcb, lcr = zn, znc, znc
+    if root:
+        cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
+        cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
+            if (cbf_cb or cbf_cr) else 1
+        qp = _cu_qp_update(d, pps, qpctx, 1)
+        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+    inter_recon(dirv, mv0, mv1, ly, lcb, lcr, qp)
+    set_cells(dirv, mv0, mv1, 0, -1, int(bool(ly.any())), qp)
+
+
+def _decode_ctu_btree(d, pps, qpctx, cx, cy, wc32, hc32, y_pl, cb_pl,
+                      cr_pl, ref0, ref1, dsf0, dsf1, maps, split_map,
+                      pad):
+    """B-slice CTU32 with depth-1 CU quadtree (spec 7.3.8.4)."""
+    w16, h16 = wc32 * 2, hc32 * 2
+    split = S.decode_split_cu(
+        d, int(split_map[cy, cx - 1]) if cx > 0 else 0,
+        int(split_map[cy - 1, cx]) if cy > 0 else 0, cx > 0, cy > 0)
+    split_map[cy, cx] = split
+    by, bx = 2 * cy, 2 * cx
+    if split:
+        for q in range(4):
+            _decode_b_cu_tree(d, pps, qpctx, bx + (q & 1),
+                              by + (q >> 1), 1, w16, h16, y_pl, cb_pl,
+                              cr_pl, ref0, ref1, dsf0, dsf1, maps,
+                              pad, 1)
+    else:
+        _decode_b_cu_tree(d, pps, qpctx, bx, by, 2, w16, h16, y_pl,
+                          cb_pl, cr_pl, ref0, ref1, dsf0, dsf1, maps,
+                          pad, 0)
+
+
 def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
                     cr_pl, ref0, ref1, dsf0, dsf1, maps, pad):
     """Decode one B-slice CTU; maps carry dir/mv0/mv1 motion state."""
@@ -1350,15 +1518,29 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         }
         qpctx = {"prev": qp,
                  "qp16": np.full((hc, wc), qp, np.int32)}
-        sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
-            if (sao_luma or sao_chroma) else None
+        if ctb == 32:
+            wc32, hc32 = -(-sps.width // 32), -(-sps.height // 32)
+            split_map = np.zeros((hc32, wc32), np.int32)
+            sao = _SaoState(hc32, wc32, bool(sao_luma),
+                            bool(sao_chroma)) \
+                if (sao_luma or sao_chroma) else None
 
-        def ctu_fn(d, cx, cy):
-            _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
-                            y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
-                            dsf0, dsf1, maps, pad)
-        _slice_ctu_loop(payload, "B", qp, hc, wc, entry, qpctx, sao,
-                        ctu_fn)
+            def ctu_fn(d, cx, cy):
+                _decode_ctu_btree(d, pps, qpctx, cx, cy, wc32, hc32,
+                                  y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
+                                  dsf0, dsf1, maps, split_map, pad)
+            _slice_ctu_loop(payload, "B", qp, hc32, wc32, entry,
+                            qpctx, sao, ctu_fn)
+        else:
+            sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
+                if (sao_luma or sao_chroma) else None
+
+            def ctu_fn(d, cx, cy):
+                _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc,
+                                y_pl, cb_pl, cr_pl, ref0_pl, ref1_pl,
+                                dsf0, dsf1, maps, pad)
+            _slice_ctu_loop(payload, "B", qp, hc, wc, entry, qpctx,
+                            sao, ctu_fn)
     if not pps.deblock_disabled:
         from ..ops.deblock import (bs_maps, deblock_chroma_bs_np,
                                    deblock_luma_bs_np,
