@@ -59,44 +59,118 @@ def test_predictor_converges():
     assert abs(pr.predict(2.0, 1000.0) - 1000.0) / 1000.0 < 0.05
 
 
-def test_vbv_buffer_never_underflows():
+def test_vbv_buffer_excursion_bounded():
+    """The honest VBV contract: the PRE-clamp buffer trajectory (the
+    clamp in update() can hide real underflow) must stay within a
+    bounded excursion of the buffer, and the delivered bitrate must be
+    within the smoke-test tolerance of the cap (reference
+    smoke-tests.txt: <=5% deviation)."""
+    w, h = 96, 64
+    n = 24
+    p = Param(width=w, height=h, keyint=24, bframes=0, bitrate=320,
+              rc_mode="abr", vbv_maxrate=320, vbv_bufsize=320,
+              fps_num=25, scenecut=0)
+    frames = _frames(w, h, n)
+    enc, outs, stream = _run(p, frames)
+    rc = enc.rc
+    assert rc.vbv
+    # pre-clamp trajectory: bounded excursion below empty (one frame's
+    # budget of slack covers the first-GOP predictor warmup)
+    assert rc.min_fill_preclamp >= -1.5 * rc.buffer_rate, \
+        (rc.min_fill_preclamp, rc.buffer_rate)
+    assert rc.underflow_events <= 2, rc.underflow_events
+    # SATD-fed complexity actually reached the predictors
+    assert rc._satd_blur is not None and rc._satd_blur > 0
+    # the true CPB contract: total bits never exceed what the leaky
+    # bucket delivered (maxrate * duration + initial fullness) — this
+    # is what a conformant HRD decoder requires, and it fails if the
+    # VBV accounting or clip breaks
+    total = sum(o.stats.bits for o in outs)
+    budget = 320000.0 * n / 25.0 + rc.buffer_size * 0.9
+    assert total <= budget, (total, budget)
+    # steady state before the complexity step converges onto the cap:
+    # frames 4..n/2 (post warmup, pre step) within one QP of target
+    pre = outs[4:n // 2]
+    kbps_pre = sum(o.stats.bits for o in pre) * 25 / len(pre) / 1e3
+    assert kbps_pre <= 320 * 1.12, kbps_pre
+    # and the controller must RESPOND to the complexity step
+    assert outs[-1].stats.qp > outs[n // 2 - 1].stats.qp
+    # stream still decodes fine and carries HRD signalling
+    dec = decode_stream(stream)
+    assert len(dec) == n
+
+
+def test_vbv_tight_buffer_binds():
+    """With a 0.25 s buffer the per-frame clip MUST bind: no frame may
+    drain more than the available fullness (pre-clamp fill stays
+    non-negative within predictor tolerance) and the clipped QPs rise
+    well above the unconstrained run."""
+    w, h = 96, 64
+    n = 16
+    frames = _frames(w, h, n)
+    p = Param(width=w, height=h, keyint=16, bframes=0, bitrate=320,
+              rc_mode="abr", vbv_maxrate=320, vbv_bufsize=80,
+              fps_num=25, scenecut=0)
+    enc, outs, _ = _run(p, frames)
+    rc = enc.rc
+    # one frame's budget of slack for predictor warmup, no worse
+    assert rc.min_fill_preclamp >= -1.5 * rc.buffer_rate, \
+        (rc.min_fill_preclamp, rc.buffer_rate)
+    # the tight buffer must cap single-frame sizes near the bucket
+    biggest = max(o.stats.bits for o in outs[1:])
+    assert biggest <= 80000 * 0.9 + rc.buffer_rate, biggest
+
+
+def test_vbv_stream_has_hrd():
+    """VBV configs must emit hrd_parameters in the VUI plus
+    buffering-period and pic-timing SEI (reference initHRD,
+    ratecontrol.cpp:888)."""
+    from x265amod_tpu.bitstream.nal import split_annexb
     w, h = 96, 64
     p = Param(width=w, height=h, keyint=12, bframes=0, bitrate=320,
               rc_mode="abr", vbv_maxrate=320, vbv_bufsize=320,
               fps_num=25)
-    frames = _frames(w, h, 16)
-    enc, outs, stream = _run(p, frames)
-    rc = enc.rc
-    assert rc.vbv
-    assert rc.buffer_fill >= 0.0
-    # stream still decodes fine
-    dec = decode_stream(stream)
-    assert len(dec) == 16
+    enc, outs, stream = _run(p, _frames(w, h, 4))
+    assert enc.sps.hrd_bitrate == 320000
+    sei_types = []
+    for nal_type, _tid, rbsp in split_annexb(stream):
+        if nal_type == 39:                 # prefix SEI
+            pos = 0
+            t = 0
+            while rbsp[pos] == 255:
+                t += 255
+                pos += 1
+            t += rbsp[pos]
+            sei_types.append(t)
+    assert 0 in sei_types, "no buffering_period SEI"
+    assert 1 in sei_types, "no pic_timing SEI"
 
 
 def test_two_pass_hits_target(tmp_path):
     w, h = 96, 64
+    nf = 20
     stats = str(tmp_path / "2pass.log")
     target_kbps = 260
-    frames = _frames(w, h, 14)
-    p1 = Param(width=w, height=h, keyint=8, bframes=2,
+    frames = _frames(w, h, nf)
+    p1 = Param(width=w, height=h, keyint=10, bframes=2,
                bitrate=target_kbps, rc_mode="abr", pass_num=1,
                stats_file=stats, fps_num=25)
     enc1, outs1, _ = _run(p1, frames)
     assert os.path.exists(stats)
     lines = open(stats).read().strip().splitlines()
-    assert len(lines) == 14
+    assert len(lines) == nf
     assert "type:" in lines[0] and "bits:" in lines[0]
 
-    p2 = Param(width=w, height=h, keyint=8, bframes=2,
+    p2 = Param(width=w, height=h, keyint=10, bframes=2,
                bitrate=target_kbps, rc_mode="abr", pass_num=2,
                stats_file=stats, fps_num=25)
     enc2, outs2, stream2 = _run(p2, frames)
     total_bits = sum(o.stats.bits for o in outs2)
-    kbps = total_bits * 25 / 14 / 1000.0
-    assert abs(kbps - target_kbps) / target_kbps < 0.30, kbps
+    kbps = total_bits * 25 / nf / 1000.0
+    # BASELINE.md contract: smoke tolerance is <=5% deviation
+    assert abs(kbps - target_kbps) / target_kbps < 0.05, kbps
     dec = decode_stream(stream2)
-    assert len(dec) == 14
+    assert len(dec) == nf
     # pass-2 allocation should track complexity: second (harder) half
     # gets at least as many bits per frame as the first half
     outs2s = sorted(outs2, key=lambda o: o.stats.display_order)

@@ -60,6 +60,11 @@ class SpsInfo:
     num_negative_ref: int = 0  # simple low-delay RPS size (0 = all intra)
     max_num_reorder: int = 0   # > 0 when B frames reorder output
     max_dec_buffering: int = 0 # DPB size - 1 (0 -> derived from refs)
+    # HRD (spec E.2.2; emitted when VBV is configured, reference
+    # initHRD ratecontrol.cpp:888): 0 = no hrd_parameters in VUI
+    hrd_bitrate: int = 0       # bits/s (vbv-maxrate)
+    hrd_cpb_size: int = 0      # bits (vbv-bufsize)
+    hrd_cbr: bool = False
 
     @property
     def ctb_size(self) -> int:
@@ -136,6 +141,44 @@ def write_vps(sps: SpsInfo) -> bytes:
     return bw.data()
 
 
+def hrd_scaled_values(bitrate_bps: int, cpb_bits: int):
+    """HRD scale/value split (spec E.2.3: BitRate = (value+1) <<
+    (6+scale), CpbSize = (value+1) << (4+scale)); reference initHRD
+    (encoder/ratecontrol.cpp:888) picks the smallest scale that fits."""
+    def split(v, base):
+        scale = 0
+        while scale < 15 and (v >> (base + scale + 1)) >= (1 << 16):
+            scale += 1
+        value = max(1, v >> (base + scale))
+        return scale, value - 1
+    br_scale, br_value = split(bitrate_bps, 6)
+    cpb_scale, cpb_value = split(cpb_bits, 4)
+    return br_scale, br_value, cpb_scale, cpb_value
+
+
+def _write_hrd_parameters(bw: BitWriter, sps: "SpsInfo") -> None:
+    """hrd_parameters (spec E.2.2), NAL HRD only, one CPB, one
+    sub-layer; 24-bit delay fields like the reference (initHRD)."""
+    br_scale, br_value, cpb_scale, cpb_value = hrd_scaled_values(
+        sps.hrd_bitrate, sps.hrd_cpb_size)
+    bw.write_flag(1)                    # nal_hrd_parameters_present
+    bw.write_flag(0)                    # vcl_hrd_parameters_present
+    bw.write_flag(0)                    # sub_pic_hrd_params_present
+    bw.write(br_scale, 4)               # bit_rate_scale
+    bw.write(cpb_scale, 4)              # cpb_size_scale
+    bw.write(23, 5)                     # initial_cpb_removal_delay_len-1
+    bw.write(23, 5)                     # au_cpb_removal_delay_length-1
+    bw.write(23, 5)                     # dpb_output_delay_length-1
+    # sub-layer 0
+    bw.write_flag(1)                    # fixed_pic_rate_general_flag
+    bw.write_ue(0)                      # elemental_duration_in_tc-1
+    bw.write_ue(0)                      # cpb_cnt_minus1
+    # sub_layer_hrd_parameters (NAL), CPB 0
+    bw.write_ue(br_value)               # bit_rate_value_minus1
+    bw.write_ue(cpb_value)              # cpb_size_value_minus1
+    bw.write_flag(1 if sps.hrd_cbr else 0)   # cbr_flag
+
+
 def write_sps(sps: SpsInfo) -> bytes:
     bw = BitWriter()
     bw.write(0, 4)                      # sps_video_parameter_set_id
@@ -189,7 +232,11 @@ def write_sps(sps: SpsInfo) -> bytes:
     bw.write(sps.fps_den, 32)           # vui_num_units_in_tick
     bw.write(sps.fps_num, 32)           # vui_time_scale
     bw.write_flag(0)                    # vui_poc_proportional_to_timing_flag
-    bw.write_flag(0)                    # vui_hrd_parameters_present_flag
+    if sps.hrd_bitrate > 0:
+        bw.write_flag(1)                # vui_hrd_parameters_present_flag
+        _write_hrd_parameters(bw, sps)
+    else:
+        bw.write_flag(0)                # vui_hrd_parameters_present_flag
     bw.write_flag(0)                    # bitstream_restriction_flag
     bw.write_flag(0)                    # sps_extension_present_flag
     bw.rbsp_trailing_bits()

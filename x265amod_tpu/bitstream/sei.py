@@ -67,6 +67,33 @@ def wrap_sei(messages: list[tuple[int, bytes]], suffix: bool = False,
                     bw.data(), temporal_id=temporal_id)
 
 
+# ---- HRD conformance SEI (D.2.2/D.2.3; reference SEIBP/SEIPT sei.h) -------
+
+def buffering_period(initial_delay_90k: int,
+                     initial_offset_90k: int) -> bytes:
+    """buffering_period SEI (spec D.2.2), NAL HRD, one CPB, matching
+    the SPS hrd_parameters written by headers._write_hrd_parameters
+    (24-bit delay fields).  Delays in 90 kHz ticks."""
+    bw = BitWriter()
+    bw.write_ue(0)                      # bp_seq_parameter_set_id
+    bw.write_flag(0)                    # irap_cpb_params_present_flag
+    bw.write_flag(0)                    # concatenation_flag
+    bw.write(0, 24)                     # au_cpb_removal_delay_delta-1
+    bw.write(min(initial_delay_90k, (1 << 24) - 1), 24)
+    bw.write(min(initial_offset_90k, (1 << 24) - 1), 24)
+    return _payload_data(bw)
+
+
+def pic_timing(au_cpb_removal_delay: int,
+               pic_dpb_output_delay: int) -> bytes:
+    """pic_timing SEI (spec D.2.3) with CpbDpbDelaysPresent and
+    frame_field_info off (matches the emitted VUI)."""
+    bw = BitWriter()
+    bw.write(max(au_cpb_removal_delay - 1, 0) & ((1 << 24) - 1), 24)
+    bw.write(pic_dpb_output_delay & ((1 << 24) - 1), 24)
+    return _payload_data(bw)
+
+
 # ---- decoded picture hash (D.2.19 / reference sei.h:240) -------------------
 
 def _crc16(plane) -> int:

@@ -103,9 +103,21 @@ class Encoder:
             self.sps.log2_ctb_size = 5
             self.sps.log2_min_cb_size = 4
             self.sps.log2_max_tb_size = 5
-        self.use_lookahead = (param.aq_mode > 0 or param.cutree) and \
+        if param.vbv_maxrate > 0 and param.vbv_bufsize > 0:
+            # HRD signalling rides the VBV config (reference initHRD,
+            # ratecontrol.cpp:888): hrd_parameters in the VUI plus
+            # buffering-period (IRAP) and pic-timing (every AU) SEI
+            self.sps.hrd_bitrate = param.vbv_maxrate * 1000
+            self.sps.hrd_cpb_size = param.vbv_bufsize * 1000
+        self._au_since_bp = 0
+        self.use_aq = (param.aq_mode > 0 or param.cutree) and \
             self.inter_enabled or (param.aq_mode > 0 and
                                    not self.inter_enabled)
+        # VBV needs the lookahead's SATD costs to feed the rate
+        # predictors (reference: the lookahead always runs; its frame
+        # costs drive rateEstimateQscale, ratecontrol.cpp:1900)
+        rc_needs_la = param.vbv_maxrate > 0 and param.vbv_bufsize > 0
+        self.use_lookahead = self.use_aq or rc_needs_la
         # analysis load substitutes for the lookahead (reuse level >= 1,
         # reference setReuseLevel abrEncApp.cpp:218)
         self._areader = None
@@ -132,7 +144,8 @@ class Encoder:
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset,
-                           cu_qp_delta_enabled=self.use_lookahead
+                           cu_qp_delta_enabled=(self.use_aq
+                                                and self.use_lookahead)
                            or self._loaded_qpoff,
                            diff_cu_qp_delta_depth=0,
                            entropy_coding_sync=param.wpp,
@@ -154,6 +167,7 @@ class Encoder:
         self.lookahead = Lookahead(
             self.pad_w, self.pad_h, strength=param.aq_strength,
             depth=la_depth,
+            scenecut_bias=param.scenecut / 100.0,
             cutree=param.cutree and self.inter_enabled
             and not zero_latency,
             min_keyint=max(param.min_keyint, 2)) \
@@ -213,6 +227,7 @@ class Encoder:
         self._la_store = {}        # display idx -> padded arrays
         self._la_next = 0
         self._qp_off = {}          # display idx -> per-CTU qp offsets
+        self._satd_of = {}         # display idx -> lookahead SATD sum
         self._scenecut_of = {}     # display idx -> scene-cut flag
         self._close_of = {}        # display idx -> b-adapt GOP close
         # qpfile: forced frame types / QPs (reference rc.qpfile,
@@ -341,13 +356,20 @@ class Encoder:
 
     def _la_frame(self, fa):
         yp, cbp, crp = self._la_store.pop(fa.display)
+        # lookahead SATD complexity for SATD-fed rate control
+        # (reference rateEstimateQscale's cost window)
+        ic = np.asarray(fa.intra_cost, np.float64)
+        cost = ic if fa.inter_cost is None else \
+            np.minimum(ic, np.asarray(fa.inter_cost, np.float64))
+        self._satd_of[fa.display] = float(cost.sum())
         # b-adapt (fast heuristic, reference b-adapt 1): close the
         # current mini-GOP when the new frame predicts poorly from its
         # neighbor — B frames should not span low-correlation gaps
         close = (self.param.b_adapt > 0 and self.bframes > 0
                  and fa.pred_ratio > 0.35 and not fa.is_scenecut)
-        return yp, cbp, crp, fa.is_scenecut, \
-            self.lookahead.ctu_qp_offsets(fa), close
+        qp_off = self.lookahead.ctu_qp_offsets(fa) if self.use_aq \
+            else None
+        return yp, cbp, crp, fa.is_scenecut, qp_off, close
 
     def _admit(self, yp, cbp, crp, scenecut: bool, qp_off,
                close_gop: bool = False) -> list[dict]:
@@ -409,6 +431,9 @@ class Encoder:
         qp_off = e.get("qp_off")
         forced = self._qpfile.get(e.get("display", -1))
         forced_qp = forced[1] if (forced and forced[1] >= 0) else None
+        satd = self._satd_of.pop(e.get("display", -1), None)
+        if satd is not None:
+            self.rc.set_complexity(satd)
         collect_recon = return_recon
         if stype == "I":
             self._dpb = {}            # new CVS: POC numbering restarts
@@ -671,6 +696,29 @@ class Encoder:
                        (1 if self.inter_enabled else 0), 3)
             audw.rbsp_trailing_bits()
             nal = wrap_nal(NAL_AUD, audw.data()) + nal
+        if self.sps.hrd_bitrate > 0:
+            from ..bitstream import sei
+            msgs = []
+            if slice_type == "I":
+                # CPB state at this access unit drives the initial
+                # removal delay (90 kHz ticks, D.2.2)
+                fill = self.rc.buffer_fill if self.rc.vbv \
+                    else self.sps.hrd_cpb_size
+                delay = int(90000.0 * fill / self.sps.hrd_bitrate)
+                off = max(int(90000.0 * self.sps.hrd_cpb_size
+                              / self.sps.hrd_bitrate) - delay, 0)
+                msgs.append((sei.SEI_BUFFERING_PERIOD,
+                             sei.buffering_period(delay, off)))
+                self._au_since_bp = 0
+            self._au_since_bp += 1
+            # dpb_output_delay: decode-to-display lag in AUs; the
+            # pyramid's worst case is the reorder depth (x265 uses
+            # numReorderPics + per-AU offset; the constant bound keeps
+            # timing monotone for this GOP shape)
+            msgs.append((sei.SEI_PIC_TIMING,
+                         sei.pic_timing(self._au_since_bp,
+                                        self.sps.max_num_reorder)))
+            nal = sei.wrap_sei(msgs) + nal
         if self.param.repeat_headers or e.get("first_in_stream"):
             nal = self.headers() + nal
         if self.param.decoded_picture_hash and res.recon_y is not None:

@@ -263,6 +263,8 @@ class Lookahead:
         isum = float(fa.intra_cost.sum()) + 1.0
         psum = float(np.minimum(fa.inter_cost, fa.intra_cost).sum())
         fa.pred_ratio = psum / isum
+        if self.bias <= 0:                   # --no-scenecut
+            return False
         if self._since_key < self.min_keyint:
             return False
         # reference scenecut: P cost not much cheaper than I cost

@@ -104,6 +104,25 @@ class RateControl:
             self.buffer_rate = param.vbv_maxrate * 1000.0 / self.fps
             self.buffer_fill = self.buffer_size * param.vbv_init
             self.pred = {t: Predictor() for t in "IPBb"}
+            # pre-clamp excursion telemetry: the clamp in update() can
+            # hide real underflow, so the honest contract is asserted
+            # on these (tests/test_vbv_2pass.py)
+            self.min_fill_preclamp = self.buffer_fill
+            self.underflow_events = 0
+        # lookahead SATD complexity for the NEXT frame (reference
+        # rateEstimateQscale's SATD window, ratecontrol.cpp:1900);
+        # falls back to the bits-so-far proxy when no lookahead runs
+        self._next_satd = None
+        self._used_satd = None
+        self._satd_blur = None
+        # SATD-driven ABR state (x265 rateEstimateQscale: qscale =
+        # rceq / rate_factor with rate_factor = wanted-bits window /
+        # cplxrSum, cbrDecay damping)
+        self.cplxr_sum = 0.0
+        self.wanted_bits_window = 0.0
+        self.cbr_decay = 0.99
+        self._last_rceq = None
+        self._qp_carry = 0.0
         # ---- 2-pass state ----
         self.pass_num = getattr(param, "pass_num", 0)
         self.stats_path = getattr(param, "stats_file", "") or \
@@ -165,17 +184,44 @@ class RateControl:
                 qp -= 0.5 * self.pb_offset
             elif e["type"] == "b":
                 qp -= self.pb_offset
-            self._plan.append(dict(qp=qp, type=e["type"]))
+            self._plan.append(dict(qp=qp, type=e["type"],
+                                   bits=rf * c ** self.qcomp))
         self.target_per_frame = self.param.bitrate * 1000.0 / self.fps
+        self._planned_so_far = 0.0
 
     # ------------------------------------------------------------------
     def frame_qp(self, slice_type: str) -> int:
         if self.pass_num == 2 and self._plan_idx < len(self._plan):
             qp = self._plan[self._plan_idx]["qp"]
-            # ABR feedback around the plan keeps the target on drift
-            if self.wanted_bits > 0:
-                overshoot = self.actual_bits / self.wanted_bits
-                qp += 3.0 * math.log2(max(min(overshoot, 4.0), 0.25))
+            # feedback against the PLAN's cumulative bits (not the
+            # uniform per-frame target): complexity spikes are planned,
+            # so any drift here is model error to correct at full gain
+            if self._planned_so_far > 0:
+                overshoot = self.actual_bits / self._planned_so_far
+                # high-gain correction, capped at +-3 QP: drift against
+                # the plan is pure model error (complexity spikes are
+                # already planned), so correct it aggressively
+                qp += min(max(12.0 * math.log2(max(overshoot, 1e-3)),
+                              -3.0), 3.0)
+        elif self.mode == "abr" and self._satd_blur is not None:
+            # SATD-driven ABR (reference rateEstimateQscale,
+            # ratecontrol.cpp:1900): qscale tracks blurred complexity
+            # ^ (1 - qcomp) scaled by the running rate factor, with
+            # multiplicative overflow compensation
+            rceq = max(self._satd_blur, 1.0) ** (1.0 - self.qcomp)
+            self._last_rceq = rceq
+            if self.cplxr_sum <= 0:
+                # seed so the first frame lands on the bpp heuristic QP
+                qs = qp_to_qscale(self.base_qp)
+            else:
+                rate_factor = self.wanted_bits_window / self.cplxr_sum
+                qs = rceq / max(rate_factor, 1e-9)
+                if self.wanted_bits > 0:
+                    overflow = self.actual_bits / self.wanted_bits
+                    qs *= min(max(overflow, 0.5), 2.0)
+            qp = qscale_to_qp(qs)
+            qp = min(max(qp, self.last_qp - self.param.qp_step),
+                     self.last_qp + self.param.qp_step)
         else:
             qp = self.base_qp
             if self.mode == "abr" and self.wanted_bits > 0:
@@ -191,14 +237,43 @@ class RateControl:
             qp += self.pb_offset
         if self.vbv:
             qp = self._clip_qp_vbv(qp, slice_type)
-        return int(round(min(max(qp, 0.0), 51.0)))
+        qpf = min(max(qp, 0.0), 51.0)
+        if self.mode == "abr" or self.pass_num == 2:
+            # whole-frame QP is integer; error-diffuse the fractional
+            # part so the MEAN rate converges (the reference avoids
+            # the dead zone with fractional per-row qscale; frame-level
+            # dithering is the TPU-shaped equivalent)
+            qpi = min(max(int(round(qpf + self._qp_carry)), 0), 51)
+            self._qp_carry = max(-1.0, min(
+                1.0, self._qp_carry + qpf - qpi))
+            return qpi
+        return int(round(qpf))
+
+    def set_complexity(self, satd: float) -> None:
+        """Feed the lookahead's frame cost (lowres SATD sum) for the
+        next frame_qp/update pair — the reference's SATD-driven
+        complexity (rateEstimateQscale, ratecontrol.cpp:1900) with a
+        0.5-decay blur over recent frames (cplxrsum analog)."""
+        if satd is None or satd <= 0:
+            return
+        self._next_satd = float(satd)
+        if self._satd_blur is None:
+            self._satd_blur = float(satd)
+        else:
+            self._satd_blur = 0.5 * self._satd_blur + 0.5 * float(satd)
+
+    def _frame_complexity(self) -> float:
+        if self._satd_blur is not None:
+            return max(self._satd_blur, 1.0)
+        return max(self.actual_bits / max(self.frames, 1), 5000.0)
 
     def _clip_qp_vbv(self, qp: float, slice_type: str) -> float:
         """Frame-level clipQscale: raise QP until the predicted frame
         size keeps the buffer above 50% of one frame's budget; lower
         bound against overflow (buffer full -> allow lower QP)."""
         pred = self.pred[slice_type if slice_type in "IPb" else "B"]
-        cplx = max(self.actual_bits / max(self.frames, 1), 5000.0)
+        cplx = self._frame_complexity()
+        self._used_satd = cplx
         for _ in range(16):
             bits = pred.predict(qp_to_qscale(qp), cplx)
             if self.buffer_fill + self.buffer_rate - bits >= \
@@ -219,17 +294,38 @@ class RateControl:
         self.frames += 1
         self.actual_bits += bits
         if self.pass_num == 2:
+            if self._plan_idx < len(self._plan):
+                self._planned_so_far += self._plan[self._plan_idx]["bits"]
             self._plan_idx += 1
         if self.mode == "abr" or self.pass_num == 2:
             self.wanted_bits += self.target_per_frame
             if slice_type == "P":
                 self.last_qp = qp
+            if self._last_rceq is not None:
+                # P-equivalent qscale: undo the per-type offset so the
+                # rate factor is type-neutral (x265 keeps cplxrSum in
+                # P units)
+                qpp = qp + {"I": self.ip_offset, "B": -0.5 *
+                            self.pb_offset, "b": -self.pb_offset} \
+                    .get(slice_type, 0.0)
+                self.cplxr_sum = self.cplxr_sum * self.cbr_decay + \
+                    bits * qp_to_qscale(qpp) / self._last_rceq
+                self.wanted_bits_window = \
+                    self.wanted_bits_window * self.cbr_decay + \
+                    self.target_per_frame
+                self._last_rceq = None
         if self.vbv:
             t = slice_type if slice_type in "IPb" else "B"
-            cplx = max(self.actual_bits / max(self.frames, 1), 5000.0)
+            cplx = self._used_satd if self._used_satd is not None \
+                else self._frame_complexity()
+            self._used_satd = None
             self.pred[t].update(qp_to_qscale(qp), cplx, bits)
-            self.buffer_fill += self.buffer_rate - bits
-            self.buffer_fill = min(max(self.buffer_fill, 0.0),
+            fill_raw = self.buffer_fill + self.buffer_rate - bits
+            self.min_fill_preclamp = min(self.min_fill_preclamp,
+                                         fill_raw)
+            if fill_raw < 0:
+                self.underflow_events += 1
+            self.buffer_fill = min(max(fill_raw, 0.0),
                                    self.buffer_size)
         if self.pass_num == 1:
             self._pass1_log.append(dict(

@@ -3,8 +3,9 @@
 TPU-first design: the reference computes per-block partial butterflies in
 scalar C / asm (`common/dct.cpp:43-570`); here every transform is a pair
 of batched matrix multiplies over [B, N, N] blocks so XLA can tile the
-contraction onto the MXU (int32 accumulation is exact; the int8 hi/lo MXU
-split lives in `ops/pallas_kernels.py` as the optimized path).
+contraction onto the MXU (int32 accumulation is exact).  A fused
+forward-transform+quant Pallas kernel (both stages + the quant epilogue
+VMEM-resident, one HBM round trip) lives in `ops/pallas_kernels.py`.
 
 Matrices are the normative transMatrix of ITU-T H.265 8.6.4.2, produced
 by the tuned-cosine LUT generator (validated element-wise against the
