@@ -78,3 +78,34 @@ def test_level10_records_cu_data(tmp_path):
     rec = rd.frame(1)
     assert rec.kinds is not None and rec.kinds.shape == (h // 16,
                                                          w // 16)
+
+
+def test_level10_load_skips_mode_search(tmp_path, monkeypatch):
+    """Level-10 consumption (reference readAnalysisFile semantics,
+    encoder.cpp:4439): the load pass feeds recorded split + intra
+    modes to the single-mode dispatch path and reproduces the save
+    pass's stream bit-exactly WITHOUT running the mode search."""
+    w, h, n = 96, 64, 3
+    frames = _frames(w, h, n)
+    af = str(tmp_path / "cu.npz")
+    p1 = Param(width=w, height=h, qp=32, keyint=1, ctu_size=32,
+               analysis_save=af, analysis_reuse_level=10)
+    enc1, stream1 = _encode(p1, frames)
+    rd = AnalysisReader(af)
+    rec = rd.frame(0)
+    assert rec.split is not None and rec.modes is not None
+
+    import x265amod_tpu.models.intra_tree as it
+    calls = {"load": 0}
+    real = it.IntraTreeEncoder.encode_async_load
+
+    def spy(self, *a, **k):
+        calls["load"] += 1
+        return real(self, *a, **k)
+    monkeypatch.setattr(it.IntraTreeEncoder, "encode_async_load", spy)
+
+    p2 = Param(width=w, height=h, qp=32, keyint=1, ctu_size=32,
+               analysis_load=af)
+    enc2, stream2 = _encode(p2, frames)
+    assert calls["load"] == n, "load path never engaged"
+    assert stream2 == stream1, "level-10 load diverged from save pass"

@@ -100,3 +100,47 @@ def test_vpy_reader_gates_cleanly(tmp_path):
             VpyReader(str(script))
     with pytest.raises(FileNotFoundError):
         VpyReader(str(tmp_path / "missing.vpy"))
+
+
+def test_reconplay_pipes_y4m(tmp_path):
+    """ReconPlay (aMod --recon-y4m-exec, reference output/reconplay.cpp)
+    must deliver a well-formed Y4M stream to the child command and
+    survive the child dying mid-stream."""
+    import numpy as np
+    from x265amod_tpu.io.reconplay import ReconPlay
+    out = tmp_path / "rp.y4m"
+    rp = ReconPlay(f"cat > {out}", 32, 16, 25, 1)
+    y = np.arange(32 * 16, dtype=np.uint8).reshape(16, 32)
+    cb = np.full((8, 16), 100, np.uint8)
+    cr = np.full((8, 16), 200, np.uint8)
+    for _ in range(3):
+        rp.write_frame(y, cb, cr)
+    rp.close()
+    data = out.read_bytes()
+    assert data.startswith(b"YUV4MPEG2 W32 H16 F25:1")
+    assert data.count(b"FRAME\n") == 3
+    body = data.split(b"FRAME\n", 1)[1]
+    assert np.array_equal(
+        np.frombuffer(body[:32 * 16], np.uint8).reshape(16, 32), y)
+    # dead child: writes must not raise
+    rp2 = ReconPlay("exit 0", 32, 16, 25, 1)
+    import time
+    time.sleep(0.2)
+    for _ in range(64):
+        rp2.write_frame(y, cb, cr)
+    rp2.close()
+
+
+def test_avs_value_marshalling():
+    """The AVS_Value ctypes mirror must match the C ABI layout
+    (avisynth_c.h): 2+2 byte header + pointer-sized union."""
+    import ctypes
+    from x265amod_tpu.io.avs import AvsValue
+    v = AvsValue.from_string("hello.avs")
+    assert v.type == ord("s")
+    assert v.d.string == b"hello.avs"
+    assert not v.is_error and not v.is_clip
+    # union starts at the pointer-aligned offset
+    assert AvsValue.d.offset == ctypes.alignment(ctypes.c_void_p)
+    assert ctypes.sizeof(AvsValue) == \
+        ctypes.alignment(ctypes.c_void_p) + ctypes.sizeof(ctypes.c_void_p)

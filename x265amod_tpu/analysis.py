@@ -39,6 +39,7 @@ class FrameAnalysisRecord:
     mv0: np.ndarray | None = None             # [hc, wc, 2] qpel
     mv1: np.ndarray | None = None
     modes: np.ndarray | None = None           # intra modes
+    split: np.ndarray | None = None           # [hc32, wc32] CU32 split
 
 
 class AnalysisWriter:
@@ -66,8 +67,10 @@ class AnalysisWriter:
             if rec.qp_offsets is not None:
                 payload[f"qpoff_{d}"] = np.asarray(rec.qp_offsets,
                                                    np.float32)
-            if self.level >= 10 and rec.kinds is not None:
-                payload[f"kinds_{d}"] = np.asarray(rec.kinds, np.int8)
+            if self.level >= 10:
+                if rec.kinds is not None:
+                    payload[f"kinds_{d}"] = np.asarray(rec.kinds,
+                                                       np.int8)
                 if rec.inter_dir is not None:
                     payload[f"dir_{d}"] = np.asarray(rec.inter_dir,
                                                      np.int8)
@@ -77,6 +80,9 @@ class AnalysisWriter:
                     payload[f"mv1_{d}"] = np.asarray(rec.mv1, np.int16)
                 if rec.modes is not None:
                     payload[f"modes_{d}"] = np.asarray(rec.modes,
+                                                       np.int8)
+                if rec.split is not None:
+                    payload[f"split_{d}"] = np.asarray(rec.split,
                                                        np.int8)
         payload["slice_types"] = types
         payload["scenecuts"] = cuts
@@ -103,7 +109,8 @@ class AnalysisReader:
         key = f"qpoff_{display}"
         if key in z:
             rec.qp_offsets = z[key]
-        for name in ("kinds", "dir", "mv0", "mv1", "modes"):
+        for name in ("kinds", "dir", "mv0", "mv1", "modes",
+                     "split"):
             k = f"{name}_{display}"
             if k in z:
                 setattr(rec, "inter_dir" if name == "dir" else name,

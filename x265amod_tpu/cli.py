@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--recon", default=None,
                     help="write reconstructed yuv for debugging")
+    ap.add_argument("--recon-y4m-exec", default=None, metavar="CMD",
+                    help="pipe recon frames as Y4M to CMD's stdin "
+                    "(aMod reconplay: e.g. 'ffplay -')")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--no-progress", action="store_true")
     args, extra = ap.parse_known_args(argv)
@@ -107,6 +110,11 @@ def main(argv=None) -> int:
     enc = Encoder(p)
     out = open(args.output, "wb")
     recon_out = open(args.recon, "wb") if args.recon else None
+    rplay = None
+    if args.recon_y4m_exec:
+        from .io.reconplay import ReconPlay
+        rplay = ReconPlay(args.recon_y4m_exec, p.width, p.height,
+                          p.fps_num, p.fps_den)
     csv = open(args.csv, "w") if args.csv else None
     if csv:
         csv.write("poc,type,qp,bits,psnr_y,psnr_cb,psnr_cr,ssim_y,time_ms\n")
@@ -127,17 +135,21 @@ def main(argv=None) -> int:
     import heapq
     recon_heap: list = []
     next_disp = 0
-    for res in enc.encode_pipelined(frame_iter(),
-                                    return_recon=bool(recon_out)):
+    for res in enc.encode_pipelined(
+            frame_iter(), return_recon=bool(recon_out or rplay)):
         out.write(res.nals)
         written += len(res.nals)
-        if recon_out:
+        if recon_out or rplay:
             heapq.heappush(recon_heap,
                            (res.stats.display_order, res.recon))
             while recon_heap and recon_heap[0][0] == next_disp:
                 _, rec = heapq.heappop(recon_heap)
-                for pl in rec:
-                    recon_out.write(np.ascontiguousarray(pl).tobytes())
+                if recon_out:
+                    for pl in rec:
+                        recon_out.write(
+                            np.ascontiguousarray(pl).tobytes())
+                if rplay:
+                    rplay.write_frame(*rec)
                 next_disp += 1
         if csv:
             s = res.stats
@@ -162,6 +174,8 @@ def main(argv=None) -> int:
     enc.close()   # 2-pass stats file etc.
     if recon_out:
         recon_out.close()
+    if rplay:
+        rplay.close()
     if csv:
         csv.close()
     s = enc.summary()

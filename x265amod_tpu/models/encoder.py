@@ -228,6 +228,7 @@ class Encoder:
         self._la_next = 0
         self._qp_off = {}          # display idx -> per-CTU qp offsets
         self._satd_of = {}         # display idx -> lookahead SATD sum
+        self._a_cu = {}            # display idx -> (split, modes) reuse
         self._scenecut_of = {}     # display idx -> scene-cut flag
         self._close_of = {}        # display idx -> b-adapt GOP close
         # qpfile: forced frame types / QPs (reference rc.qpfile,
@@ -343,6 +344,11 @@ class Encoder:
         crp = _pad_to_ctu(np.asarray(cr), self.ctu // 2)
         if self._areader is not None:
             rec = self._areader.frame(self._disp_idx)
+            if self._areader.level >= 10 and rec.split is not None \
+                    and rec.modes is not None:
+                # level-10 reuse: recorded CU data replaces the mode
+                # search at dispatch (readAnalysisFile semantics)
+                self._a_cu[self._disp_idx] = (rec.split, rec.modes)
             return self._admit(yp, cbp, crp, rec.is_scenecut,
                                rec.qp_offsets, rec.gop_close)
         if self.lookahead is None:
@@ -442,9 +448,15 @@ class Encoder:
             # recon outputs are materialized whenever the frame seeds
             # the DPB, and collect() must slice accordingly
             collect_recon = return_recon or self.inter_enabled
-            dev = self.frame_encoder.encode_async(
-                yp, cbp, crp, qp, want_recon=collect_recon,
-                qp_offsets=qp_off)
+            a_cu = self._a_cu.pop(e.get("display", -1), None)
+            if a_cu is not None and self.use_tree:
+                dev = self.frame_encoder.encode_async_load(
+                    yp, cbp, crp, qp, a_cu[0], a_cu[1],
+                    want_recon=collect_recon, qp_offsets=qp_off)
+            else:
+                dev = self.frame_encoder.encode_async(
+                    yp, cbp, crp, qp, want_recon=collect_recon,
+                    qp_offsets=qp_off)
             if self.inter_enabled:
                 self._dpb[poc] = dev[6:9] if self.use_tree else dev[5:8]
         elif stype == "P":
@@ -503,6 +515,7 @@ class Encoder:
         CABAC (frame independence replaces frame threads)."""
         if (self.use_tree and not self.inter_enabled
                 and not self.use_lookahead and self._areader is None
+                and self._awriter is None
                 and not self._qpfile and not return_recon
                 and not self.param.decoded_picture_hash
                 and self.rc.mode == "cqp"):
@@ -766,6 +779,7 @@ class Encoder:
                 rec.modes = getattr(res, "modes", None)
                 rec.kinds = getattr(res, "kinds", None)
                 rec.inter_dir = getattr(res, "inter_dir", None)
+                rec.split = getattr(res, "split", None)
             self._awriter.add(rec)
         return EncodeOutput(nal, stats, recon)
 

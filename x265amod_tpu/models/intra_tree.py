@@ -92,15 +92,23 @@ def intra_mode_bits(left_mode):
                   3.0, 6.0))
 
 
-def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits):
+def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
+                    forced_mode=None):
     """Two-stage intra mode decision (reference estIntraPredQT
     search.cpp:1509): SATD scan of all 35 predictions, then full
     transform/quant RD on the RD_CANDS best candidates.
-    Returns (best_mode, levels, recon, j)."""
+    Returns (best_mode, levels, recon, j).
+
+    forced_mode ([B] int32): analysis-reuse path (level-10 load,
+    reference readAnalysisFile encoder.cpp:4439) — skips the SATD scan
+    and runs the single recorded mode (K = 1)."""
     preds = predict_all_modes_batch(top, left, corner, n, 0)
-    sat = _satd_modes(orig, preds).astype(jnp.float32)
-    scost = sat + lamv[:, None] * mbits
-    _, cand = jax.lax.top_k(-scost, RD_CANDS)        # [B, K]
+    if forced_mode is not None:
+        cand = forced_mode[:, None]                  # [B, 1]
+    else:
+        sat = _satd_modes(orig, preds).astype(jnp.float32)
+        scost = sat + lamv[:, None] * mbits
+        _, cand = jax.lax.top_k(-scost, RD_CANDS)    # [B, K]
     cpred = jnp.take_along_axis(
         preds, cand[:, :, None, None], 1)            # [B,K,n,n]
     coeff = fwd_transform(orig[:, None] - cpred)
@@ -204,13 +212,18 @@ class IntraTreeEncoder:
 
     def _encode_frame(self, y, cb, cr, qp16, qpcb16, qpcr16, lam16,
                       qp32, qpcb32, qpcr32, lam32, slice_qp,
-                      want_recon=False):
+                      f_split=None, f_modes=None, want_recon=False):
         """qp16/lam16: per-16-cell maps [h16, w16]; qp32/lam32:
         per-CTU32 maps [hc, wc].  The quantization group is the CTB
         (PPS diff_cu_qp_delta_depth = 0, like x265's default qg-size
         32), so qp16 is the 2x2 replication of qp32 — every CU in a
         CTB quantizes at the CTB's QP and one cu_qp_delta is signalled
-        per coded CTB."""
+        per coded CTB.
+
+        f_split [hc, wc] / f_modes [h16, w16] (analysis level-10 load,
+        reference readAnalysisFile encoder.cpp:4439): when given, the
+        recorded split decisions and intra modes REPLACE the mode
+        search — no SATD scan, single-mode RD chains."""
         wc, hc = self.wc, self.hc
         w16, h16 = self.w16, self.h16
         y = y.astype(jnp.int32)
@@ -273,7 +286,9 @@ class IntraTreeEncoder:
                                 -1)], -2)
             bestA, lvA_y, rcA_y, jA_y = eval_luma(
                 oy32, t32, l32, c32, 32, qp_a, lam_a,
-                mode_bits(left_mode32))
+                mode_bits(left_mode32),
+                forced_mode=None if f_modes is None
+                else f_modes[by, bx])
 
             # CU32 chroma: TU16 on the 8-grid
             topc = jnp.concatenate(
@@ -323,12 +338,12 @@ class IntraTreeEncoder:
 
             def quad(orig16, oc8, or8, topY, leftY, corY, avtY, altY,
                      avcY, topC, leftC, corC, topR, leftR, corR,
-                     qpv, qpcv, lamv, left_mode):
+                     qpv, qpcv, lamv, left_mode, fmode=None):
                 tY, lY, cY = substitute_refs_general(
                     topY, leftY, corY, avtY, altY, avcY, 16)
                 best, lv_y, rc_y, j_y = eval_luma(
                     orig16, tY, lY, cY, 16, qpv, lamv,
-                    mode_bits(left_mode))
+                    mode_bits(left_mode), forced_mode=fmode)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
                 tC, lC, cC = substitute_refs_general(
@@ -364,7 +379,8 @@ class IntraTreeEncoder:
                                  crb[by + 1, bxl, :, 7]], 1),
                 crb[byu, bxl, 7, 7],
                 qp16[by, bx], qpcb16[by, bx], lam16[by, bx],
-                jnp.where(at_left, mode16[by, bxl], 1))
+                jnp.where(at_left, mode16[by, bxl], 1),
+                None if f_modes is None else f_modes[by, bx])
             m0, lv0y, rc0y, lv0cb, rc0cb, lv0cr, rc0cr, j0 = q0
 
             # q1 ---------------------------------------------------------
@@ -388,7 +404,7 @@ class IntraTreeEncoder:
                 jnp.concatenate([rc0cr[:, :, 7], rc0cr[:, :, 7]], 1),
                 crb[byu, bx, 7, 7],
                 qp16[by, bx + 1], qpcb16[by, bx + 1], lam16[by, bx + 1],
-                m0)
+                m0, None if f_modes is None else f_modes[by, bx + 1])
             m1, lv1y, rc1y, lv1cb, rc1cb, lv1cr, rc1cr, j1 = q1
 
             # q2 ---------------------------------------------------------
@@ -410,7 +426,8 @@ class IntraTreeEncoder:
                                  crb[by + 1, bxl, :, 7]], 1),
                 crb[by, bxl, 7, 7],
                 qp16[by + 1, bx], qpcb16[by + 1, bx], lam16[by + 1, bx],
-                jnp.where(at_left, mode16[by + 1, bxl], 1))
+                jnp.where(at_left, mode16[by + 1, bxl], 1),
+                None if f_modes is None else f_modes[by + 1, bx])
             m2, lv2y, rc2y, lv2cb, rc2cb, lv2cr, rc2cr, j2 = q2
 
             # q3 ---------------------------------------------------------
@@ -430,14 +447,18 @@ class IntraTreeEncoder:
                 jnp.concatenate([rc2cr[:, :, 7], rc2cr[:, :, 7]], 1),
                 rc0cr[:, 7, 7],
                 qp16[by + 1, bx + 1], qpcb16[by + 1, bx + 1],
-                lam16[by + 1, bx + 1], m2)
+                lam16[by + 1, bx + 1], m2,
+                None if f_modes is None else f_modes[by + 1, bx + 1])
             m3, lv3y, rc3y, lv3cb, rc3cb, lv3cr, rc3cr, j3 = q3
 
             # ---- split decision ----------------------------------------
             # split_cu_flag rate (~1-2 bins/CTU) is symmetric; per-CU
             # header overhead is inside the per-hypothesis mbits consts.
             j_split = j0 + j1 + j2 + j3
-            split = (j_split < jA).astype(jnp.int32)
+            if f_split is None:
+                split = (j_split < jA).astype(jnp.int32)
+            else:
+                split = f_split[cy, cx].astype(jnp.int32)
             sp = split[:, None, None] == 1
 
             def sel16(qv, av_quads):
@@ -598,6 +619,21 @@ class IntraTreeEncoder:
                     jnp.asarray(cr, jnp.uint8),
                     *(jnp.asarray(m) for m in maps),
                     jnp.asarray(qp, jnp.int32))
+
+    def encode_async_load(self, y, cb, cr, qp: int, split, modes,
+                          want_recon: bool = False, qp_offsets=None):
+        """Analysis level-10 reuse dispatch: the recorded split map and
+        intra modes replace the mode search (single-mode RD chains, no
+        SATD scan) — reference readAnalysisFile semantics
+        (encoder.cpp:4439)."""
+        maps = self._maps(qp, qp_offsets)
+        step = self._step_recon if want_recon else self._step
+        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
+                    jnp.asarray(cr, jnp.uint8),
+                    *(jnp.asarray(m) for m in maps),
+                    jnp.asarray(qp, jnp.int32),
+                    jnp.asarray(split, jnp.int32),
+                    jnp.asarray(modes, jnp.int32))
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
         h16, w16 = self.h16, self.w16
