@@ -1,6 +1,7 @@
-"""Benchmark: BASELINE.md measurement config 1 (all-intra 360p fixed QP).
+"""Benchmark: BASELINE.md measurement configs 1 and 2.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+an "extra" dict carrying the additional measured configs}.
 
 vs_baseline reference: the repository's reference encoder publishes no
 absolute fps (BASELINE.md); the north-star is "encode fps/chip > x265 on
@@ -34,7 +35,8 @@ def synth_frames(w, h, n, seed=0):
     return frames
 
 
-def main():
+def bench_allintra_360p():
+    """Config 1: all-intra ultrafast 360p fixed QP."""
     from x265amod_tpu.models.encoder import Encoder
     from x265amod_tpu.utils.params import param_default_preset
 
@@ -43,7 +45,7 @@ def main():
     p.width, p.height = w, h
     p.qp = 30
     p.keyint = 1
-    p.ctu_size = 32              # CU-quadtree pipeline (round-2 default)
+    p.ctu_size = 32              # CU-quadtree pipeline
     enc = Encoder(p)
     frames = synth_frames(w, h, nf)
 
@@ -51,20 +53,68 @@ def main():
     for _ in enc.encode_pipelined(frames[:warm]):
         pass
     t0 = time.time()
-    bits = 0
     for out in enc.encode_pipelined(frames[warm:]):
-        bits += out.stats.bits
+        pass
     dt = time.time() - t0
     fps = (nf - warm) / dt
     s = enc.summary()
     sys.stderr.write(
-        f"bench: {nf - 1} frames 640x360 all-intra QP30: {fps:.3f} fps, "
-        f"PSNR-Y {s['psnr_y']:.2f} dB, {s['bitrate_kbps']:.0f} kbps\n")
+        f"bench: {nf - warm} frames 640x360 all-intra QP30: "
+        f"{fps:.3f} fps, PSNR-Y {s['psnr_y']:.2f} dB, "
+        f"{s['bitrate_kbps']:.0f} kbps\n")
+    return fps
+
+
+def bench_lowdelay_p_720p():
+    """Config 2: low-delay P 720p single-ref CQP (CU32 quadtree)."""
+    from x265amod_tpu.models.encoder import Encoder
+    from x265amod_tpu.utils.params import param_default_preset
+
+    w, h, nf, warm = 1280, 720, 24, 4
+    p = param_default_preset("superfast")
+    p.width, p.height = w, h
+    p.qp = 32
+    p.keyint = 250
+    p.bframes = 0
+    p.ctu_size = 32
+    p.aq_mode = 0
+    p.cutree = False
+    enc = Encoder(p)
+    frames = synth_frames(w, h, nf, seed=2)
+    n_done = 0
+    t0 = None
+    for i, fr in enumerate(frames):
+        outs = enc.encode_push(*fr)
+        if i == warm - 1:
+            t0 = time.time()          # I frame + compile flushed
+        elif i >= warm:
+            n_done += len(outs)
+    n_done += len(enc.flush())
+    dt = time.time() - t0
+    fps = (nf - warm) / dt
+    s = enc.summary()
+    sys.stderr.write(
+        f"bench: {nf - warm} frames 1280x720 low-delay P QP32: "
+        f"{fps:.3f} fps, PSNR-Y {s['psnr_y']:.2f} dB, "
+        f"{s['bitrate_kbps']:.0f} kbps\n")
+    return fps
+
+
+def main():
+    fps1 = bench_allintra_360p()
+    extra = {}
+    try:
+        extra["enc_fps_720p_lowdelay_p"] = round(
+            bench_lowdelay_p_720p(), 3)
+    except Exception as e:  # noqa: BLE001 — config 1 is the gate
+        sys.stderr.write(f"bench config-2 failed: {e}\n")
     print(json.dumps({
         "metric": "enc_fps_360p_allintra",
-        "value": round(fps, 3),
+        "value": round(fps1, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / X265_ULTRAFAST_360P_ALLINTRA_FPS_EST, 4),
+        "vs_baseline": round(fps1 / X265_ULTRAFAST_360P_ALLINTRA_FPS_EST,
+                             4),
+        "extra": extra,
     }))
 
 

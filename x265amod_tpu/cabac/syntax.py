@@ -262,8 +262,16 @@ def residual_coding(enc: CabacEncoder, levels: np.ndarray, log2_size: int,
         if first_gt1 >= 0:
             gt2 = int(abs_coeffs[first_gt1] > 2)
             enc.encode_bin(CTX_GT2 + ctx_set + (4 if c_idx else 0), gt2)
-        # signs (sign data hiding not active in v1 pipeline)
-        for s in signs:
+        # signs; under sign data hiding the first significant
+        # coefficient's sign is inferred from the level-sum parity
+        # (spec 7.4.9.11 signHidden) — the quantizer forced it
+        # (ops/sbh.py), asserted here
+        sign_hidden = sign_hide and num_sig > 1 and \
+            (sig_pos[0] - sig_pos[-1] > 3)
+        if sign_hidden:
+            assert (sum(abs_coeffs) & 1) == signs[-1], \
+                "sign-bit hiding parity not forced by the quantizer"
+        for s in (signs[:-1] if sign_hidden else signs):
             enc.encode_bypass(s)
         # remaining levels
         rice = 0
@@ -343,7 +351,8 @@ def encode_intra_cu(enc: CabacEncoder, log2_size: int, luma_mode: int,
                     cr_levels: np.ndarray, cand_a: int, cand_b: int,
                     qp_delta: int | None = None,
                     min_cb_log2: int = 4,
-                    tq_bypass: int | None = None) -> None:
+                    tq_bypass: int | None = None,
+                    sign_hide: bool = False) -> None:
     """One intra CU of size 16 or 32 inside a quadtree (split flag coded
     by the caller): part_mode (only at min CB size), luma mode (MPM),
     DM chroma, transform tree with TU == CU luma + half-size chroma.
@@ -363,11 +372,14 @@ def encode_intra_cu(enc: CabacEncoder, log2_size: int, luma_mode: int,
     if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
         encode_cu_qp_delta(enc, qp_delta)
     if cbf_y:
-        residual_coding(enc, luma_levels, log2_size, 0, 0)
+        residual_coding(enc, luma_levels, log2_size, 0, 0,
+                        sign_hide=sign_hide)
     if cbf_cb:
-        residual_coding(enc, cb_levels, log2_size - 1, 1, 0)
+        residual_coding(enc, cb_levels, log2_size - 1, 1, 0,
+                        sign_hide=sign_hide)
     if cbf_cr:
-        residual_coding(enc, cr_levels, log2_size - 1, 2, 0)
+        residual_coding(enc, cr_levels, log2_size - 1, 2, 0,
+                        sign_hide=sign_hide)
 
 
 def assemble_tu32(cells: np.ndarray, by: int, bx: int,
@@ -387,7 +399,8 @@ def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
                        cr_levels: np.ndarray, cand_a: int,
                        cand_b: int = 1,
                        qp_delta: int | None = None,
-                       tq_bypass: int | None = None) -> None:
+                       tq_bypass: int | None = None,
+                       sign_hide: bool = False) -> None:
     """Encode one 16x16 I-slice CTU: CU (2Nx2N intra) + TU16 luma/TU8
     chroma residuals.  cand_a = left CU luma mode (DC if unavailable),
     cand_b = above (always DC at CTU boundary with 16px CTUs).
@@ -427,11 +440,14 @@ def encode_intra_ctu16(enc: CabacEncoder, luma_mode: int,
     if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
         encode_cu_qp_delta(enc, qp_delta)
     if cbf_y:
-        residual_coding(enc, luma_levels, 4, 0, 0)
+        residual_coding(enc, luma_levels, 4, 0, 0,
+                        sign_hide=sign_hide)
     if cbf_cb:
-        residual_coding(enc, cb_levels, 3, 1, 0)
+        residual_coding(enc, cb_levels, 3, 1, 0,
+                        sign_hide=sign_hide)
     if cbf_cr:
-        residual_coding(enc, cr_levels, 3, 2, 0)
+        residual_coding(enc, cr_levels, 3, 2, 0,
+                        sign_hide=sign_hide)
 
 # ---- P-slice CTU syntax (v1: CU16 2Nx2N, skip / AMVP-inter / intra) --------
 
@@ -477,7 +493,8 @@ def encode_merge_idx(enc: CabacEncoder, idx: int, max_merge: int) -> None:
 def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
                        left_skip: int, above_skip: int,
                        cand_a_intra_mode: int, max_merge: int = 2,
-                       qp_delta: int | None = None) -> None:
+                       qp_delta: int | None = None,
+                       sign_hide: bool = False) -> None:
     """Encode one P-slice CTU.
 
     ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx; mvd (x,y);
@@ -517,23 +534,27 @@ def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
         if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
             encode_cu_qp_delta(enc, qp_delta)
         if cbf_y:
-            residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+            residual_coding(enc, ctu["levels_y"], 4, 0, 0,
+                            sign_hide=sign_hide)
         if cbf_cb:
-            residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+            residual_coding(enc, ctu["levels_cb"], 3, 1, 0,
+                            sign_hide=sign_hide)
         if cbf_cr:
-            residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+            residual_coding(enc, ctu["levels_cr"], 3, 2, 0,
+                            sign_hide=sign_hide)
         return
     # AMVP inter (merge_flag = 0)
     enc.encode_bin(CTX_MERGE_FLAG, 0)
     # P slice, 1 active ref: no inter_pred_idc / ref_idx bins
     encode_mvd(enc, ctu["mvd"][0], ctu["mvd"][1])
     enc.encode_bin(CTX_MVP, ctu["mvp_idx"])
-    _encode_residual_root(enc, ctu, qp_delta)
+    _encode_residual_root(enc, ctu, qp_delta, sign_hide)
 
 
 def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
                            cand_a_intra_mode: int,
-                           qp_delta: int | None = None) -> None:
+                           qp_delta: int | None = None,
+                           sign_hide: bool = False) -> None:
     mpms = mpm_list(cand_a_intra_mode, 1)
     mode = ctu["luma_mode"]
     if mode in mpms:
@@ -559,15 +580,19 @@ def _encode_intra_in_inter(enc: CabacEncoder, ctu: dict,
     if qp_delta is not None and (cbf_y or cbf_cb or cbf_cr):
         encode_cu_qp_delta(enc, qp_delta)
     if cbf_y:
-        residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+        residual_coding(enc, ctu["levels_y"], 4, 0, 0,
+                        sign_hide=sign_hide)
     if cbf_cb:
-        residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+        residual_coding(enc, ctu["levels_cb"], 3, 1, 0,
+                        sign_hide=sign_hide)
     if cbf_cr:
-        residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+        residual_coding(enc, ctu["levels_cr"], 3, 2, 0,
+                        sign_hide=sign_hide)
 
 
 def _encode_residual_root(enc: CabacEncoder, ctu: dict,
-                          qp_delta: int | None = None) -> None:
+                          qp_delta: int | None = None,
+                          sign_hide: bool = False) -> None:
     """rqt_root_cbf + transform tree for a non-merge inter CU."""
     cbf_cb = int(ctu["levels_cb"].any())
     cbf_cr = int(ctu["levels_cr"].any())
@@ -584,17 +609,21 @@ def _encode_residual_root(enc: CabacEncoder, ctu: dict,
         if qp_delta is not None:
             encode_cu_qp_delta(enc, qp_delta)
         if cbf_y:
-            residual_coding(enc, ctu["levels_y"], 4, 0, 0)
+            residual_coding(enc, ctu["levels_y"], 4, 0, 0,
+                            sign_hide=sign_hide)
         if cbf_cb:
-            residual_coding(enc, ctu["levels_cb"], 3, 1, 0)
+            residual_coding(enc, ctu["levels_cb"], 3, 1, 0,
+                            sign_hide=sign_hide)
         if cbf_cr:
-            residual_coding(enc, ctu["levels_cr"], 3, 2, 0)
+            residual_coding(enc, ctu["levels_cr"], 3, 2, 0,
+                            sign_hide=sign_hide)
 
 
 def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
                    left_skip: int, above_skip: int,
                    cand_a_intra_mode: int, max_merge: int = 2,
-                   qp_delta: int | None = None) -> None:
+                   qp_delta: int | None = None,
+                   sign_hide: bool = False) -> None:
     """Encode one B-slice CTU (CU16 2Nx2N).
 
     ctu dict keys: kind ('skip'|'inter'|'intra'); merge_idx;
@@ -611,7 +640,8 @@ def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
     enc.encode_bin(CTX_PRED_MODE, 1 if intra else 0)
     enc.encode_bin(CTX_PART_MODE, 1)   # PART_2Nx2N
     if intra:
-        _encode_intra_in_inter(enc, ctu, cand_a_intra_mode, qp_delta)
+        _encode_intra_in_inter(enc, ctu, cand_a_intra_mode, qp_delta,
+                               sign_hide)
         return
     enc.encode_bin(CTX_MERGE_FLAG, 0)
     # inter_pred_idc (spec 9.3.4.2.2: bin0 ctx = CtDepth (0 for CU=CTU),
@@ -626,14 +656,14 @@ def encode_b_ctu16(enc: CabacEncoder, ctu: dict,
     if d != 1:                          # uses L1 (mvd_l1_zero_flag = 0)
         encode_mvd(enc, ctu["mvd1"][0], ctu["mvd1"][1])
         enc.encode_bin(CTX_MVP, ctu["mvp1"])
-    _encode_residual_root(enc, ctu, qp_delta)
+    _encode_residual_root(enc, ctu, qp_delta, sign_hide)
 
 
 def encode_cu_pb(enc: CabacEncoder, slice_type: str, cells: int,
                  cu: dict, left_skip: int, above_skip: int,
                  cand_a_intra: int, cand_b_intra: int,
                  max_merge: int = 2, qp_delta: int | None = None,
-                 ct_depth: int = 0) -> None:
+                 ct_depth: int = 0, sign_hide: bool = False) -> None:
     """One P/B-slice CU of size cells*16 (PART_2Nx2N) — generalizes
     encode_inter_ctu16/encode_b_ctu16 to the CTB32 quadtree (mirror of
     native/cabac.cpp code_cu; spec 7.3.8.5/7.3.8.6).
@@ -661,11 +691,14 @@ def encode_cu_pb(enc: CabacEncoder, slice_type: str, cells: int,
 
     def residuals():
         if cbf_y:
-            residual_coding(enc, cu["levels_y"], log2l, 0, 0)
+            residual_coding(enc, cu["levels_y"], log2l, 0, 0,
+                            sign_hide=sign_hide)
         if cbf_cb:
-            residual_coding(enc, cu["levels_cb"], log2l - 1, 1, 0)
+            residual_coding(enc, cu["levels_cb"], log2l - 1, 1, 0,
+                            sign_hide=sign_hide)
         if cbf_cr:
-            residual_coding(enc, cu["levels_cr"], log2l - 1, 2, 0)
+            residual_coding(enc, cu["levels_cr"], log2l - 1, 2, 0,
+                            sign_hide=sign_hide)
 
     if intra:
         _encode_intra_luma_mode(enc, cu["luma_mode"],

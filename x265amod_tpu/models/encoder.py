@@ -141,6 +141,8 @@ class Encoder:
         # AQ and deblock now compose (round-1 silently disabled deblock
         # under AQ; fixed).
         self.pps = PpsInfo(init_qp=26,
+                           sign_data_hiding=param.sign_hide
+                           and not param.lossless,
                            deblocking_disabled=not param.deblock,
                            beta_offset_div2=param.deblock_beta_offset,
                            tc_offset_div2=param.deblock_tc_offset,
@@ -182,22 +184,26 @@ class Encoder:
             from .intra_tree import IntraTreeEncoder
             self.frame_encoder = IntraTreeEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
-                sao=param.sao, wpp=param.wpp)
+                sao=param.sao, wpp=param.wpp,
+                sign_hide=self.pps.sign_data_hiding)
         else:
             self.frame_encoder = IntraFrameEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
-                sao=param.sao, lossless=param.lossless, wpp=param.wpp)
+                sao=param.sao, lossless=param.lossless, wpp=param.wpp,
+                sign_hide=self.pps.sign_data_hiding)
         if self.inter_enabled and self.use_tree:
             from .inter_tree import InterTreeEncoder
             self.inter_encoder = InterTreeEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
-                search_range=param.me_range, subme=param.subme)
+                search_range=param.me_range, subme=param.subme,
+                sign_hide=self.pps.sign_data_hiding)
         elif self.inter_enabled:
             self.inter_encoder = InterFrameEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
-                search_range=param.me_range, subme=param.subme)
+                search_range=param.me_range, subme=param.subme,
+                sign_hide=self.pps.sign_data_hiding)
         else:
             self.inter_encoder = None
         if self.bframes and self.use_tree:
@@ -205,12 +211,14 @@ class Encoder:
             self.b_encoder = BTreeEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
-                search_range=param.me_range, subme=param.subme)
+                search_range=param.me_range, subme=param.subme,
+                sign_hide=self.pps.sign_data_hiding)
         elif self.bframes:
             self.b_encoder = BFrameEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
-                search_range=param.me_range, subme=param.subme)
+                search_range=param.me_range, subme=param.subme,
+                sign_hide=self.pps.sign_data_hiding)
         else:
             self.b_encoder = None
         self.total_bits = 0
@@ -533,7 +541,7 @@ class Encoder:
         while q:
             yield self._finish(q.popleft())
 
-    BATCH_FRAMES = 8
+    BATCH_FRAMES = 16
 
     def _encode_intra_batched(self, frames):
         """Batched all-intra pipeline: groups of BATCH_FRAMES frames per
@@ -946,7 +954,8 @@ class Encoder:
             modes=res.modes, levels_y=res.levels_y,
             levels_cb=res.levels_cb, levels_cr=res.levels_cr,
             qp16=qp_map, qp32=qp32m, sao_luma=sl, sao_chroma=sc,
-            wpp=self.pps.entropy_coding_sync, **inter_kw)
+            wpp=self.pps.entropy_coding_sync,
+            sign_hide=self.pps.sign_data_hiding, **inter_kw)
 
     def _cabac_intra_tree(self, res, qp, qp_map=None):
         """Slice payload for the CTU32 quadtree intra pipeline."""
@@ -974,7 +983,8 @@ class Encoder:
             encode_intra_cu(enc, 4, int(modes[by, bx]),
                             res.levels_y[by, bx], res.levels_cb[by, bx],
                             res.levels_cr[by, bx], cand_a, cand_b,
-                            qp_delta=qpd(by, bx))
+                            qp_delta=qpd(by, bx),
+                            sign_hide=self.pps.sign_data_hiding)
 
         def ctu_fn(enc, cy, cx):
             self._sao_ctu(enc, res, cy, cx)
@@ -993,7 +1003,8 @@ class Encoder:
                 lcr = assemble_tu32(res.levels_cr, by, bx)
                 cand_a = int(modes[by, bx - 1]) if bx > 0 else 1
                 encode_intra_cu(enc, 5, int(modes[by, bx]), ly, lcb,
-                                lcr, cand_a, 1, qp_delta=qpd(by, bx))
+                                lcr, cand_a, 1, qp_delta=qpd(by, bx),
+                                sign_hide=self.pps.sign_data_hiding)
         return self._encode_slice_payload("I", qp, hc32, wc32, ctu_fn)
 
     def _cabac_intra(self, res, qp, qp_map=None):
@@ -1015,7 +1026,8 @@ class Encoder:
                 res.levels_cb[cy, cx], res.levels_cr[cy, cx],
                 left_mode, 1,
                 qp_delta=None if deltas is None
-                else int(deltas[cy, cx]), tq_bypass=tqb)
+                else int(deltas[cy, cx]), tq_bypass=tqb,
+                sign_hide=self.pps.sign_data_hiding)
         return self._encode_slice_payload("I", qp, hc, wc, ctu_fn)
 
     def _cabac_inter_tree(self, res, qp, qp_map=None):
@@ -1063,7 +1075,8 @@ class Encoder:
             qpd = deltas.get((by, bx)) if deltas is not None else None
             encode_cu_pb(enc, "P", cells, cu_d, left_skip, above_skip,
                          cand_a, cand_b, MAX_MERGE, qp_delta=qpd,
-                         ct_depth=ct_depth)
+                         ct_depth=ct_depth,
+                         sign_hide=self.pps.sign_data_hiding)
 
         def ctu_fn(enc, cy, cx):
             self._sao_ctu(enc, res, cy, cx)
@@ -1115,7 +1128,8 @@ class Encoder:
             encode_inter_ctu16(enc, ctu, left_skip, above_skip,
                                left_intra_mode, MAX_MERGE,
                                qp_delta=None if deltas is None
-                               else int(deltas[cy, cx]))
+                               else int(deltas[cy, cx]),
+                               sign_hide=self.pps.sign_data_hiding)
         return self._encode_slice_payload("P", qp, hc, wc, ctu_fn)
 
     def _cabac_b_tree(self, res, qp, qp_map=None):
@@ -1168,7 +1182,8 @@ class Encoder:
             qpd = deltas.get((by, bx)) if deltas is not None else None
             encode_cu_pb(enc, "B", cells, cu_d, left_skip, above_skip,
                          cand_a, cand_b, MAX_MERGE, qp_delta=qpd,
-                         ct_depth=ct_depth)
+                         ct_depth=ct_depth,
+                         sign_hide=self.pps.sign_data_hiding)
 
         def ctu_fn(enc, cy, cx):
             self._sao_ctu(enc, res, cy, cx)
@@ -1225,7 +1240,8 @@ class Encoder:
             encode_b_ctu16(enc, ctu, left_skip, above_skip,
                            left_intra_mode, MAX_MERGE,
                            qp_delta=None if deltas is None
-                           else int(deltas[cy, cx]))
+                           else int(deltas[cy, cx]),
+                           sign_hide=self.pps.sign_data_hiding)
         return self._encode_slice_payload("B", qp, hc, wc, ctu_fn)
 
     def summary(self) -> dict:

@@ -90,9 +90,11 @@ class InterFrameEncoder:
     def __init__(self, width: int, height: int,
                  lambda_scale: float = 1.0, sao: bool = False,
                  deblock: bool = False, wpp: bool = False,
-                 search_range: int = SEARCH_RANGE, subme: int = 2):
+                 search_range: int = SEARCH_RANGE, subme: int = 2,
+                 sign_hide: bool = False):
         assert width % 16 == 0 and height % 16 == 0
         assert 4 <= search_range <= 32, "dense-grid ME range"
+        self.sbh = sign_hide
         self.sr = int(search_range)
         self.subme = int(subme)       # 0: integer-pel; >=1: qpel refine
         self.width, self.height = width, height
@@ -324,6 +326,11 @@ class InterFrameEncoder:
                           intra=False)
         lv_cr_int = quant(fwd_transform(ocr_flat - pred_cr), qpc3,
                           intra=False)
+        if self.sbh:
+            from ..ops.sbh import sbh_adjust
+            lv_y_int = sbh_adjust(lv_y_int)
+            lv_cb_int = sbh_adjust(lv_cb_int)
+            lv_cr_int = sbh_adjust(lv_cr_int)
         is_skip = (kinds == 0)
         lv_y_int = jnp.where(is_skip[:, None, None], 0, lv_y_int)
         lv_cb_int = jnp.where(is_skip[:, None, None], 0, lv_cb_int)
@@ -371,6 +378,9 @@ class InterFrameEncoder:
             coeff = fwd_transform(orig[:, None] - preds)
             qpb = qpv[:, None, None, None]
             levels = quant(coeff, qpb)
+            if self.sbh:
+                from ..ops.sbh import sbh_adjust
+                levels = sbh_adjust(levels)
             rec = jnp.clip(preds + inv_transform(dequant(levels, qpb)),
                            0, 255)
             ssd = jnp.sum((rec - orig[:, None]) ** 2, axis=(2, 3))

@@ -84,7 +84,9 @@ class InterTreeEncoder:
     def __init__(self, width: int, height: int,
                  lambda_scale: float = 1.0, sao: bool = False,
                  deblock: bool = False, wpp: bool = False,
-                 search_range: int = 16, subme: int = 2):
+                 search_range: int = 16, subme: int = 2,
+                 sign_hide: bool = False):
+        self.sbh = sign_hide
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         assert 4 <= search_range <= 32, "dense-grid ME range"
@@ -420,6 +422,9 @@ class InterTreeEncoder:
 
         def coded16(orig, pred, qp3):
             lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            if self.sbh:
+                from ..ops.sbh import sbh_adjust
+                lv = sbh_adjust(lv)
             rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
                            0, 255)
             return lv, rec
@@ -636,17 +641,17 @@ class InterTreeEncoder:
                     topY, leftY, corY, avtY, altY, avcY, 16)
                 best, lv_y, rc_y, _ = eval_intra_luma(
                     orig16, tY, lY, cY, 16, qpv, lamv,
-                    intra_mode_bits(left_mode))
+                    intra_mode_bits(left_mode), sbh=self.sbh)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
                 tC, lC, cC = substitute_refs_general(
                     topC, leftC, corC, avt8, alt8, avcY, 8)
                 lv_cb, rc_cb, _, _ = eval_intra_chroma(
-                    oc8, tC, lC, cC, 8, 1, qpcv, best)
+                    oc8, tC, lC, cC, 8, 1, qpcv, best, sbh=self.sbh)
                 tR, lR, cR = substitute_refs_general(
                     topR, leftR, corR, avt8, alt8, avcY, 8)
                 lv_cr, rc_cr, _, _ = eval_intra_chroma(
-                    or8, tR, lR, cR, 8, 2, qpcv, best)
+                    or8, tR, lR, cR, 8, 2, qpcv, best, sbh=self.sbh)
                 return best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr
 
             def fin(q, intra_res, prev_cells):
@@ -1269,6 +1274,9 @@ class BTreeEncoder(InterTreeEncoder):
 
         def coded(orig, pred, qp3):
             lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+            if self.sbh:
+                from ..ops.sbh import sbh_adjust
+                lv = sbh_adjust(lv)
             rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
                            0, 255)
             return lv, rec

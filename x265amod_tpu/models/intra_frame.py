@@ -78,7 +78,8 @@ class IntraFrameEncoder:
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  lambda_scale: float = 1.0, deblock: bool = False,
                  sao: bool = False, lossless: bool = False,
-                 wpp: bool = False):
+                 wpp: bool = False, sign_hide: bool = False):
+        self.sbh = sign_hide and not lossless
         assert width % 16 == 0 and height % 16 == 0, \
             "caller pads to CTU multiple"
         self.width, self.height = width, height
@@ -171,6 +172,9 @@ class IntraFrameEncoder:
             coeff = fwd_transform(resi)
             qpb = qpv[:, None, None, None]
             levels = quant(coeff, qpb)
+            if self.sbh:
+                from ..ops.sbh import sbh_adjust
+                levels = sbh_adjust(levels)
             rec_resi = inv_transform(dequant(levels, qpb))
             recon = jnp.clip(preds + rec_resi, 0, 255)
             ssd = jnp.sum((recon - orig[:, None]) ** 2, axis=(2, 3))

@@ -93,7 +93,7 @@ def intra_mode_bits(left_mode):
 
 
 def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
-                    forced_mode=None):
+                    forced_mode=None, sbh=False):
     """Two-stage intra mode decision (reference estIntraPredQT
     search.cpp:1509): SATD scan of all 35 predictions, then full
     transform/quant RD on the RD_CANDS best candidates.
@@ -114,6 +114,9 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
     coeff = fwd_transform(orig[:, None] - cpred)
     qpb = qpv[:, None, None, None]
     levels = quant(coeff, qpb)
+    if sbh:
+        from ..ops.sbh import sbh_adjust
+        levels = sbh_adjust(levels)
     rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb)),
                    0, 255)
     ssd = jnp.sum((rec - orig[:, None]) ** 2,
@@ -129,7 +132,8 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
     return best, lv, rc, jnp.min(cost, axis=1)
 
 
-def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best):
+def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
+                      sbh=False):
     """Single-mode chroma chain at the luma mode (DM chroma):
     one transform/quant instead of 35."""
     preds = predict_all_modes_batch(top, left, corner, n, c_idx)
@@ -138,6 +142,9 @@ def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best):
     coeff = fwd_transform(orig - pred)
     qpb = qpv[:, None, None]
     levels = quant(coeff, qpb)
+    if sbh:
+        from ..ops.sbh import sbh_adjust
+        levels = sbh_adjust(levels)
     rec = jnp.clip(pred + inv_transform(dequant(levels, qpb)),
                    0, 255)
     ssd = jnp.sum((rec - orig) ** 2,
@@ -163,8 +170,10 @@ class IntraTreeEncoder:
 
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  lambda_scale: float = 1.0, deblock: bool = False,
-                 sao: bool = False, wpp: bool = False):
+                 sao: bool = False, wpp: bool = False,
+                 sign_hide: bool = False):
         self.wpp = wpp
+        self.sbh = sign_hide
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         self.width, self.height = width, height
@@ -245,8 +254,9 @@ class IntraTreeEncoder:
         mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
 
         mode_bits = intra_mode_bits
-        eval_luma = eval_intra_luma
-        eval_chroma = eval_intra_chroma
+        eval_luma = functools.partial(eval_intra_luma, sbh=self.sbh)
+        eval_chroma = functools.partial(eval_intra_chroma,
+                                        sbh=self.sbh)
 
         def body(state, xs):
             yb, cbb, crb, mode16 = state

@@ -103,7 +103,7 @@ def get_cabac_lib():
     lib.hevc_cabac_set_layout3(offs3.ctypes.data_as(i32p))
     lib.hevc_encode_slice.argtypes = (
         [ctypes.c_int32] * 4 + [i32p] * 16
-        + [ctypes.c_int32] * 3 + [i32p, i32p,
+        + [ctypes.c_int32] * 4 + [i32p, i32p,
                                   ctypes.POINTER(ctypes.c_uint8),
                                   ctypes.c_int64])
     lib.hevc_encode_slice.restype = ctypes.c_int64
@@ -150,7 +150,7 @@ def encode_slice_native(slice_type: str, ctb_log2: int, hc: int, wc: int,
         c(mvd0), c(mvp0), c(mvd1), c(mvp1),
         c(levels_y), c(levels_cb), c(levels_cr), c(qp16), c(qp32),
         c(sao_luma), c(sao_chroma),
-        qp, max_merge, 1 if wpp else 0,
+        qp, max_merge, 1 if wpp else 0, 1 if sign_hide else 0,
         states.ctypes.data_as(p), entry.ctypes.data_as(p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:

@@ -211,7 +211,7 @@ static void write_remaining(Cabac& e, uint32_t value, int rice) {
 static CtxLayout g_layout;
 
 static void residual_coding(Cabac& e, const int32_t* lv, int log2n,
-                            int c_idx, const ScanTabs& t) {
+                            int c_idx, const ScanTabs& t, int sbh = 0) {
   const int n = 1 << log2n;
   const int scan_idx = 0;  // diag (v1 pipeline)
   int last_pos = -1;
@@ -312,7 +312,14 @@ static void residual_coding(Cabac& e, const int32_t* lv, int log2n,
     if (first_gt1 >= 0)
       e.encode_bin(g_layout.gt2 + ctx_set + (c_idx ? 4 : 0),
                    abs_c[first_gt1] > 2);
-    for (int k = 0; k < num_sig; k++) e.encode_bypass(sgn[k]);
+    // sign data hiding (spec 7.4.9.11): the first significant
+    // coefficient's sign is inferred from level-sum parity
+    int sign_hidden = 0;
+    if (sbh && num_sig > 1 &&
+        sig_pos[0] - sig_pos[num_sig - 1] > 3)
+      sign_hidden = 1;
+    for (int k = 0; k < num_sig - sign_hidden; k++)
+      e.encode_bypass(sgn[k]);
     int rice = 0, first2 = 1;
     for (int k = 0; k < num_sig; k++) {
       int base_level = k < 8 ? 2 + first2 : 1;
@@ -727,6 +734,7 @@ struct SliceCtx {
   const int32_t *qp16, *qp32;
   const int32_t *sao_l, *sao_c;
   int slice_qp, max_merge;
+  int sbh;
   int qp_prev;
   int qg_coded;   // IsCuQpDeltaCoded for the current QG (== CTB)
   ScanTabs t32, t16, t8;
@@ -880,9 +888,9 @@ void cu_residuals(Cabac& e, SliceCtx& s, const CuLevels& L, int cells) {
   const ScanTabs& tl = cells == 2 ? s.t32 : s.t16;
   const ScanTabs& tc = cells == 2 ? s.t16 : s.t8;
   int log2l = cells == 2 ? 5 : 4;
-  if (L.cbf_y) residual_coding(e, L.y, log2l, 0, tl);
-  if (L.cbf_cb) residual_coding(e, L.cb, log2l - 1, 1, tc);
-  if (L.cbf_cr) residual_coding(e, L.cr, log2l - 1, 2, tc);
+  if (L.cbf_y) residual_coding(e, L.y, log2l, 0, tl, s.sbh);
+  if (L.cbf_cb) residual_coding(e, L.cb, log2l - 1, 1, tc, s.sbh);
+  if (L.cbf_cr) residual_coding(e, L.cr, log2l - 1, 2, tc, s.sbh);
 }
 
 // intra CU of size cells*16 at 16-cell (bx, by).  in_inter: coded after
@@ -1015,7 +1023,7 @@ extern "C" int64_t hevc_encode_slice(
     const int32_t* levels_y, const int32_t* levels_cb,
     const int32_t* levels_cr, const int32_t* qp16, const int32_t* qp32,
     const int32_t* sao_luma, const int32_t* sao_chroma,
-    int32_t slice_qp, int32_t max_merge, int32_t wpp,
+    int32_t slice_qp, int32_t max_merge, int32_t wpp, int32_t sbh,
     const int32_t* init_states, int32_t* entry_sizes,
     uint8_t* out, int64_t out_cap) {
   SliceCtx s;
@@ -1031,6 +1039,7 @@ extern "C" int64_t hevc_encode_slice(
   s.qp16 = qp16; s.qp32 = qp32;
   s.sao_l = sao_luma; s.sao_c = sao_chroma;
   s.slice_qp = slice_qp; s.max_merge = max_merge;
+  s.sbh = sbh;
   s.qp_prev = slice_qp;
   s.qg_coded = 0;
   build_diag_scans(5, &s.t32);

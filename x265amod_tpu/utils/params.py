@@ -79,7 +79,7 @@ class Param:
     rdoq_level: int = 0
     psy_rd: float = 0.0
     psy_rdoq: float = 0.0
-    sign_hide: bool = False
+    sign_hide: bool = True    # x265 default: on
     scaling_lists: str = "flat"       # flat quant matrices (m=16)
     lossless: bool = False
     vbv_maxrate: int = 0
@@ -304,14 +304,13 @@ def check_params(p: Param) -> None:
         unwired.append("psy-rd / psy-rdoq")
     if p.rdoq_level:
         unwired.append("rdoq")
-    if p.sign_hide:
-        unwired.append("sign-bit hiding")
     if p.scaling_lists != "flat":
         unwired.append(f"scaling lists '{p.scaling_lists}'")
     if p.temporal_layers > 1:
         unwired.append("temporal sub-layers")
-    if p.hrd:
-        unwired.append("hrd signalling")
+    if p.hrd and not (p.vbv_maxrate > 0 and p.vbv_bufsize > 0):
+        raise ValueError("--hrd requires --vbv-maxrate and "
+                         "--vbv-bufsize (reference: HRD rides VBV)")
     if p.deblock_tc_offset or p.deblock_beta_offset:
         unwired.append("deblock tC/beta offsets")
     if not 4 <= p.me_range <= 32:

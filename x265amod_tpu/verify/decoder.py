@@ -171,7 +171,7 @@ def _decode_remaining(d: CabacDecoder, rice: int) -> int:
 
 
 def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
-                    scan_idx: int) -> np.ndarray:
+                    scan_idx: int, sign_hide: bool = False) -> np.ndarray:
     n = 1 << log2_size
     lv = np.zeros((n, n), dtype=np.int32)
     scan = full_scan(scan_idx, log2_size)
@@ -236,7 +236,12 @@ def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
         gt2 = 0
         if first_gt1 >= 0:
             gt2 = d.decode_bin(S.CTX_GT2 + ctx_set + (4 if c_idx else 0))
-        signs = [d.decode_bypass() for _ in range(num_sig)]
+        # signHidden (spec 7.4.9.11): the first significant
+        # coefficient's sign is inferred from level-sum parity
+        sign_hidden = sign_hide and num_sig > 1 and \
+            (sig_pos[0] - sig_pos[-1] > 3)
+        signs = [d.decode_bypass()
+                 for _ in range(num_sig - (1 if sign_hidden else 0))]
         rice = 0
         first2 = 1
         levels = []
@@ -253,6 +258,8 @@ def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
             levels.append(v)
             if v >= 2:
                 first2 = 0
+        if sign_hidden:
+            signs.append(1 if (sum(levels) & 1) else 0)
         for np_, v, s in zip(sig_pos, levels, signs):
             xc = sbx * 4 + int(inner[np_][0])
             yc = sby * 4 + int(inner[np_][1])
@@ -649,11 +656,11 @@ def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
         qpctx["qp16"][cy, cx] = qp
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-    ly = decode_residual(d, 4, 0, 0) if cbf_y else \
+    ly = decode_residual(d, 4, 0, 0, pps.sign_hide) if cbf_y else \
         np.zeros((16, 16), np.int32)
-    lcb = decode_residual(d, 3, 1, 0) if cbf_cb else \
+    lcb = decode_residual(d, 3, 1, 0, pps.sign_hide) if cbf_cb else \
         np.zeros((8, 8), np.int32)
-    lcr = decode_residual(d, 3, 2, 0) if cbf_cr else \
+    lcr = decode_residual(d, 3, 2, 0, pps.sign_hide) if cbf_cr else \
         np.zeros((8, 8), np.int32)
     modes[cy, cx] = mode
 
@@ -717,11 +724,11 @@ def _decode_intra_cu(d, sps, pps, qpctx, bx, by, cells, w16, h16,
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     nc = n // 2
-    ly = decode_residual(d, log2n, 0, 0) if cbf_y else \
+    ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else \
         np.zeros((n, n), np.int32)
-    lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else \
+    lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else \
         np.zeros((nc, nc), np.int32)
-    lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else \
+    lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else \
         np.zeros((nc, nc), np.int32)
     modes16[by:by + cells, bx:bx + cells] = mode
     resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
@@ -874,9 +881,9 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
-        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
-        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        ly = decode_residual(d, 4, 0, 0, pps.sign_hide) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0, pps.sign_hide) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0, pps.sign_hide) if cbf_cr else z8
         resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else z16
         resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
             else z8
@@ -918,9 +925,9 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         qp = _cu_qp_update(d, pps, qpctx, 1)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
-        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
-        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        ly = decode_residual(d, 4, 0, 0, pps.sign_hide) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0, pps.sign_hide) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0, pps.sign_hide) if cbf_cr else z8
     inter_recon(mv, ly, lcb, lcr)
     maps["inter"][cy, cx] = 1
     maps["skip"][cy, cx] = 0
@@ -1008,9 +1015,9 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
-        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
-        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else znc
         resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else zn
         resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
             else znc
@@ -1043,9 +1050,9 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
             if (cbf_cb or cbf_cr) else 1
         qp = _cu_qp_update(d, pps, qpctx, 1)
-        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
-        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
-        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else znc
     inter_recon(mv, ly, lcb, lcr, qp)
     set_cells(1, 0, mv, -1, int(bool(ly.any())), qp)
 
@@ -1162,9 +1169,9 @@ def _decode_b_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
-        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
-        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else znc
         resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else zn
         resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
             else znc
@@ -1208,9 +1215,9 @@ def _decode_b_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         cbf_y = d.decode_bin(S.CTX_QT_CBF_LUMA + 1) \
             if (cbf_cb or cbf_cr) else 1
         qp = _cu_qp_update(d, pps, qpctx, 1)
-        ly = decode_residual(d, log2n, 0, 0) if cbf_y else zn
-        lcb = decode_residual(d, log2n - 1, 1, 0) if cbf_cb else znc
-        lcr = decode_residual(d, log2n - 1, 2, 0) if cbf_cr else znc
+        ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else zn
+        lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else znc
+        lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else znc
     inter_recon(dirv, mv0, mv1, ly, lcb, lcr, qp)
     set_cells(dirv, mv0, mv1, 0, -1, int(bool(ly.any())), qp)
 
@@ -1330,9 +1337,9 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         qp = _cu_qp_update(d, pps, qpctx, cbf_y or cbf_cb or cbf_cr)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
-        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
-        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        ly = decode_residual(d, 4, 0, 0, pps.sign_hide) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0, pps.sign_hide) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0, pps.sign_hide) if cbf_cr else z8
         resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else z16
         resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb \
             else z8
@@ -1384,9 +1391,9 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
         qp = _cu_qp_update(d, pps, qpctx, 1)
         qp_cb = chroma_qp(qp, pps.cb_qp_offset)
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-        ly = decode_residual(d, 4, 0, 0) if cbf_y else z16
-        lcb = decode_residual(d, 3, 1, 0) if cbf_cb else z8
-        lcr = decode_residual(d, 3, 2, 0) if cbf_cr else z8
+        ly = decode_residual(d, 4, 0, 0, pps.sign_hide) if cbf_y else z16
+        lcb = decode_residual(d, 3, 1, 0, pps.sign_hide) if cbf_cb else z8
+        lcr = decode_residual(d, 3, 2, 0, pps.sign_hide) if cbf_cr else z8
     inter_recon(dirv, mv0, mv1, ly, lcb, lcr)
     set_motion(dirv, mv0, mv1, 0, int(bool(ly.any())))
     if "qp16" in qpctx:
