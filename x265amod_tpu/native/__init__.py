@@ -117,7 +117,8 @@ def encode_slice_native(slice_type: str, ctb_log2: int, hc: int, wc: int,
                         mvp0=None, mvd1=None, mvp1=None, levels_y=None,
                         levels_cb=None, levels_cr=None, qp16=None,
                         qp32=None, sao_luma=None, sao_chroma=None,
-                        max_merge: int = 2, wpp: bool = False):
+                        max_merge: int = 2, wpp: bool = False,
+                        sign_hide: bool = False):
     """Unified native slice serializer (I/P/B, flat CTU16 or CTU32
     quadtree, AQ/SAO/WPP).  Returns (payload, entry_sizes) or None when
     the native lib is unavailable.  sao_luma: [n_ctu, 7] int32
