@@ -49,3 +49,23 @@ def test_substitution_matches_oracle_grid_cases():
         np.testing.assert_array_equal(got_t[b], rt, err_msg=f"top {x},{y}")
         np.testing.assert_array_equal(got_l[b], rl, err_msg=f"left {x},{y}")
         assert got_c[b] == rc, f"corner {x},{y}"
+
+
+@pytest.mark.parametrize("n,c_idx", [(16, 0), (8, 1), (8, 0), (4, 0),
+                                     (32, 0), (16, 1)])
+def test_single_mode_matches_all_modes(n, c_idx):
+    """predict_modes_batch (single-mode commit path) must equal the
+    all-modes kernel's slice at that mode for every mode 0..34."""
+    from x265amod_tpu.ops.intra import predict_modes_batch
+    rng = np.random.default_rng(100 + n * 10 + c_idx)
+    bsz = 70  # every mode twice
+    top = rng.integers(0, 256, (bsz, 2 * n)).astype(np.int32)
+    left = rng.integers(0, 256, (bsz, 2 * n)).astype(np.int32)
+    corner = rng.integers(0, 256, bsz).astype(np.int32)
+    modes = np.arange(bsz, dtype=np.int32) % 35
+    allp = np.asarray(predict_all_modes_batch(top, left, corner, n, c_idx))
+    got = np.asarray(predict_modes_batch(top, left, corner, modes, n,
+                                         c_idx))
+    for b in range(bsz):
+        np.testing.assert_array_equal(
+            got[b], allp[b, modes[b]], err_msg=f"mode {modes[b]} n={n}")

@@ -1,0 +1,44 @@
+"""Sparse level packing roundtrip (ops/pack.py)."""
+
+import numpy as np
+
+from x265amod_tpu.ops.pack import pack_cap, pack_levels, unpack_levels
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(7)
+    a = np.where(rng.random((37, 16, 16)) < 0.03,
+                 rng.integers(-99, 100, (37, 16, 16)), 0).astype(np.int32)
+    b = np.where(rng.random((37, 8, 8)) < 0.02,
+                 rng.integers(-5, 6, (37, 8, 8)), 0).astype(np.int32)
+    total = a.size + b.size
+    cap = pack_cap(total)
+    bm, vals, nnz, fits = (np.asarray(x) for x in
+                           pack_levels([a, b], cap))
+    assert bool(fits)
+    assert int(nnz) == int((a != 0).sum() + (b != 0).sum())
+    ua, ub = unpack_levels(bm, vals, nnz, [a.shape, b.shape])
+    np.testing.assert_array_equal(ua, a)
+    np.testing.assert_array_equal(ub, b)
+
+
+def test_pack_overflow_flags():
+    # capacity overflow
+    a = np.ones((4, 16, 16), np.int32)
+    _, _, _, fits = pack_levels([a], 128)
+    assert not bool(np.asarray(fits))
+    # magnitude overflow
+    b = np.zeros((4, 16, 16), np.int32)
+    b[0, 0, 0] = 300
+    _, _, _, fits2 = pack_levels([b], 128)
+    assert not bool(np.asarray(fits2))
+
+
+def test_pack_all_zero():
+    a = np.zeros((3, 16, 16), np.int32)
+    cap = pack_cap(a.size)
+    bm, vals, nnz, fits = (np.asarray(x) for x in
+                           pack_levels([a], cap))
+    assert bool(fits) and int(nnz) == 0
+    (ua,) = unpack_levels(bm, vals, nnz, [a.shape])
+    np.testing.assert_array_equal(ua, a)

@@ -212,8 +212,8 @@ class InterTreeEncoder:
         d32, rb32 = inter_trial(oy32, mv32_me, qp3_32, 32)
 
         # ---- intra trial at 16 with source-pixel references -----------
-        d_intra16 = self._intra_trial16(oy, oy_flat, qp16_blk,
-                                        lam16_blk)
+        d_intra16, imode16 = self._intra_trial16(oy, oy_flat, qp16_blk,
+                                                 lam16_blk)
 
         # ---- 2. decide scan over the 32-grid wavefront -----------------
         # 16-grid motion state (+2 dummy rows for invalid lanes)
@@ -484,9 +484,9 @@ class InterTreeEncoder:
         # ---- 4. commit scan: intra lanes from true recon -----------------
         (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb,
          rec_cr) = self._commit_scan(
-            kinds16, oy_flat, ocb_flat, ocr_flat, fin_rec_y, fin_rec_cb,
-            fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr, qp16_blk,
-            qpc16_blk, lam16_blk)
+            kinds16, imode16, oy_flat, ocb_flat, ocr_flat, fin_rec_y,
+            fin_rec_cb, fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr,
+            qp16_blk, qpc16_blk, lam16_blk)
 
 
         split32_m = split_r.reshape(hc, wc)
@@ -546,19 +546,25 @@ class InterTreeEncoder:
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
+        from ..ops.pack import pack_cap, pack_levels
+        packed = pack_levels([ly_r, lcb_r, lcr_r],
+                             pack_cap(self.h16 * self.w16 * 384))
         return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
                 merge16.astype(jnp.uint8), mvd16.astype(jnp.int16),
                 mvp16.astype(jnp.uint8), modes_r, ly_r, lcb_r, lcr_r,
                 sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8)) + sao_out
+                rec_cr.astype(jnp.uint8)) + sao_out + packed
 
 
     # ------------------------------------------------------------------
     def _intra_trial16(self, oy, oy_flat, qp16_blk, lam16_blk):
-        """Parallel 35-mode intra cost estimate per 16-cell using
-        SOURCE-pixel neighbor references (the decide pass's intra
-        hypothesis; exact refs are applied at commit)."""
+        """Parallel intra estimate per 16-cell using SOURCE-pixel
+        neighbor references: 35-mode SATD scan picks ONE mode, a single
+        transform/quant chain prices it (the reference's sa8d-based
+        intra-in-inter estimate, analysis.cpp rd0-4; exact refs applied
+        at commit).  Returns (cost [n16] f32, best_mode [n16] i32)."""
         from ..ops.intra import predict_all_modes_batch, substitute_refs
+        from .intra_tree import _satd_modes
         w16, h16 = self.w16, self.h16
         n16 = h16 * w16
         all_cx = jnp.arange(n16, dtype=jnp.int32) % w16
@@ -576,24 +582,29 @@ class InterTreeEncoder:
         tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
                                       16, w16)
         preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
-        qp4 = qp16_blk[:, None, None, None]
-        lv_i = quant(fwd_transform(oy_flat[:, None] - preds_i), qp4)
-        rec_i = jnp.clip(preds_i + inv_transform(dequant(lv_i, qp4)),
-                         0, 255)
-        ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
-                        axis=(2, 3)).astype(jnp.float32)
-        rb_i = _rbits_proxy(lv_i)
-        return jnp.min(ssd_i + lam16_blk[:, None] * (rb_i + 6.0),
-                       axis=1)
+        sat = _satd_modes(oy_flat, preds_i).astype(jnp.float32)
+        mb = intra_mode_bits(jnp.ones((n16,), jnp.int32))
+        best = jnp.argmin(sat + lam16_blk[:, None] * mb, axis=1) \
+            .astype(jnp.int32)
+        pred1 = jnp.take_along_axis(
+            preds_i, best[:, None, None, None], 1)[:, 0]
+        qp3 = qp16_blk[:, None, None]
+        lv = quant(fwd_transform(oy_flat - pred1), qp3)
+        rec = jnp.clip(pred1 + inv_transform(dequant(lv, qp3)), 0, 255)
+        ssd = jnp.sum((rec - oy_flat) ** 2, axis=(1, 2)) \
+            .astype(jnp.float32)
+        cost = ssd + lam16_blk * (_rbits_proxy(lv) + 6.0)
+        return cost, best
 
     # ------------------------------------------------------------------
-    def _commit_scan(self, kinds16, oy_flat, ocb_flat, ocr_flat,
+    def _commit_scan(self, kinds16, imode16, oy_flat, ocb_flat, ocr_flat,
                      fin_rec_y, fin_rec_cb, fin_rec_cr, fin_lv_y,
                      fin_lv_cb, fin_lv_cr, qp16_blk, qpc16_blk,
                      lam16_blk):
         """Wavefront commit pass shared by the P and B tree encoders:
-        re-analyses intra cells from true neighbor reconstruction
-        (z-scan refs, spec 6.4.1) and assembles the final recon planes.
+        re-codes intra cells from true neighbor reconstruction (z-scan
+        refs, spec 6.4.1) at the SINGLE mode the parallel estimate
+        chose (imode16), and assembles the final recon planes.
         Returns (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb, rec_cr)."""
         wc, hc = self.wc, self.hc
         w16, h16 = self.w16, self.h16
@@ -604,6 +615,7 @@ class InterTreeEncoder:
 
         xs_commit = (self._coords, self._valid,
                      self._to_slots16q(kinds16),
+                     self._to_slots16q(imode16),
                      self._to_slots16q(oy_flat),
                      self._to_slots16q(ocb_flat),
                      self._to_slots16q(ocr_flat),
@@ -619,7 +631,7 @@ class InterTreeEncoder:
 
         def commit_body(state, xs):
             yb, cbb, crb, mode16 = state
-            (coords_d, val, kq_d, oy_d, ocb_d, ocr_d, ry_d, rcb_d,
+            (coords_d, val, kq_d, im_d, oy_d, ocb_d, ocr_d, ry_d, rcb_d,
              rcr_d, lvy_d, lvcb_d, lvcr_d, qp_d, qpc_d, lam_d) = xs
             cx = coords_d[:, 0]
             cy = coords_d[:, 1]
@@ -636,12 +648,13 @@ class InterTreeEncoder:
 
             def quad_intra(orig16, oc8, or8, topY, leftY, corY, avtY,
                            altY, avcY, topC, leftC, corC, topR, leftR,
-                           corR, qpv, qpcv, lamv, left_mode):
+                           corR, qpv, qpcv, lamv, left_mode, fmode):
                 tY, lY, cY = substitute_refs_general(
                     topY, leftY, corY, avtY, altY, avcY, 16)
                 best, lv_y, rc_y, _ = eval_intra_luma(
                     orig16, tY, lY, cY, 16, qpv, lamv,
-                    intra_mode_bits(left_mode), sbh=self.sbh)
+                    intra_mode_bits(left_mode), forced_mode=fmode,
+                    sbh=self.sbh)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
                 tC, lC, cC = substitute_refs_general(
@@ -690,7 +703,7 @@ class InterTreeEncoder:
                                  crb[by + 1, bxl, :, 7]], 1),
                 crb[byu, bxl, 7, 7],
                 qp_d[:, 0], qpc_d[:, 0], lam_d[:, 0],
-                jnp.where(at_left, mode16[by, bxl], 1))
+                jnp.where(at_left, mode16[by, bxl], 1), im_d[:, 0])
             m0, fy0, fcb0, fcr0, fly0, flcb0, flcr0 = fin(0, r0, None)
             # q1
             r1 = quad_intra(
@@ -710,7 +723,7 @@ class InterTreeEncoder:
                                  crb[byu, bx2c, 7, :]], 1),
                 jnp.concatenate([fcr0[:, :, 7], fcr0[:, :, 7]], 1),
                 crb[byu, bx, 7, 7],
-                qp_d[:, 1], qpc_d[:, 1], lam_d[:, 1], m0)
+                qp_d[:, 1], qpc_d[:, 1], lam_d[:, 1], m0, im_d[:, 1])
             m1, fy1, fcb1, fcr1, fly1, flcb1, flcr1 = fin(1, r1, None)
             # q2
             r2 = quad_intra(
@@ -731,7 +744,7 @@ class InterTreeEncoder:
                                  crb[by + 1, bxl, :, 7]], 1),
                 crb[by, bxl, 7, 7],
                 qp_d[:, 2], qpc_d[:, 2], lam_d[:, 2],
-                jnp.where(at_left, mode16[by + 1, bxl], 1))
+                jnp.where(at_left, mode16[by + 1, bxl], 1), im_d[:, 2])
             m2, fy2, fcb2, fcr2, fly2, flcb2, flcr2 = fin(2, r2, None)
             # q3
             r3 = quad_intra(
@@ -748,7 +761,7 @@ class InterTreeEncoder:
                 jnp.concatenate([fcr1[:, 7, :], fcr1[:, 7, :]], 1),
                 jnp.concatenate([fcr2[:, :, 7], fcr2[:, :, 7]], 1),
                 fcr0[:, 7, 7],
-                qp_d[:, 3], qpc_d[:, 3], lam_d[:, 3], m2)
+                qp_d[:, 3], qpc_d[:, 3], lam_d[:, 3], m2, im_d[:, 3])
             m3, fy3, fcb3, fcr3, fly3, flcb3, flcr3 = fin(3, r3, None)
 
             safe_by = jnp.where(val, by, h16)
@@ -817,10 +830,22 @@ class InterTreeEncoder:
                     *(jnp.asarray(m) for m in maps),
                     jnp.asarray(qp, jnp.int32))
 
+    def _levels_of(self, outs, dense_idx):
+        """Fetch levels: sparse bitmap+values unless overflowed."""
+        n16 = self.h16 * self.w16
+        bm, vals, nnz, fits = outs[-4:]
+        if bool(np.asarray(fits)):
+            from ..ops.pack import unpack_levels
+            return unpack_levels(
+                np.asarray(bm), np.asarray(vals), int(np.asarray(nnz)),
+                [(n16, 16, 16), (n16, 8, 8), (n16, 8, 8)])
+        return [np.asarray(outs[i]) for i in dense_idx]
+
     def collect(self, outs, want_recon: bool = False) -> InterFrameResult:
         h16, w16 = self.h16, self.w16
-        host = [np.asarray(a) for a in outs[:10]]
-        (split, kinds, mrg, mvd, mvp, modes, ly, lcb, lcr, sse) = host
+        ly, lcb, lcr = self._levels_of(outs, (6, 7, 8))
+        host = [np.asarray(a) for a in outs[:6]] + [np.asarray(outs[9])]
+        (split, kinds, mrg, mvd, mvp, modes, sse) = host
         res = InterFrameResult(
             kinds.reshape(h16, w16).astype(np.int32),
             mrg.reshape(h16, w16).astype(np.int32),
@@ -940,8 +965,8 @@ class BTreeEncoder(InterTreeEncoder):
             oy_flat, mv0_16me, mv1_16me, qp3_16, 16)
         dl0_32, rl0_32, dl1_32, rl1_32, dbi_32, rbi_32 = trials(
             oy32, mv0_32me, mv1_32me, qp3_32, 32)
-        d_intra16 = self._intra_trial16(oy, oy_flat, qp16_blk,
-                                        lam16_blk)
+        d_intra16, imode16 = self._intra_trial16(oy, oy_flat, qp16_blk,
+                                                 lam16_blk)
 
         # ---- 2. decide scan over the 32-grid wavefront -----------------
         dir_map = jnp.zeros((h16 + 2, w16), jnp.int32)
@@ -1336,9 +1361,9 @@ class BTreeEncoder(InterTreeEncoder):
         # ---- 4. commit scan (shared with the P tree) --------------------
         (modes_r, ly_r, lcb_r, lcr_r, rec_y, rec_cb,
          rec_cr) = self._commit_scan(
-            kinds16, oy_flat, ocb_flat, ocr_flat, fin_rec_y, fin_rec_cb,
-            fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr, qp16_blk,
-            qpc16_blk, lam16_blk)
+            kinds16, imode16, oy_flat, ocb_flat, ocr_flat, fin_rec_y,
+            fin_rec_cb, fin_rec_cr, fin_lv_y, fin_lv_cb, fin_lv_cr,
+            qp16_blk, qpc16_blk, lam16_blk)
 
         split32_m = split_r.reshape(hc, wc)
         if self.deblock:
@@ -1395,13 +1420,16 @@ class BTreeEncoder(InterTreeEncoder):
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
+        from ..ops.pack import pack_cap, pack_levels
+        packed = pack_levels([ly_r, lcb_r, lcr_r],
+                             pack_cap(self.h16 * self.w16 * 384))
         return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
                 merge16.astype(jnp.uint8), dir16.astype(jnp.uint8),
                 mvd0_16.astype(jnp.int16), mvp0_16.astype(jnp.uint8),
                 mvd1_16.astype(jnp.int16), mvp1_16.astype(jnp.uint8),
                 modes_r, ly_r, lcb_r, lcr_r,
                 sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8)) + sao_out
+                rec_cr.astype(jnp.uint8)) + sao_out + packed
 
     # ------------------------------------------------------------------
     def encode_async(self, y, cb, cr, ref0_dev, ref1_dev, qp: int,
@@ -1422,9 +1450,11 @@ class BTreeEncoder(InterTreeEncoder):
     def collect(self, outs, want_recon: bool = False):
         from .b_frame import BFrameResult
         h16, w16 = self.h16, self.w16
-        host = [np.asarray(a) for a in outs[:13]]
-        (split, kinds, mrg, idir, mvd0, mvp0, mvd1, mvp1, modes, ly,
-         lcb, lcr, sse) = host
+        ly, lcb, lcr = self._levels_of(outs, (9, 10, 11))
+        host = [np.asarray(a) for a in outs[:9]] + \
+            [np.asarray(outs[12])]
+        (split, kinds, mrg, idir, mvd0, mvp0, mvd1, mvp1, modes,
+         sse) = host
         res = BFrameResult(
             kinds.reshape(h16, w16).astype(np.int32),
             mrg.reshape(h16, w16).astype(np.int32),

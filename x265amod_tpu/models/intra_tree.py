@@ -102,15 +102,20 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
     forced_mode ([B] int32): analysis-reuse path (level-10 load,
     reference readAnalysisFile encoder.cpp:4439) — skips the SATD scan
     and runs the single recorded mode (K = 1)."""
-    preds = predict_all_modes_batch(top, left, corner, n, 0)
     if forced_mode is not None:
+        # single-mode commit: one prediction, no 35-mode scan (the
+        # search already ran in the parallel estimate / analysis pass)
+        from ..ops.intra import predict_modes_batch
         cand = forced_mode[:, None]                  # [B, 1]
+        cpred = predict_modes_batch(top, left, corner, forced_mode,
+                                    n, 0)[:, None]   # [B,1,n,n]
     else:
+        preds = predict_all_modes_batch(top, left, corner, n, 0)
         sat = _satd_modes(orig, preds).astype(jnp.float32)
         scost = sat + lamv[:, None] * mbits
         _, cand = jax.lax.top_k(-scost, RD_CANDS)    # [B, K]
-    cpred = jnp.take_along_axis(
-        preds, cand[:, :, None, None], 1)            # [B,K,n,n]
+        cpred = jnp.take_along_axis(
+            preds, cand[:, :, None, None], 1)        # [B,K,n,n]
     coeff = fwd_transform(orig[:, None] - cpred)
     qpb = qpv[:, None, None, None]
     levels = quant(coeff, qpb)
@@ -135,10 +140,9 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
 def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
                       sbh=False):
     """Single-mode chroma chain at the luma mode (DM chroma):
-    one transform/quant instead of 35."""
-    preds = predict_all_modes_batch(top, left, corner, n, c_idx)
-    pred = jnp.take_along_axis(
-        preds, best[:, None, None, None], 1)[:, 0]
+    one prediction + one transform/quant instead of 35."""
+    from ..ops.intra import predict_modes_batch
+    pred = predict_modes_batch(top, left, corner, best, n, c_idx)
     coeff = fwd_transform(orig - pred)
     qpb = qpv[:, None, None]
     levels = quant(coeff, qpb)
@@ -171,9 +175,10 @@ class IntraTreeEncoder:
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  lambda_scale: float = 1.0, deblock: bool = False,
                  sao: bool = False, wpp: bool = False,
-                 sign_hide: bool = False):
+                 sign_hide: bool = False, fast: bool = True):
         self.wpp = wpp
         self.sbh = sign_hide
+        self.fast = fast
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         self.width, self.height = width, height
@@ -216,6 +221,12 @@ class IntraTreeEncoder:
                                                      want_recon=True))
         self._step_batch = jax.jit(jax.vmap(functools.partial(
             self._encode_frame, want_recon=False), in_axes=0))
+        self._step_fast = jax.jit(functools.partial(self._fast_frame,
+                                                    want_recon=False))
+        self._step_fast_recon = jax.jit(functools.partial(
+            self._fast_frame, want_recon=True))
+        self._step_fast_batch = jax.jit(jax.vmap(functools.partial(
+            self._fast_frame, want_recon=False), in_axes=0))
 
     # ---- device code ----------------------------------------------------
 
@@ -591,16 +602,134 @@ class IntraTreeEncoder:
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
-        fits8 = (jnp.max(jnp.abs(ly_r)) <= 127) & \
-            (jnp.max(jnp.abs(lcb_r)) <= 127) & \
-            (jnp.max(jnp.abs(lcr_r)) <= 127)
-        lv8 = (ly_r.astype(jnp.int8), lcb_r.astype(jnp.int8),
-               lcr_r.astype(jnp.int8), fits8)
+        # sparse D2H pack (bitmap + compacted int8 values); the dense
+        # int16 tensors remain as outputs but are only TRANSFERRED on
+        # overflow (jax async D2H happens per-fetched-array)
+        from ..ops.pack import pack_cap, pack_levels
+        cap = pack_cap(self.h16 * self.w16 * 384)
+        lv8 = pack_levels([ly_r, lcb_r, lcr_r], cap)
         if want_recon:
             return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse,
                     rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
                     rec_cr.astype(jnp.uint8)) + sao_out + lv8
         return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out + lv8
+
+    # ---- estimate-then-commit fast path ---------------------------------
+
+    def _estimate_frame(self, y, cb, cr, qp16, qpcb16, lam16, qp32,
+                        qpcb32, lam32):
+        """Parallel mode/split estimation over the WHOLE frame from
+        SOURCE-pixel references (the TPU recast of the reference's
+        rd0-4 'estimate cheaply, RDO only the winner' ladder,
+        analysis.cpp:1146): one batched 35-mode search per CU size with
+        no wavefront dependency, so it runs as a handful of large
+        MXU-friendly ops instead of inside the sequential scan.  The
+        commit scan then runs single-mode chains on true recon refs —
+        the bitstream stays conformant; only the decision heuristic
+        sees source instead of recon pixels.
+
+        Returns (split [hc, wc] int32, modes16 [h16, w16] int32) where
+        an unsplit CTU's four cells replicate the CU32 mode."""
+        wc, hc = self.wc, self.hc
+        w16, h16 = self.w16, self.h16
+        n16 = h16 * w16
+        n32 = hc * wc
+        y = y.astype(jnp.int32)
+        cb = cb.astype(jnp.int32)
+        cr = cr.astype(jnp.int32)
+
+        def to_blocks(plane, bn):
+            hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
+            return plane.reshape(hb, bn, wb, bn).transpose(0, 2, 1, 3)
+
+        def src_refs(blocks, hg, wg, bn):
+            """Raster-order raw refs + availability for every cell of a
+            [hg, wg, bn, bn] block grid (frame-border availability;
+            below-left taken available inside the frame — an estimate,
+            commit applies exact z-scan availability)."""
+            idx = jnp.arange(hg * wg, dtype=jnp.int32)
+            cyc = idx // wg
+            cxc = idx % wg
+            cyu = jnp.maximum(cyc - 1, 0)
+            cxl = jnp.maximum(cxc - 1, 0)
+            cxr = jnp.minimum(cxc + 1, wg - 1)
+            cyd = jnp.minimum(cyc + 1, hg - 1)
+            top = jnp.concatenate([blocks[cyu, cxc, bn - 1, :],
+                                   blocks[cyu, cxr, bn - 1, :]], 1)
+            left = jnp.concatenate([blocks[cyc, cxl, :, bn - 1],
+                                    blocks[cyd, cxl, :, bn - 1]], 1)
+            cor = blocks[cyu, cxl, bn - 1, bn - 1]
+            at = jnp.concatenate(
+                [_bc(cyc > 0, bn), _bc((cyc > 0) & (cxc < wg - 1), bn)],
+                1)
+            al = jnp.concatenate(
+                [_bc(cxc > 0, bn), _bc((cxc > 0) & (cyc < hg - 1), bn)],
+                1)
+            ac = (cxc > 0) & (cyc > 0)
+            return substitute_refs_general(top, left, cor, at, al, ac,
+                                           bn)
+
+        oy = to_blocks(y, 16)
+        ocb = to_blocks(cb, 8)
+        ocr = to_blocks(cr, 8)
+        mb_def = intra_mode_bits(jnp.ones((n16,), jnp.int32))
+
+        # CU16 hypothesis per 16-cell
+        t16, l16, c16 = src_refs(oy, h16, w16, 16)
+        q16 = qp16.reshape(-1)
+        lamv16 = lam16.reshape(-1)
+        best16, _, _, j16y = eval_intra_luma(
+            oy.reshape(n16, 16, 16), t16, l16, c16, 16, q16, lamv16,
+            mb_def)
+        tc8, lc8, cc8 = src_refs(ocb, h16, w16, 8)
+        _, _, sdcb, rbcb = eval_intra_chroma(
+            ocb.reshape(n16, 8, 8), tc8, lc8, cc8, 8, 1,
+            qpcb16.reshape(-1), best16)
+        tr8, lr8, cr8 = src_refs(ocr, h16, w16, 8)
+        _, _, sdcr, rbcr = eval_intra_chroma(
+            ocr.reshape(n16, 8, 8), tr8, lr8, cr8, 8, 2,
+            qpcb16.reshape(-1), best16)
+        j16 = j16y + sdcb + sdcr + lamv16 * (rbcb + rbcr + 4.0)
+
+        # CU32 hypothesis per CTU
+        oy32 = to_blocks(y, 32)
+        t32, l32, c32 = src_refs(oy32, hc, wc, 32)
+        q32 = qp32.reshape(-1)
+        lamv32 = lam32.reshape(-1)
+        best32, _, _, jAy = eval_intra_luma(
+            oy32.reshape(n32, 32, 32), t32, l32, c32, 32, q32, lamv32,
+            intra_mode_bits(jnp.ones((n32,), jnp.int32)))
+        ocb16 = to_blocks(cb, 16)
+        ocr16 = to_blocks(cr, 16)
+        tcb16, lcb16, ccb16 = src_refs(ocb16, hc, wc, 16)
+        _, _, sdAcb, rbAcb = eval_intra_chroma(
+            ocb16.reshape(n32, 16, 16), tcb16, lcb16, ccb16, 16, 1,
+            qpcb32.reshape(-1), best32)
+        trb16, lrb16, crb16 = src_refs(ocr16, hc, wc, 16)
+        _, _, sdAcr, rbAcr = eval_intra_chroma(
+            ocr16.reshape(n32, 16, 16), trb16, lrb16, crb16, 16, 2,
+            qpcb32.reshape(-1), best32)
+        jA = jAy + sdAcb + sdAcr + lamv32 * (rbAcb + rbAcr + 4.0)
+
+        j_split = j16.reshape(hc, 2, wc, 2).sum((1, 3)).reshape(-1)
+        split = (j_split < jA).astype(jnp.int32).reshape(hc, wc)
+        b32rep = jnp.repeat(jnp.repeat(best32.reshape(hc, wc), 2, 0),
+                            2, 1)
+        srep = jnp.repeat(jnp.repeat(split, 2, 0), 2, 1)
+        modes16 = jnp.where(srep == 1, best16.reshape(h16, w16), b32rep)
+        return split, modes16
+
+    def _fast_frame(self, y, cb, cr, qp16, qpcb16, qpcr16, lam16,
+                    qp32, qpcb32, qpcr32, lam32, slice_qp,
+                    want_recon=False):
+        """Estimate (parallel, source refs) + commit (wavefront,
+        single-mode chains on true recon refs) in ONE compiled step."""
+        split, modes16 = self._estimate_frame(
+            y, cb, cr, qp16, qpcb16, lam16, qp32, qpcb32, lam32)
+        return self._encode_frame(
+            y, cb, cr, qp16, qpcb16, qpcr16, lam16, qp32, qpcb32,
+            qpcr32, lam32, slice_qp, f_split=split, f_modes=modes16,
+            want_recon=want_recon)
 
     # ---- host wrapper ----------------------------------------------------
 
@@ -624,7 +753,11 @@ class IntraTreeEncoder:
     def encode_async(self, y, cb, cr, qp: int, want_recon: bool = False,
                      qp_offsets=None):
         maps = self._maps(qp, qp_offsets)
-        step = self._step_recon if want_recon else self._step
+        if self.fast:
+            step = self._step_fast_recon if want_recon else \
+                self._step_fast
+        else:
+            step = self._step_recon if want_recon else self._step
         return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
                     jnp.asarray(cr, jnp.uint8),
                     *(jnp.asarray(m) for m in maps),
@@ -647,11 +780,13 @@ class IntraTreeEncoder:
 
     def collect(self, outs, want_recon: bool = False) -> FrameResult:
         h16, w16 = self.h16, self.w16
-        ly8, lcb8, lcr8, fits8 = outs[-4:]
-        if bool(np.asarray(fits8)):
-            ly_r = np.asarray(ly8)
-            lcb_r = np.asarray(lcb8)
-            lcr_r = np.asarray(lcr8)
+        n16 = h16 * w16
+        bm, vals, nnz, fits = outs[-4:]
+        if bool(np.asarray(fits)):
+            from ..ops.pack import unpack_levels
+            ly_r, lcb_r, lcr_r = unpack_levels(
+                np.asarray(bm), np.asarray(vals), int(np.asarray(nnz)),
+                [(n16, 16, 16), (n16, 8, 8), (n16, 8, 8)])
         else:
             ly_r = np.asarray(outs[2])
             lcb_r = np.asarray(outs[3])
@@ -694,23 +829,32 @@ class IntraTreeEncoder:
         maps_b = [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
                   for m in maps]
         qp_b = jnp.full((f,), qp, jnp.int32)
-        return self._step_batch(jnp.asarray(ys, jnp.uint8),
-                                jnp.asarray(cbs, jnp.uint8),
-                                jnp.asarray(crs, jnp.uint8), *maps_b,
-                                qp_b)
+        step = self._step_fast_batch if self.fast else self._step_batch
+        return step(jnp.asarray(ys, jnp.uint8),
+                    jnp.asarray(cbs, jnp.uint8),
+                    jnp.asarray(crs, jnp.uint8), *maps_b, qp_b)
 
     def collect_batch(self, outs) -> list[FrameResult]:
         """Fetch one batched step to host (one D2H per array) and split
         into per-frame FrameResults."""
         h16, w16 = self.h16, self.w16
+        n16 = h16 * w16
         split = np.asarray(outs[0])
         modes = np.asarray(outs[1])
         sse = np.asarray(outs[5])
-        ly8, lcb8, lcr8, fits8 = outs[-4:]
-        if bool(np.asarray(fits8).all()):
-            ly = np.asarray(ly8)
-            lcb = np.asarray(lcb8)
-            lcr = np.asarray(lcr8)
+        bm, vals, nnz, fits = outs[-4:]
+        if bool(np.asarray(fits).all()):
+            from ..ops.pack import unpack_levels
+            bm_np = np.asarray(bm)
+            vals_np = np.asarray(vals)
+            nnz_np = np.asarray(nnz)
+            per = [unpack_levels(bm_np[i], vals_np[i], int(nnz_np[i]),
+                                 [(n16, 16, 16), (n16, 8, 8),
+                                  (n16, 8, 8)])
+                   for i in range(bm_np.shape[0])]
+            ly = np.stack([p[0] for p in per])
+            lcb = np.stack([p[1] for p in per])
+            lcr = np.stack([p[2] for p in per])
         else:
             ly = np.asarray(outs[2])
             lcb = np.asarray(outs[3])

@@ -204,6 +204,132 @@ def predict_all_modes_batch(top: jax.Array, left: jax.Array,
     return preds.astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _single_mode_tables(n: int):
+    """Combined per-mode one-hot tables for SINGLE-mode angular
+    prediction (modes 0..34; 0/1 are dummies overridden by planar/DC).
+
+    E [35, n, 2n+1]: negative-extension builder over [corner, side].
+    W [35, n*n, 3n+2]: two-tap interpolation weights over the mref,
+    with the H-group transpose folded in so every mode writes output
+    coords (y, x) directly.
+    """
+    length = 3 * n + 2
+    (v_ext, v_gidx, v_fact), (h_ext, h_gidx, h_fact) = _angular_tables(n)
+    e_all = np.zeros((35, n, 2 * n + 1), np.float32)
+    w_all = np.zeros((35, n * n, length), np.float32)
+    for mode in range(2, 35):
+        if mode >= 18:
+            gi = V_MODES.index(mode)
+            ext, gidx, fact = v_ext[gi], v_gidx[gi], v_fact[gi]
+            transpose = False
+        else:
+            gi = H_MODES.index(mode)
+            ext, gidx, fact = h_ext[gi], h_gidx[gi], h_fact[gi]
+            transpose = True
+        for k in range(n):
+            src = min(int(ext[k]), 2 * n - 1)
+            e_all[mode, k, 0 if src < 0 else src + 1] = 1.0
+        for k in range(n):
+            f = int(fact[k])
+            for j in range(n):
+                g = int(gidx[k, j])
+                q = (j * n + k) if transpose else (k * n + j)
+                w_all[mode, q, g] += 32 - f
+                w_all[mode, q, g + 1] += f
+    e_all[0] = e_all[2]
+    e_all[1] = e_all[2]
+    w_all[0] = w_all[2]
+    w_all[1] = w_all[2]
+    return e_all, w_all
+
+
+@functools.partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth"))
+def predict_modes_batch(top: jax.Array, left: jax.Array,
+                        corner: jax.Array, modes: jax.Array, n: int,
+                        c_idx: int = 0, bit_depth: int = 8) -> jax.Array:
+    """ONE intra mode per block (the estimate-then-commit fast path:
+    the 35-mode search runs in a parallel pre-pass on source refs, the
+    wavefront commit scan calls this with the chosen mode — ~35x less
+    prediction work per scan step than predict_all_modes_batch).
+
+    top/left: [B, 2n] int32 (substituted refs), corner: [B] int32,
+    modes: [B] int32 in 0..34.  Returns pred[B, n, n] int32, equal to
+    predict_all_modes_batch(...)[b, modes[b]] for every b.
+    """
+    maxv = (1 << bit_depth) - 1
+    bsz = top.shape[0]
+    log2n = n.bit_length() - 1
+
+    # [1 2 1] smoothed refs (same construction as the all-modes path)
+    seq = jnp.concatenate([left[:, ::-1], corner[:, None], top], axis=1)
+    sm = seq.at[:, 1:-1].set((seq[:, :-2] + 2 * seq[:, 1:-1] + seq[:, 2:]
+                              + 2) >> 2)
+    left_f = sm[:, :2 * n][:, ::-1]
+    corner_f = sm[:, 2 * n]
+    top_f = sm[:, 2 * n + 1:]
+
+    use_filt = np.array([filter_flag(m, n, c_idx) for m in range(35)])
+    uf = jnp.asarray(use_filt)[modes][:, None]          # [B, 1]
+    is_v = (modes >= 18)[:, None]                        # [B, 1]
+
+    topx = jnp.where(uf, top_f, top)
+    leftx = jnp.where(uf, left_f, left)
+    corx = jnp.where(uf[:, 0], corner_f, corner)
+    main = jnp.where(is_v, topx, leftx).astype(jnp.float32)
+    side = jnp.where(is_v, leftx, topx).astype(jnp.float32)
+
+    e_all, w_all = _single_mode_tables(n)
+    e_sel = jnp.asarray(e_all)[modes]                    # [B, n, 2n+1]
+    w_sel = jnp.asarray(w_all)[modes]                    # [B, n*n, L]
+    src = jnp.concatenate([corx[:, None].astype(jnp.float32), side], 1)
+    ext = jnp.einsum("bl,bkl->bk", src, e_sel,
+                     preferred_element_type=jnp.float32)  # [B, n]
+    line = jnp.concatenate(
+        [corx[:, None].astype(jnp.float32), main, main[:, -1:]], 1)
+    mref = jnp.concatenate([ext, line], 1)               # [B, 3n+2]
+    acc = jnp.einsum("bql,bl->bq", w_sel, mref,
+                     preferred_element_type=jnp.float32)
+    pred_ang = jnp.floor((acc + 16.0) * (1.0 / 32.0)) \
+        .astype(jnp.int32).reshape(bsz, n, n)
+
+    # planar (mode 0)
+    pt, pl_, pc = (top_f, left_f, corner_f) if use_filt[0] else \
+        (top, left, corner)
+    xx = jnp.arange(n)[None, None, :]
+    yy = jnp.arange(n)[None, :, None]
+    planar = (((n - 1 - xx) * pl_[:, :n][:, :, None]
+               + (xx + 1) * pt[:, n][:, None, None]
+               + (n - 1 - yy) * pt[:, :n][:, None, :]
+               + (yy + 1) * pl_[:, n][:, None, None] + n) >> (log2n + 1))
+
+    # DC (mode 1) on unfiltered refs
+    dc = (jnp.sum(top[:, :n], 1) + jnp.sum(left[:, :n], 1) + n) >> \
+        (log2n + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (bsz, n, n))
+    if c_idx == 0 and n < 32:
+        row0 = (top[:, :n] + 3 * dc[:, None] + 2) >> 2
+        col0 = (left[:, :n] + 3 * dc[:, None] + 2) >> 2
+        corner_px = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(row0)
+        dcp = dcp.at[:, :, 0].set(col0)
+        dcp = dcp.at[:, 0, 0].set(corner_px)
+
+    m3 = modes[:, None, None]
+    pred = jnp.where(m3 == 0, planar,
+                     jnp.where(m3 == 1, dcp, pred_ang))
+
+    if c_idx == 0 and n < 32:
+        # modes 26/10: edge filtering with UNfiltered refs
+        col = jnp.clip(top[:, 0][:, None]
+                       + ((left[:, :n] - corner[:, None]) >> 1), 0, maxv)
+        row = jnp.clip(left[:, 0][:, None]
+                       + ((top[:, :n] - corner[:, None]) >> 1), 0, maxv)
+        pred = jnp.where(m3 == 26, pred.at[:, :, 0].set(col), pred)
+        pred = jnp.where(m3 == 10, pred.at[:, 0, :].set(row), pred)
+    return pred.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "bit_depth"))
 def substitute_refs_general(top_raw: jax.Array, left_raw: jax.Array,
                             corner_raw: jax.Array,
