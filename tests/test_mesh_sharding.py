@@ -49,29 +49,38 @@ def test_frame_parallel_step_matches_single_device():
 
 
 def test_sharded_bitstream_byte_identity():
-    """End-to-end: encoding the same frames with device arrays placed on
-    a frame-sharded mesh must yield byte-identical bitstreams to the
-    default single-device encode."""
+    """End-to-end: the batched all-intra pipeline with its device
+    inputs PLACED ON A FRAME-SHARDED MESH (SPMD across the 8-device CPU
+    mesh) must yield byte-identical bitstreams to the default
+    single-device encode (reference determinism invariant,
+    threading.rst:176-191, strengthened to any sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from x265amod_tpu.models.encoder import Encoder
+    from x265amod_tpu.parallel.mesh import make_mesh
     from x265amod_tpu.utils.params import param_default_preset
 
-    w, h = 64, 32
+    w, h = 64, 64
     ys, cbs, crs = _frames(6, h, w, seed=11)
 
-    def encode_all():
+    def encode_all(sharding):
         p = param_default_preset("ultrafast")
         p.width, p.height = w, h
         p.qp = 32
         p.keyint = 1
+        p.ctu_size = 32          # batched tree fast path
         enc = Encoder(p)
+        enc.frame_sharding = sharding
+        frames = [(ys[i], cbs[i], crs[i]) for i in range(len(ys))]
         nals = b""
-        for i in range(len(ys)):
-            for o in enc.encode_push(ys[i], cbs[i], crs[i]):
-                nals += o.nals
-        for o in enc.flush():
+        n_out = 0
+        for o in enc.encode_pipelined(frames):
             nals += o.nals
+            n_out += 1
+        assert n_out == len(ys)
         return nals
 
-    a = encode_all()
-    b = encode_all()
-    assert a == b and len(a) > 0
+    mesh = make_mesh(n_frame=len(jax.devices()), n_row=1)
+    sharded = encode_all(NamedSharding(mesh, P("frame")))
+    unsharded = encode_all(None)
+    assert len(unsharded) > 0
+    assert sharded == unsharded

@@ -42,3 +42,24 @@ def test_pack_all_zero():
     assert bool(fits) and int(nnz) == 0
     (ua,) = unpack_levels(bm, vals, nnz, [a.shape])
     np.testing.assert_array_equal(ua, a)
+
+
+def test_mux_roundtrip():
+    """mux_arrays -> single uint8 buffer -> demux_buffer recovers every
+    array bit-exactly (incl. int16/int32/float32 bitcasts)."""
+    import jax.numpy as jnp
+    from x265amod_tpu.ops.pack import demux_buffer, mux_arrays
+    rng = np.random.default_rng(5)
+    arrs = [
+        ("i8", rng.integers(-100, 100, (7, 3)).astype(np.int8)),
+        ("u8", rng.integers(0, 256, (4,)).astype(np.uint8)),
+        ("i16", rng.integers(-30000, 30000, (5, 2)).astype(np.int16)),
+        ("i32", rng.integers(-2**30, 2**30, (6,)).astype(np.int32)),
+        ("f32", rng.normal(size=(3, 3)).astype(np.float32)),
+        ("b", np.array([True, False, True])),
+    ]
+    buf, spec = mux_arrays([(n, jnp.asarray(a)) for n, a in arrs])
+    got = demux_buffer(np.asarray(buf), spec)
+    for n, a in arrs:
+        want = a.astype(np.uint8) if a.dtype == np.bool_ else a
+        np.testing.assert_array_equal(got[n], want, err_msg=n)

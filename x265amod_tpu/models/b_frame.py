@@ -33,6 +33,9 @@ from ..ops.quant import chroma_qp, dequant, derive_qp_maps, quant
 from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import _diag_schedule
 from .inter_frame import SEARCH_RANGE, _mvd_bits, _rbits_proxy
+from ..ops.estbits import intra_hdr_bits
+
+_INTRA_HDR_BITS = float(intra_hdr_bits("B"))
 
 MAX_MERGE = 2
 
@@ -344,7 +347,7 @@ class BFrameEncoder:
             j_l0 = dl0 + lam * (rl0 + bits0 + 8.0)
             j_l1 = dl1 + lam * (rl1 + bits1 + 8.0)
             j_bi = dbi + lam * (rbi + bits0 + bits1 + 10.0)
-            j_intra = d_intra + lam * 3.0
+            j_intra = d_intra + lam * _INTRA_HDR_BITS
 
             js = jnp.stack([j_skip0, j_skip1, j_l0, j_l1, j_bi,
                             j_intra], 1)

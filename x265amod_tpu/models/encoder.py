@@ -83,8 +83,10 @@ class Encoder:
         # slice types (I/P/B share the CTB32 SPS); the flat CTU16
         # pipeline remains for lossless (per-CU transquant bypass at 16
         # keeps recon == source everywhere) and explicit --ctu 16
-        self.use_tree = param.ctu_size >= 32 and not param.lossless
-        if param.ctu_size >= 32 and not self.use_tree:
+        assert param.ctu_size in (16, 32), \
+            "check_params rejects other CTU sizes"
+        self.use_tree = param.ctu_size == 32 and not param.lossless
+        if param.ctu_size == 32 and not self.use_tree:
             param.ctu_size = 16
         ctu = 32 if self.use_tree else 16
         self.ctu = ctu
@@ -466,14 +468,14 @@ class Encoder:
                     yp, cbp, crp, qp, want_recon=collect_recon,
                     qp_offsets=qp_off)
             if self.inter_enabled:
-                self._dpb[poc] = dev[6:9] if self.use_tree else dev[5:8]
+                self._dpb[poc] = dev[4:7] if self.use_tree else dev[5:8]
         elif stype == "P":
             qp = forced_qp if forced_qp is not None \
                 else self.rc.frame_qp("P")
             dev = self.inter_encoder.encode_async(
                 yp, cbp, crp, self._dpb[e["ref0"]], qp,
                 want_recon=return_recon, qp_offsets=qp_off)
-            self._dpb[poc] = dev[10:13] if self.use_tree else dev[9:12]
+            self._dpb[poc] = dev[4:7] if self.use_tree else dev[9:12]
         else:
             qp = forced_qp if forced_qp is not None \
                 else self.rc.frame_qp("B" if e["is_ref"] else "b")
@@ -484,7 +486,7 @@ class Encoder:
                 self._dpb[e["ref1"]], qp, dsf0, dsf1,
                 want_recon=return_recon, qp_offsets=qp_off)
             if e["is_ref"]:
-                self._dpb[poc] = dev[13:16] if self.use_tree \
+                self._dpb[poc] = dev[4:7] if self.use_tree \
                     else dev[12:15]
         if self.pps.cu_qp_delta_enabled:
             from ..ops.quant import derive_qp_maps
@@ -531,13 +533,23 @@ class Encoder:
             return
         from collections import deque
         q = deque()
+
+        def advance(e):
+            # D2H of the oldest entry BEFORE enqueueing new device work
+            # (tunnel D2H queues behind pending device steps), then
+            # dispatch, then host CABAC of the collected entry while
+            # the new frame computes.
+            if q and "res" not in q[0]:
+                self._collect(q[0])
+            q.append(self._dispatch_entry(e, return_recon))
+            while len(q) > 1:
+                yield self._finish(q.popleft())
+
         for fr in frames:
             for e in self._push_display_frame(*fr):
-                q.append(self._dispatch_entry(e, return_recon))
-                while len(q) > 2:
-                    yield self._finish(q.popleft())
+                yield from advance(e)
         for e in self._flush_gop():
-            q.append(self._dispatch_entry(e, return_recon))
+            yield from advance(e)
         while q:
             yield self._finish(q.popleft())
 
@@ -564,12 +576,24 @@ class Encoder:
             ys = np.stack([f[0] for f in buf])
             cbs = np.stack([f[1] for f in buf])
             crs = np.stack([f[2] for f in buf])
-            return (fe.encode_batch_async(ys, cbs, crs, qp), qp, n_real,
+            return (fe.encode_batch_async(
+                ys, cbs, crs, qp,
+                sharding=getattr(self, "frame_sharding", None)),
+                qp, n_real,
                     time.time())
 
-        def finish_group(group):
+        def collect_group(group):
+            """Blocking device-wait + ONE D2H fetch.  Must run BEFORE
+            the next group is dispatched: on the tunneled TPU a D2H
+            issued while the device is busy queues behind the whole
+            next device step (measured +200 ms/group)."""
             dev, qp, n_real, t0 = group
-            results = fe.collect_batch(dev)[:n_real]
+            return fe.collect_batch(dev)[:n_real], qp, t0
+
+        def emit_group(collected):
+            """Host CABAC + NAL assembly — overlaps the NEXT group's
+            device step (the only stage that safely can)."""
+            results, qp, t0 = collected
             payloads = list(pool.map(
                 lambda r: self._cabac_intra(r, qp, None), results))
             outs = []
@@ -585,14 +609,20 @@ class Encoder:
             crp = _pad_to_ctu(np.asarray(fr[2]), self.ctu // 2)
             buf.append((yp, cbp, crp))
             if len(buf) == bsz:
+                collected = collect_group(pending.popleft()) \
+                    if pending else None
                 pending.append(dispatch(buf))
                 buf = []
-                while len(pending) > 1:
-                    yield from finish_group(pending.popleft())
+                if collected is not None:
+                    yield from emit_group(collected)
         if buf:
+            collected = collect_group(pending.popleft()) \
+                if pending else None
             pending.append(dispatch(buf))
+            if collected is not None:
+                yield from emit_group(collected)
         while pending:
-            yield from finish_group(pending.popleft())
+            yield from emit_group(collect_group(pending.popleft()))
 
     def _assemble_intra_nal(self, res, qp, payload, entry_offs,
                             t0) -> EncodeOutput:
@@ -672,30 +702,38 @@ class Encoder:
 
     # -- host side -------------------------------------------------------
 
+    def _collect(self, pending) -> None:
+        """Device wait + ONE D2H fetch for a dispatched entry; kept
+        separate from _finish so callers can fetch while the device is
+        idle and run host CABAC while the next frame computes."""
+        e = pending["entry"]
+        collect_recon = pending.get("collect_recon",
+                                    pending["return_recon"])
+        st = e["stype"]
+        enc = self.frame_encoder if st == "I" else \
+            self.inter_encoder if st == "P" else self.b_encoder
+        pending["res"] = enc.collect(pending["dev"],
+                                     want_recon=collect_recon)
+
     def _finish(self, pending) -> EncodeOutput:
         e = pending["entry"]
-        dev_out = pending["dev"]
         t0 = pending["t0"]
         qp = pending["qp"]
         return_recon = pending["return_recon"]
-        collect_recon = pending.get("collect_recon", return_recon)
         slice_type = e["stype"]
         poc = e["poc"]
         w, h = self.param.width, self.param.height
         qp_map = e.get("qp_map")
+        if "res" not in pending:
+            self._collect(pending)
+        res = pending["res"]
         if slice_type == "I":
-            res = self.frame_encoder.collect(dev_out,
-                                             want_recon=collect_recon)
             payload, entry_offs = self._cabac_intra(res, qp, qp_map)
             nal_type = NAL_IDR_W_RADL
         elif slice_type == "P":
-            res = self.inter_encoder.collect(dev_out,
-                                             want_recon=collect_recon)
             payload, entry_offs = self._cabac_inter(res, qp, qp_map)
             nal_type = NAL_TRAIL_R
         else:
-            res = self.b_encoder.collect(dev_out,
-                                         want_recon=collect_recon)
             payload, entry_offs = self._cabac_b(res, qp, qp_map)
             nal_type = NAL_TRAIL_R if e["is_ref"] else NAL_TRAIL_N
 

@@ -68,10 +68,12 @@ class InterFrameResult:
     sao_c: tuple | None = None
 
 
-def _rbits_proxy(levels):
-    absl = jnp.abs(levels).astype(jnp.float32)
-    return jnp.sum(jnp.where(absl > 0, 2.0 * jnp.log2(absl + 1.0) + 1.5,
-                             0.02), axis=(-2, -1))
+def _rbits_proxy(levels, c_idx: int = 0):
+    """Coefficient rate for RD decisions: context-anchored estBit
+    estimator (ops/estbits.py; role of reference entropy.cpp:2220
+    estBit tables).  Replaced the round-1..3 log-guess proxy."""
+    from ..ops.estbits import tu_bits
+    return tu_bits(levels, c_idx=c_idx, slice_type="P")
 
 
 def _mvd_bits(mvd):
@@ -210,7 +212,8 @@ class InterFrameEncoder:
         rb_i = _rbits_proxy(lv_i)
         j_intra_modes = ssd_i + lam_blk[:, None] * (rb_i + 6.0)
         dist_intra_est = jnp.min(j_intra_modes, axis=1)
-        bits_intra_extra = jnp.float32(3.0)   # pred_mode+part+chroma bins
+        from ..ops.estbits import intra_hdr_bits
+        bits_intra_extra = jnp.float32(intra_hdr_bits("P"))
 
         # ---- 4. decide scan ------------------------------------------------
         mv_map = jnp.zeros((hc + 1, wc, 2), jnp.int32)   # qpel

@@ -41,6 +41,11 @@ from .inter_frame import MAX_MERGE, InterFrameResult, _mvd_bits, \
 from .intra_frame import _diag_schedule
 from .intra_tree import (_bc, eval_intra_chroma, eval_intra_luma,
                          intra_mode_bits, qp32_of)
+from ..ops.estbits import intra_hdr_bits
+
+# header-bin cost of an intra CU inside an inter slice (pred_mode,
+# part_mode, luma mode mpm bins, chroma DM) at P-slice init states
+_INTRA_HDR_BITS = float(intra_hdr_bits("P"))
 
 
 def _merge2(av_a1, mv_a1, av_b1, mv_b1, av_b0, mv_b0, av_b2, mv_b2):
@@ -277,7 +282,8 @@ class InterTreeEncoder:
                 j_s1 = lookup(grid, idx16, mrg1 >> 2) + lamv * 3.0
                 if with_intra:
                     js = jnp.stack(
-                        [j_s0, j_s1, j_inter, di + lamv * 3.0], 1)
+                        [j_s0, j_s1, j_inter,
+                         di + lamv * _INTRA_HDR_BITS], 1)
                 else:
                     js = jnp.stack([j_s0, j_s1, j_inter], 1)
                 choice = jnp.argmin(js, axis=1)
@@ -546,25 +552,43 @@ class InterTreeEncoder:
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
-        from ..ops.pack import pack_cap, pack_levels
-        packed = pack_levels([ly_r, lcb_r, lcr_r],
-                             pack_cap(self.h16 * self.w16 * 384))
-        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
-                merge16.astype(jnp.uint8), mvd16.astype(jnp.int16),
-                mvp16.astype(jnp.uint8), modes_r, ly_r, lcb_r, lcr_r,
-                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8)) + sao_out + packed
+        buf = self._mux_small(
+            [("split", split_r.astype(jnp.int8)),
+             ("kinds", kinds16.astype(jnp.uint8)),
+             ("mrg", merge16.astype(jnp.uint8)),
+             ("mvd", mvd16.astype(jnp.int16)),
+             ("mvp", mvp16.astype(jnp.uint8)),
+             ("modes", modes_r), ("sse", sse)],
+            sao_out, ly_r, lcb_r, lcr_r)
+        return (buf, ly_r, lcb_r, lcr_r, rec_y.astype(jnp.uint8),
+                rec_cb.astype(jnp.uint8), rec_cr.astype(jnp.uint8))
 
+    # ------------------------------------------------------------------
+    def _mux_small(self, named, sao_out, ly_r, lcb_r, lcr_r):
+        """Shared one-fetch host interface (see intra_tree): mux every
+        small output + sparse-packed levels into one uint8 buffer.
+        Inter residuals can be denser than intra at the same QP (noisy
+        content), so the value capacity is total/8."""
+        from ..ops.pack import mux_arrays, pack_cap, pack_levels
+        cap = pack_cap(self.h16 * self.w16 * 384, frac=8)
+        bm, vals, nnz, fits = pack_levels([ly_r, lcb_r, lcr_r], cap)
+        named = list(named)
+        named += [(f"sao{i}", a.astype(jnp.int32))
+                  for i, a in enumerate(sao_out)]
+        named += [("bm", bm), ("vals", vals), ("nnz", nnz),
+                  ("fits", fits)]
+        buf, self._mux_spec = mux_arrays(named)
+        return buf
 
     # ------------------------------------------------------------------
     def _intra_trial16(self, oy, oy_flat, qp16_blk, lam16_blk):
         """Parallel intra estimate per 16-cell using SOURCE-pixel
-        neighbor references: 35-mode SATD scan picks ONE mode, a single
-        transform/quant chain prices it (the reference's sa8d-based
-        intra-in-inter estimate, analysis.cpp rd0-4; exact refs applied
-        at commit).  Returns (cost [n16] f32, best_mode [n16] i32)."""
-        from ..ops.intra import predict_all_modes_batch, substitute_refs
-        from .intra_tree import _satd_modes
+        neighbor references: 35-mode SATD scan, full RD chains on the
+        top-RD_CANDS shortlist (eval_intra_luma two-stage, the
+        reference's estIntraPredQT shape), ONE winner mode exported so
+        the commit scan runs a single chain on true recon refs.
+        Returns (cost [n16] f32, best_mode [n16] i32)."""
+        from ..ops.intra import substitute_refs
         w16, h16 = self.w16, self.h16
         n16 = h16 * w16
         all_cx = jnp.arange(n16, dtype=jnp.int32) % w16
@@ -581,20 +605,10 @@ class InterTreeEncoder:
         craw = srcb[cyu, cxl, 15, 15]
         tt, ll, ccn = substitute_refs(traw, lraw, craw, all_cx, all_cy,
                                       16, w16)
-        preds_i = predict_all_modes_batch(tt, ll, ccn, 16, 0)
-        sat = _satd_modes(oy_flat, preds_i).astype(jnp.float32)
         mb = intra_mode_bits(jnp.ones((n16,), jnp.int32))
-        best = jnp.argmin(sat + lam16_blk[:, None] * mb, axis=1) \
-            .astype(jnp.int32)
-        pred1 = jnp.take_along_axis(
-            preds_i, best[:, None, None, None], 1)[:, 0]
-        qp3 = qp16_blk[:, None, None]
-        lv = quant(fwd_transform(oy_flat - pred1), qp3)
-        rec = jnp.clip(pred1 + inv_transform(dequant(lv, qp3)), 0, 255)
-        ssd = jnp.sum((rec - oy_flat) ** 2, axis=(1, 2)) \
-            .astype(jnp.float32)
-        cost = ssd + lam16_blk * (_rbits_proxy(lv) + 6.0)
-        return cost, best
+        best, _, _, j = eval_intra_luma(
+            oy_flat, tt, ll, ccn, 16, qp16_blk, lam16_blk, mb)
+        return j, best.astype(jnp.int32)
 
     # ------------------------------------------------------------------
     def _commit_scan(self, kinds16, imode16, oy_flat, ocb_flat, ocr_flat,
@@ -830,42 +844,47 @@ class InterTreeEncoder:
                     *(jnp.asarray(m) for m in maps),
                     jnp.asarray(qp, jnp.int32))
 
-    def _levels_of(self, outs, dense_idx):
-        """Fetch levels: sparse bitmap+values unless overflowed."""
+    def _demux(self, outs):
+        """One D2H fetch -> demuxed dict + levels (dense fallback only
+        on pack overflow)."""
+        from ..ops.pack import demux_buffer, unpack_levels
         n16 = self.h16 * self.w16
-        bm, vals, nnz, fits = outs[-4:]
-        if bool(np.asarray(fits)):
-            from ..ops.pack import unpack_levels
-            return unpack_levels(
-                np.asarray(bm), np.asarray(vals), int(np.asarray(nnz)),
+        d = demux_buffer(np.asarray(outs[0]), self._mux_spec)
+        if int(d["fits"]) != 0:
+            levels = unpack_levels(
+                d["bm"], d["vals"], int(d["nnz"]),
                 [(n16, 16, 16), (n16, 8, 8), (n16, 8, 8)])
-        return [np.asarray(outs[i]) for i in dense_idx]
+        else:
+            levels = [np.asarray(a) for a in outs[1:4]]
+        return d, levels
+
+    def _apply_sao(self, res, d):
+        if self.sao:
+            sao = [d[f"sao{i}"] for i in range(10)]
+            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
+                res.sao_offsets = sao[:4]
+            res.sao_c = tuple(sao[4:10])
 
     def collect(self, outs, want_recon: bool = False) -> InterFrameResult:
         h16, w16 = self.h16, self.w16
-        ly, lcb, lcr = self._levels_of(outs, (6, 7, 8))
-        host = [np.asarray(a) for a in outs[:6]] + [np.asarray(outs[9])]
-        (split, kinds, mrg, mvd, mvp, modes, sse) = host
+        d, (ly, lcb, lcr) = self._demux(outs)
         res = InterFrameResult(
-            kinds.reshape(h16, w16).astype(np.int32),
-            mrg.reshape(h16, w16).astype(np.int32),
-            mvd.reshape(h16, w16, 2).astype(np.int32),
-            mvp.reshape(h16, w16).astype(np.int32),
-            modes.reshape(h16, w16).astype(np.int32),
+            d["kinds"].reshape(h16, w16).astype(np.int32),
+            d["mrg"].reshape(h16, w16).astype(np.int32),
+            d["mvd"].reshape(h16, w16, 2).astype(np.int32),
+            d["mvp"].reshape(h16, w16).astype(np.int32),
+            d["modes"].reshape(h16, w16).astype(np.int32),
             ly.reshape(h16, w16, 16, 16).astype(np.int32),
             lcb.reshape(h16, w16, 8, 8).astype(np.int32),
             lcr.reshape(h16, w16, 8, 8).astype(np.int32),
-            sse, recon_dev=outs[10:13])
-        res.split = split.reshape(self.hc, self.wc).astype(np.int32)
+            d["sse"], recon_dev=outs[4:7])
+        res.split = d["split"].reshape(self.hc, self.wc) \
+            .astype(np.int32)
         if want_recon:
-            res.recon_y = np.asarray(outs[10])
-            res.recon_cb = np.asarray(outs[11])
-            res.recon_cr = np.asarray(outs[12])
-        if self.sao:
-            arrs = [np.asarray(a) for a in outs[13:23]]
-            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                res.sao_offsets = arrs[:4]
-            res.sao_c = tuple(arrs[4:10])
+            res.recon_y = np.asarray(outs[4])
+            res.recon_cb = np.asarray(outs[5])
+            res.recon_cr = np.asarray(outs[6])
+        self._apply_sao(res, d)
         return res
 
 def _scale_mv_vec(mv, dsf):
@@ -1109,7 +1128,7 @@ class BTreeEncoder(InterTreeEncoder):
                 j_bi = dbi + lamv * (rbi + bits0 + bits1 + 10.0)
                 opts = [j_skip0, j_skip1, j_l0, j_l1, j_bi]
                 if with_intra:
-                    opts.append(di + lamv * 3.0)
+                    opts.append(di + lamv * _INTRA_HDR_BITS)
                 js = jnp.stack(opts, 1)
                 choice = jnp.argmin(js, axis=1)
                 kind = jnp.where(choice <= 1, 0,
@@ -1420,16 +1439,19 @@ class BTreeEncoder(InterTreeEncoder):
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
-        from ..ops.pack import pack_cap, pack_levels
-        packed = pack_levels([ly_r, lcb_r, lcr_r],
-                             pack_cap(self.h16 * self.w16 * 384))
-        return (split_r.astype(jnp.int8), kinds16.astype(jnp.uint8),
-                merge16.astype(jnp.uint8), dir16.astype(jnp.uint8),
-                mvd0_16.astype(jnp.int16), mvp0_16.astype(jnp.uint8),
-                mvd1_16.astype(jnp.int16), mvp1_16.astype(jnp.uint8),
-                modes_r, ly_r, lcb_r, lcr_r,
-                sse, rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                rec_cr.astype(jnp.uint8)) + sao_out + packed
+        buf = self._mux_small(
+            [("split", split_r.astype(jnp.int8)),
+             ("kinds", kinds16.astype(jnp.uint8)),
+             ("mrg", merge16.astype(jnp.uint8)),
+             ("dir", dir16.astype(jnp.uint8)),
+             ("mvd0", mvd0_16.astype(jnp.int16)),
+             ("mvp0", mvp0_16.astype(jnp.uint8)),
+             ("mvd1", mvd1_16.astype(jnp.int16)),
+             ("mvp1", mvp1_16.astype(jnp.uint8)),
+             ("modes", modes_r), ("sse", sse)],
+            sao_out, ly_r, lcb_r, lcr_r)
+        return (buf, ly_r, lcb_r, lcr_r, rec_y.astype(jnp.uint8),
+                rec_cb.astype(jnp.uint8), rec_cr.astype(jnp.uint8))
 
     # ------------------------------------------------------------------
     def encode_async(self, y, cb, cr, ref0_dev, ref1_dev, qp: int,
@@ -1450,32 +1472,25 @@ class BTreeEncoder(InterTreeEncoder):
     def collect(self, outs, want_recon: bool = False):
         from .b_frame import BFrameResult
         h16, w16 = self.h16, self.w16
-        ly, lcb, lcr = self._levels_of(outs, (9, 10, 11))
-        host = [np.asarray(a) for a in outs[:9]] + \
-            [np.asarray(outs[12])]
-        (split, kinds, mrg, idir, mvd0, mvp0, mvd1, mvp1, modes,
-         sse) = host
+        d, (ly, lcb, lcr) = self._demux(outs)
         res = BFrameResult(
-            kinds.reshape(h16, w16).astype(np.int32),
-            mrg.reshape(h16, w16).astype(np.int32),
-            idir.reshape(h16, w16).astype(np.int32),
-            mvd0.reshape(h16, w16, 2).astype(np.int32),
-            mvp0.reshape(h16, w16).astype(np.int32),
-            mvd1.reshape(h16, w16, 2).astype(np.int32),
-            mvp1.reshape(h16, w16).astype(np.int32),
-            modes.reshape(h16, w16).astype(np.int32),
+            d["kinds"].reshape(h16, w16).astype(np.int32),
+            d["mrg"].reshape(h16, w16).astype(np.int32),
+            d["dir"].reshape(h16, w16).astype(np.int32),
+            d["mvd0"].reshape(h16, w16, 2).astype(np.int32),
+            d["mvp0"].reshape(h16, w16).astype(np.int32),
+            d["mvd1"].reshape(h16, w16, 2).astype(np.int32),
+            d["mvp1"].reshape(h16, w16).astype(np.int32),
+            d["modes"].reshape(h16, w16).astype(np.int32),
             ly.reshape(h16, w16, 16, 16).astype(np.int32),
             lcb.reshape(h16, w16, 8, 8).astype(np.int32),
             lcr.reshape(h16, w16, 8, 8).astype(np.int32),
-            sse, recon_dev=outs[13:16])
-        res.split = split.reshape(self.hc, self.wc).astype(np.int32)
+            d["sse"], recon_dev=outs[4:7])
+        res.split = d["split"].reshape(self.hc, self.wc) \
+            .astype(np.int32)
         if want_recon:
-            res.recon_y = np.asarray(outs[13])
-            res.recon_cb = np.asarray(outs[14])
-            res.recon_cr = np.asarray(outs[15])
-        if self.sao:
-            arrs = [np.asarray(a) for a in outs[16:26]]
-            res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                res.sao_offsets = arrs[:4]
-            res.sao_c = tuple(arrs[4:10])
+            res.recon_y = np.asarray(outs[4])
+            res.recon_cb = np.asarray(outs[5])
+            res.recon_cr = np.asarray(outs[6])
+        self._apply_sao(res, d)
         return res

@@ -39,10 +39,12 @@ from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import FrameResult, _diag_schedule
 
 
-def _rbits_proxy(levels):
-    absl = jnp.abs(levels).astype(jnp.float32)
-    return jnp.sum(jnp.where(absl > 0, 2.0 * jnp.log2(absl + 1.0) + 1.5,
-                             0.02), axis=(-2, -1))
+def _rbits_proxy(levels, c_idx: int = 0):
+    """Coefficient rate for RD decisions: context-anchored estBit
+    estimator (ops/estbits.py; role of reference entropy.cpp:2220
+    estBit tables).  Replaced the round-1..3 log-guess proxy."""
+    from ..ops.estbits import tu_bits
+    return tu_bits(levels, c_idx=c_idx)
 
 
 def _hadamard8() -> np.ndarray:
@@ -153,7 +155,7 @@ def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
                    0, 255)
     ssd = jnp.sum((rec - orig) ** 2,
                   axis=(1, 2)).astype(jnp.float32)
-    return levels, rec, ssd, _rbits_proxy(levels)
+    return levels, rec, ssd, _rbits_proxy(levels, c_idx)
 
 
 def qp32_of(qp16: np.ndarray) -> np.ndarray:
@@ -602,17 +604,26 @@ class IntraTreeEncoder:
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
             ssim_plane(y, rec_y)])
-        # sparse D2H pack (bitmap + compacted int8 values); the dense
-        # int16 tensors remain as outputs but are only TRANSFERRED on
-        # overflow (jax async D2H happens per-fetched-array)
-        from ..ops.pack import pack_cap, pack_levels
+        # one-fetch host interface: sparse-packed levels + every small
+        # output muxed into a single uint8 buffer (~26 ms fixed D2H
+        # latency per fetch on the tunneled TPU — pay it once); dense
+        # int16 level tensors remain as separate outputs, transferred
+        # ONLY on pack overflow
+        from ..ops.pack import mux_arrays, pack_cap, pack_levels
         cap = pack_cap(self.h16 * self.w16 * 384)
-        lv8 = pack_levels([ly_r, lcb_r, lcr_r], cap)
+        bm, vals, nnz, fits = pack_levels([ly_r, lcb_r, lcr_r], cap)
+        named = [("split", split_r.astype(jnp.int8)),
+                 ("modes", modes_r), ("sse", sse)]
+        named += [(f"sao{i}", a.astype(jnp.int32))
+                  for i, a in enumerate(sao_out)]
+        named += [("bm", bm), ("vals", vals), ("nnz", nnz),
+                  ("fits", fits)]
+        buf, self._mux_spec = mux_arrays(named)
         if want_recon:
-            return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse,
+            return (buf, ly_r, lcb_r, lcr_r,
                     rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                    rec_cr.astype(jnp.uint8)) + sao_out + lv8
-        return (split_r, modes_r, ly_r, lcb_r, lcr_r, sse) + sao_out + lv8
+                    rec_cr.astype(jnp.uint8))
+        return (buf, ly_r, lcb_r, lcr_r)
 
     # ---- estimate-then-commit fast path ---------------------------------
 
@@ -778,38 +789,42 @@ class IntraTreeEncoder:
                     jnp.asarray(split, jnp.int32),
                     jnp.asarray(modes, jnp.int32))
 
-    def collect(self, outs, want_recon: bool = False) -> FrameResult:
+    def _collect_one(self, d, dense) -> FrameResult:
+        """Build a FrameResult from one demuxed buffer dict (+ dense
+        level tensors fetched lazily on pack overflow)."""
         h16, w16 = self.h16, self.w16
         n16 = h16 * w16
-        bm, vals, nnz, fits = outs[-4:]
-        if bool(np.asarray(fits)):
+        if int(d["fits"]) != 0:
             from ..ops.pack import unpack_levels
             ly_r, lcb_r, lcr_r = unpack_levels(
-                np.asarray(bm), np.asarray(vals), int(np.asarray(nnz)),
+                d["bm"], d["vals"], int(d["nnz"]),
                 [(n16, 16, 16), (n16, 8, 8), (n16, 8, 8)])
         else:
-            ly_r = np.asarray(outs[2])
-            lcb_r = np.asarray(outs[3])
-            lcr_r = np.asarray(outs[4])
+            ly_r, lcb_r, lcr_r = dense()
         res = FrameResult(
-            np.asarray(outs[1]).reshape(h16, w16).astype(np.int32),
+            d["modes"].reshape(h16, w16).astype(np.int32),
             ly_r.reshape(h16, w16, 16, 16).astype(np.int32),
             lcb_r.reshape(h16, w16, 8, 8).astype(np.int32),
             lcr_r.reshape(h16, w16, 8, 8).astype(np.int32),
-            np.asarray(outs[5]))
-        res.split = np.asarray(outs[0]).reshape(self.hc, self.wc) \
+            d["sse"])
+        res.split = d["split"].reshape(self.hc, self.wc) \
             .astype(np.int32)
-        rest = outs[6:-4]
-        if want_recon:
-            res.recon_y = np.asarray(rest[0])
-            res.recon_cb = np.asarray(rest[1])
-            res.recon_cr = np.asarray(rest[2])
-            rest = rest[3:]
         if self.sao:
-            arrs = [np.asarray(a) for a in rest]
+            sao = [d[f"sao{i}"] for i in range(10)]
             res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                res.sao_offsets = arrs[:4]
-            res.sao_c = tuple(arrs[4:10])
+                res.sao_offsets = sao[:4]
+            res.sao_c = tuple(sao[4:10])
+        return res
+
+    def collect(self, outs, want_recon: bool = False) -> FrameResult:
+        from ..ops.pack import demux_buffer
+        d = demux_buffer(np.asarray(outs[0]), self._mux_spec)
+        res = self._collect_one(
+            d, lambda: [np.asarray(a) for a in outs[1:4]])
+        if want_recon:
+            res.recon_y = np.asarray(outs[4])
+            res.recon_cb = np.asarray(outs[5])
+            res.recon_cr = np.asarray(outs[6])
         return res
 
     def encode(self, y, cb, cr, qp: int,
@@ -819,60 +834,44 @@ class IntraTreeEncoder:
 
     # ---- multi-frame batched dispatch (all-intra CQP fast path) --------
 
-    def encode_batch_async(self, ys, cbs, crs, qp: int):
+    def encode_batch_async(self, ys, cbs, crs, qp: int, sharding=None):
         """Dispatch a whole batch of frames through ONE vmapped device
         step — all-intra frames are independent, so the wavefront scan's
         sequential depth is amortized across the batch (the TPU analog
-        of running many frame threads, threading.rst:123)."""
+        of running many frame threads, threading.rst:123).
+
+        ``sharding``: optional NamedSharding over the leading frames
+        axis (e.g. PartitionSpec("frame")) — inputs are placed on the
+        mesh and the vmapped step compiles SPMD across devices (GOP
+        parallelism over chips; SURVEY.md §2.2 frame-parallelism row)."""
         f = ys.shape[0]
         maps = self._maps(qp, None)
-        maps_b = [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
-                  for m in maps]
-        qp_b = jnp.full((f,), qp, jnp.int32)
+        arrs = [jnp.asarray(ys, jnp.uint8), jnp.asarray(cbs, jnp.uint8),
+                jnp.asarray(crs, jnp.uint8)]
+        arrs += [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
+                 for m in maps]
+        arrs.append(jnp.full((f,), qp, jnp.int32))
+        if sharding is not None:
+            import jax as _jax
+            arrs = [_jax.device_put(a, sharding) for a in arrs]
         step = self._step_fast_batch if self.fast else self._step_batch
-        return step(jnp.asarray(ys, jnp.uint8),
-                    jnp.asarray(cbs, jnp.uint8),
-                    jnp.asarray(crs, jnp.uint8), *maps_b, qp_b)
+        return step(*arrs)
 
     def collect_batch(self, outs) -> list[FrameResult]:
-        """Fetch one batched step to host (one D2H per array) and split
-        into per-frame FrameResults."""
-        h16, w16 = self.h16, self.w16
-        n16 = h16 * w16
-        split = np.asarray(outs[0])
-        modes = np.asarray(outs[1])
-        sse = np.asarray(outs[5])
-        bm, vals, nnz, fits = outs[-4:]
-        if bool(np.asarray(fits).all()):
-            from ..ops.pack import unpack_levels
-            bm_np = np.asarray(bm)
-            vals_np = np.asarray(vals)
-            nnz_np = np.asarray(nnz)
-            per = [unpack_levels(bm_np[i], vals_np[i], int(nnz_np[i]),
-                                 [(n16, 16, 16), (n16, 8, 8),
-                                  (n16, 8, 8)])
-                   for i in range(bm_np.shape[0])]
-            ly = np.stack([p[0] for p in per])
-            lcb = np.stack([p[1] for p in per])
-            lcr = np.stack([p[2] for p in per])
-        else:
-            ly = np.asarray(outs[2])
-            lcb = np.asarray(outs[3])
-            lcr = np.asarray(outs[4])
-        rest = [np.asarray(a) for a in outs[6:-4]] if self.sao else []
+        """ONE D2H fetch for the whole batch (the muxed buffer), then
+        split into per-frame FrameResults."""
+        from ..ops.pack import demux_buffer
+        bufs = np.asarray(outs[0])              # [F, L]
         results = []
-        for i in range(split.shape[0]):
-            res = FrameResult(
-                modes[i].reshape(h16, w16).astype(np.int32),
-                ly[i].reshape(h16, w16, 16, 16).astype(np.int32),
-                lcb[i].reshape(h16, w16, 8, 8).astype(np.int32),
-                lcr[i].reshape(h16, w16, 8, 8).astype(np.int32),
-                sse[i])
-            res.split = split[i].reshape(self.hc, self.wc) \
-                .astype(np.int32)
-            if self.sao:
-                res.sao_type, res.sao_eo_class, res.sao_band_pos, \
-                    res.sao_offsets = [a[i] for a in rest[:4]]
-                res.sao_c = tuple(a[i] for a in rest[4:10])
-            results.append(res)
+        dense_cache = []
+
+        def dense_for(i):
+            if not dense_cache:
+                dense_cache.append([np.asarray(a) for a in outs[1:4]])
+            return [a[i] for a in dense_cache[0]]
+
+        for i in range(bufs.shape[0]):
+            d = demux_buffer(bufs[i], self._mux_spec)
+            results.append(self._collect_one(
+                d, lambda i=i: dense_for(i)))
         return results

@@ -1,0 +1,193 @@
+"""Context-anchored fractional-bit estimation for RD decisions.
+
+Role of the reference's estBit tables (`encoder/entropy.cpp:2220-2390`
+estBit / estSignificantMapBit): every mode/split decision needs the
+CABAC cost of a candidate's coefficients WITHOUT running the serial
+arithmetic coder.  The reference walks per-coefficient with the live
+context states; the TPU recast prices whole level tensors in one
+batched pass using fractional-bit costs (cabac/tables.py ENTROPY_BITS,
+the -log2(p) of the spec 9.3.4.3 probability model) evaluated at the
+slice-type context INIT states (9.3.2.2).  Using init states instead
+of live states is the one approximation that keeps the estimator
+stateless and batchable; binarization lengths (TR + EGk remaining,
+last-position prefix, signs) are exact.
+
+Replaces the old `_rbits_proxy` log-guess, whose underpricing of the
+significance map made intra-in-P CUs look cheaper than skip on static
+content (round-3 red test `test_static_scene_mostly_skip`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cabac.tables import CTX_OFFSET, ENTROPY_BITS, init_context_states
+
+_SCALE = 1.0 / 32768.0
+
+
+def _bits(states: np.ndarray, name: str, idx: int, binval: int) -> float:
+    """Fractional bits of coding ``binval`` in context ``name[idx]`` at
+    its init state."""
+    st, mps = states[CTX_OFFSET[name] + idx]
+    return float(ENTROPY_BITS[st, 0 if binval == mps else 1]) * _SCALE
+
+
+@functools.lru_cache(maxsize=None)
+def bit_consts(slice_type: str = "P", qp: int = 30,
+               c_idx: int = 0) -> tuple:
+    """Scalar bit costs for the TU syntax family at init states.
+
+    qp is a representative anchor (the tables vary mildly with QP and
+    a per-frame rebuild would force an XLA recompile).  Returns a
+    tuple of python floats consumed as static closure constants:
+    (cbf0, cbf1, csb0, csb1, sig0_dc, sig1_dc, sig0, sig1,
+     g1_0, g1_1, g2_1, last_bin, intra_hdr)
+    """
+    st = init_context_states(slice_type, qp)
+    chroma = 1 if c_idx else 0
+    # qt_cbf: luma ctx 0, chroma ctx 2 in our layout (see syntax.py)
+    cbf_idx = 2 if chroma else 0
+    cbf0 = _bits(st, "qt_cbf", cbf_idx, 0)
+    cbf1 = _bits(st, "qt_cbf", cbf_idx, 1)
+    csb_idx = 2 if chroma else 0
+    csb0 = _bits(st, "coded_sub_block_flag", csb_idx, 0)
+    csb1 = _bits(st, "coded_sub_block_flag", csb_idx, 1)
+    # sig_coeff_flag: DC ctx (0 luma / 27 chroma) and a mid-frequency
+    # representative ctx for everything else
+    sig_dc = 27 if chroma else 0
+    sig_mid = 36 if chroma else 12
+    sig0_dc = _bits(st, "sig_coeff_flag", sig_dc, 0)
+    sig1_dc = _bits(st, "sig_coeff_flag", sig_dc, 1)
+    sig0 = _bits(st, "sig_coeff_flag", sig_mid, 0)
+    sig1 = _bits(st, "sig_coeff_flag", sig_mid, 1)
+    g1_idx = 16 if chroma else 1
+    g1_0 = _bits(st, "coeff_abs_level_greater1_flag", g1_idx, 0)
+    g1_1 = _bits(st, "coeff_abs_level_greater1_flag", g1_idx, 1)
+    g2_idx = 4 if chroma else 0
+    g2_1 = _bits(st, "coeff_abs_level_greater2_flag", g2_idx, 1)
+    # last_sig prefix bins: average ctx cost over the first few ctxs
+    base = 18 if chroma else 3
+    last_bin = float(np.mean([
+        min(_bits(st, "last_sig_coeff_prefix", base + i, 0),
+            _bits(st, "last_sig_coeff_prefix", base + i, 1))
+        for i in range(4)])) + 0.5
+    # intra-in-inter CU header: pred_mode_flag=intra + part 2Nx2N +
+    # prev_intra_luma_pred_flag + ~2 mpm/rem bins + chroma DM bins
+    intra_hdr = (_bits(st, "pred_mode_flag", 0, 1)
+                 + _bits(st, "part_mode", 0, 1)
+                 + _bits(st, "prev_intra_luma_pred_flag", 0, 1)
+                 + 2.0
+                 + _bits(st, "intra_chroma_pred_mode", 0, 0))
+    return (cbf0, cbf1, csb0, csb1, sig0_dc, sig1_dc, sig0, sig1,
+            g1_0, g1_1, g2_1, last_bin, intra_hdr)
+
+
+@functools.lru_cache(maxsize=None)
+def _group_idx_bins(maxpos: int) -> np.ndarray:
+    """last_sig_coeff prefix+suffix TOTAL bin count per position value
+    (spec 9.3.3.1 binarization of last_sig_coeff_x/y, via the same
+    group tables the real writer uses)."""
+    from ..cabac.syntax import last_prefix_group
+    out = np.zeros(maxpos, np.float32)
+    for v in range(maxpos):
+        gi = last_prefix_group(v)
+        prefix_bins = min(gi + 1, 18)  # truncated-unary prefix
+        suffix_bins = (gi >> 1) - 1 if gi > 3 else 0
+        out[v] = prefix_bins + suffix_bins
+    return out
+
+
+def tu_bits(levels, c_idx: int = 0, slice_type: str = "P",
+            sbh: bool = False):
+    """Estimated CABAC bits of [..., n, n] quantized levels -> [...]
+    float32 fractional bits (cbf + last-pos + significance map + level
+    flags + Golomb-Rice remaining + signs)."""
+    (cbf0, cbf1, csb0, csb1, sig0_dc, sig1_dc, sig0, sig1,
+     g1_0, g1_1, g2_1, last_bin, _ih) = bit_consts(
+        slice_type, 30, 1 if c_idx else 0)
+    n = levels.shape[-1]
+    lead = levels.shape[:-2]
+    a = jnp.abs(levels.reshape((-1, n, n))).astype(jnp.int32)
+    B = a.shape[0]
+    nz = a > 0
+    # last significant position bound (bits grow with distance from DC)
+    xs = jnp.arange(n)[None, None, :]
+    ys = jnp.arange(n)[None, :, None]
+    lx = jnp.max(jnp.where(nz, xs, 0), axis=(1, 2))
+    ly = jnp.max(jnp.where(nz, ys, 0), axis=(1, 2))
+    lastpos_tab = jnp.asarray(_group_idx_bins(32))
+    last_bits = (jnp.take(lastpos_tab, lx) +
+                 jnp.take(lastpos_tab, ly)) * last_bin
+
+    # 4x4 coefficient groups
+    cg = a.reshape(B, n // 4, 4, n // 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, -1, 16)
+    cg_nz = jnp.any(cg > 0, axis=2)
+    ncg = cg_nz.shape[1]
+    n_coded_cg = jnp.sum(cg_nz, axis=1)
+    csb_bits = jnp.where(cg_nz, csb1, csb0).sum(axis=1) - csb1 \
+        + jnp.float32(0.0)           # DC CG flag is inferred
+    csb_bits = jnp.maximum(csb_bits, 0.0)
+
+    # significance map: price every position inside coded CGs
+    sig_is_dc = jnp.zeros((B, ncg, 16), bool).at[:, 0, 0].set(True)
+    sigc1 = jnp.where(sig_is_dc, sig1_dc, sig1)
+    sigc0 = jnp.where(sig_is_dc, sig0_dc, sig0)
+    sig_bits = jnp.sum(
+        jnp.where(cg_nz[:, :, None], jnp.where(cg > 0, sigc1, sigc0),
+                  0.0), axis=(1, 2))
+
+    # greater1 (first 8 nz per CG), greater2 (first >1 per CG)
+    rank = jnp.cumsum((cg > 0).astype(jnp.int32), axis=2)
+    take_g1 = (cg > 0) & (rank <= 8)
+    g1_bits = jnp.sum(jnp.where(take_g1,
+                                jnp.where(cg > 1, g1_1, g1_0), 0.0),
+                      axis=(1, 2))
+    has_g2 = jnp.any((cg > 1) & take_g1, axis=2)
+    g2_bits = jnp.sum(jnp.where(has_g2, g2_1, 0.0), axis=1)
+
+    # remaining: Golomb-Rice, k adapted per CG from the mean magnitude
+    base_lvl = jnp.where(take_g1, jnp.minimum(cg, 3), 1)
+    rem = jnp.where(cg > 0, cg - base_lvl, 0)
+    cg_sum = jnp.sum(cg, axis=2)
+    k = jnp.clip(jnp.floor(jnp.log2(
+        jnp.maximum(cg_sum.astype(jnp.float32) / 16.0, 1.0))),
+        0, 4).astype(jnp.int32)[:, :, None]
+    pref = rem >> k
+    remf = rem.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    esc = jnp.floor(jnp.log2(jnp.maximum(
+        remf - (3.0 * (2.0 ** kf)) + (2.0 ** kf), 1.0) /
+        (2.0 ** kf))) + 1.0
+    rem_len = jnp.where(pref < 3, pref.astype(jnp.float32) + 1.0 + kf,
+                        3.0 + esc + (esc + kf))
+    rem_bits = jnp.sum(jnp.where(rem > 0, rem_len,
+                                 jnp.where((cg > 0) & (pref < 3) &
+                                           (rem == 0), 0.0, 0.0)),
+                       axis=(1, 2))
+    # coeffs with rem==0 but coded via TR prefix 0: 1+k bins counted
+    # only where a remaining field is actually sent (|l| >= base+0):
+    # approximated inside rem_len above for rem>0; rem==0 sends just
+    # the terminating prefix when the flag budget ran out
+    over8 = jnp.sum(jnp.where((cg > 0) & (rank > 8),
+                              1.0 + kf * jnp.ones_like(remf), 0.0),
+                    axis=(1, 2))
+
+    nnz = jnp.sum(nz, axis=(1, 2)).astype(jnp.float32)
+    sign_bits = nnz - (n_coded_cg.astype(jnp.float32) if sbh else 0.0)
+    sign_bits = jnp.maximum(sign_bits, 0.0)
+
+    any_nz = jnp.any(nz, axis=(1, 2))
+    total = (cbf1 + last_bits + csb_bits + sig_bits + g1_bits + g2_bits
+             + rem_bits + over8 + sign_bits)
+    out = jnp.where(any_nz, total, cbf0)
+    return out.reshape(lead).astype(jnp.float32)
+
+
+def intra_hdr_bits(slice_type: str = "P") -> float:
+    """Header-bin cost of choosing an intra CU inside an inter slice."""
+    return bit_consts(slice_type, 30, 0)[12]

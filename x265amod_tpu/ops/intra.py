@@ -209,39 +209,41 @@ def _single_mode_tables(n: int):
     """Combined per-mode one-hot tables for SINGLE-mode angular
     prediction (modes 0..34; 0/1 are dummies overridden by planar/DC).
 
-    E [35, n, 2n+1]: negative-extension builder over [corner, side].
-    W [35, n*n, 3n+2]: two-tap interpolation weights over the mref,
-    with the H-group transpose folded in so every mode writes output
-    coords (y, x) directly.
+    E [35, n, 2n+1] f32: negative-extension builder over
+        [corner, side] — ext[b] = E[mode_b] @ src_b.
+    W [35*(3n+2), n*n] f32: two-tap interpolation weights over the
+        assembled mref, H-group transpose folded in, laid out so the
+        per-block mode selection becomes ONE matmul:
+        pred*32-16 = (onehot(mode_b) (x) mref_b) @ W.
+    Gathers (take_along_axis) cost ~0.4 ms per scan step on TPU (HLO
+    profile, round 4); streaming these static tables through the MXU
+    once per step is far cheaper.
     """
     length = 3 * n + 2
-    (v_ext, v_gidx, v_fact), (h_ext, h_gidx, h_fact) = _angular_tables(n)
+    (v_tabs, h_tabs) = _angular_tables(n)
     e_all = np.zeros((35, n, 2 * n + 1), np.float32)
-    w_all = np.zeros((35, n * n, length), np.float32)
+    w_all = np.zeros((35, length, n * n), np.float32)
     for mode in range(2, 35):
         if mode >= 18:
-            gi = V_MODES.index(mode)
-            ext, gidx, fact = v_ext[gi], v_gidx[gi], v_fact[gi]
-            transpose = False
+            ext, gx, fc = (t[V_MODES.index(mode)] for t in v_tabs)
+            tr = False
         else:
-            gi = H_MODES.index(mode)
-            ext, gidx, fact = h_ext[gi], h_gidx[gi], h_fact[gi]
-            transpose = True
+            ext, gx, fc = (t[H_MODES.index(mode)] for t in h_tabs)
+            tr = True
         for k in range(n):
             src = min(int(ext[k]), 2 * n - 1)
             e_all[mode, k, 0 if src < 0 else src + 1] = 1.0
         for k in range(n):
-            f = int(fact[k])
+            f = int(fc[k])
             for j in range(n):
-                g = int(gidx[k, j])
-                q = (j * n + k) if transpose else (k * n + j)
-                w_all[mode, q, g] += 32 - f
-                w_all[mode, q, g + 1] += f
-    e_all[0] = e_all[2]
-    e_all[1] = e_all[2]
-    w_all[0] = w_all[2]
-    w_all[1] = w_all[2]
-    return e_all, w_all
+                g = int(gx[k, j])
+                q = (j * n + k) if tr else (k * n + j)
+                w_all[mode, g, q] += 32 - f
+                w_all[mode, g + 1, q] += f
+    for m in (0, 1):
+        e_all[m] = e_all[2]
+        w_all[m] = w_all[2]
+    return e_all, w_all.reshape(35 * length, n * n)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "c_idx", "bit_depth"))
@@ -279,17 +281,21 @@ def predict_modes_batch(top: jax.Array, left: jax.Array,
     main = jnp.where(is_v, topx, leftx).astype(jnp.float32)
     side = jnp.where(is_v, leftx, topx).astype(jnp.float32)
 
-    e_all, w_all = _single_mode_tables(n)
-    e_sel = jnp.asarray(e_all)[modes]                    # [B, n, 2n+1]
-    w_sel = jnp.asarray(w_all)[modes]                    # [B, n*n, L]
-    src = jnp.concatenate([corx[:, None].astype(jnp.float32), side], 1)
-    ext = jnp.einsum("bl,bkl->bk", src, e_sel,
+    e_all, w_flat = _single_mode_tables(n)
+    oh = jax.nn.one_hot(modes, 35, dtype=jnp.float32)    # [B, 35]
+    # ext via one-hot-selected E rows (two small einsums)
+    src = jnp.concatenate(
+        [corx[:, None].astype(jnp.float32), side], 1)    # [B, 2n+1]
+    ext_m = jnp.einsum("bl,mkl->bmk", src, jnp.asarray(e_all),
+                       preferred_element_type=jnp.float32)
+    ext = jnp.einsum("bm,bmk->bk", oh, ext_m,
                      preferred_element_type=jnp.float32)  # [B, n]
     line = jnp.concatenate(
         [corx[:, None].astype(jnp.float32), main, main[:, -1:]], 1)
-    mref = jnp.concatenate([ext, line], 1)               # [B, 3n+2]
-    acc = jnp.einsum("bql,bl->bq", w_sel, mref,
-                     preferred_element_type=jnp.float32)
+    mref = jnp.concatenate([ext, line], 1)               # [B, L]
+    # mode selection folded into ONE matmul: rank-1 expand then W
+    x = (oh[:, :, None] * mref[:, None, :]).reshape(bsz, -1)  # [B,35L]
+    acc = x @ jnp.asarray(w_flat)                        # [B, n*n]
     pred_ang = jnp.floor((acc + 16.0) * (1.0 / 32.0)) \
         .astype(jnp.int32).reshape(bsz, n, n)
 

@@ -22,9 +22,46 @@ Typical cost: 0.125 B/coeff bitmap + cap/total B/coeff values vs
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _POW2 = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.int32)
+
+
+def mux_arrays(named):
+    """Device-side output mux: concatenate arrays of mixed dtypes into
+    ONE uint8 buffer so the host needs a single D2H fetch.
+
+    Measured on the tunneled TPU: every fetch costs ~26 ms of fixed
+    latency + ~42 ms/MB — a collect path doing 7 small fetches pays
+    ~180 ms in latency alone.  One mux fetch pays it once.
+
+    named: list of (name, jax array).  Returns (buf uint8 [total],
+    spec list of (name, shape, numpy dtype)) — the spec is host-side
+    static data captured at trace time.
+    """
+    parts = []
+    spec = []
+    for name, a in named:
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.uint8)
+        spec.append((name, tuple(a.shape), np.dtype(str(a.dtype))))
+        b = a if a.dtype == jnp.uint8 else \
+            jax.lax.bitcast_convert_type(a, jnp.uint8)
+        parts.append(b.reshape(-1))
+    return jnp.concatenate(parts), spec
+
+
+def demux_buffer(buf: np.ndarray, spec) -> dict:
+    """Host-side inverse of mux_arrays for one buffer row."""
+    out = {}
+    off = 0
+    mem = memoryview(np.ascontiguousarray(buf))
+    for name, shape, dt in spec:
+        n = int(np.prod(shape)) * dt.itemsize
+        out[name] = np.frombuffer(mem[off:off + n], dt).reshape(shape)
+        off += n
+    return out
 
 
 def pack_cap(total: int, frac: int = 16) -> int:

@@ -288,6 +288,13 @@ def check_params(p: Param) -> None:
     if p.rc_lookahead > MAX_LOOKAHEAD:
         raise ValueError("lookahead too deep")
     unwired = []
+    if p.ctu_size == 64:
+        # VERDICT r3 weak #6: 64 used to pass validation and silently
+        # encode CTB32 — reject until a depth-2 CTU64 tree exists
+        unwired.append("ctu 64 (pipelines code CTB 16/32)")
+    if p.ctu_size == 32 and p.lossless:
+        unwired.append("ctu 32 with --lossless (lossless path is "
+                       "CTB16; pass --ctu 16)")
     if p.internal_bit_depth != 8:
         unwired.append("internal-bit-depth 10 (Main10)")
     if p.ref != 1:
