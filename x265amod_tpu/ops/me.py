@@ -177,6 +177,51 @@ def mc_chroma_halfpel(ref_plane: jax.Array, mv_luma: jax.Array,
     return jnp.clip(pred, 0, 255).astype(jnp.int32)
 
 
+def _block_windows(ref_plane, mv_int, n, we, off, max_mv):
+    """Gather-free per-block window fetch.
+
+    Returns [nb, n+we, n+we] windows starting at
+    (block_origin + mv_int + off) — the role of the dynamic
+    refp[yi, xi] gather, re-expressed for TPU as (1) STATIC stride-n
+    im2col patches of side T = n + we + 2*max_mv and (2) per-block
+    one-hot row/col selection matmuls (MXU).  HLO profiling showed the
+    dynamic gathers at ~50 ms/frame at 720p; the one-hot form is
+    hundreds of MFLOPs.
+
+    Caller contract: |mv_int| <= max_mv on both axes (our dense-grid ME
+    produces MVs clamped to the search range).
+    """
+    h, w = ref_plane.shape
+    hc, wc = h // n, w // n
+    nb = hc * wc
+    m = int(max_mv)
+    out = n + we
+    t = out + 2 * m
+    pad = m + we + 8
+    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.float32)
+    start = pad - m + off
+    rp = refp[start:, start:]
+    need = (hc - 1) * n + t
+    rp = rp[:need, :(wc - 1) * n + t]
+    patches = jax.lax.conv_general_dilated_patches(
+        rp[None, None], filter_shape=(t, t), window_strides=(n, n),
+        padding="VALID")                         # [1, t*t, hc, wc]
+    tiles = patches[0].reshape(t * t, nb).T.reshape(nb, t, t)
+    dy = (mv_int[:, 1] + m)[:, None, None]       # [nb,1,1]
+    dx = (mv_int[:, 0] + m)[:, None, None]
+    it = jnp.arange(t)
+    io = jnp.arange(out)
+    r_sel = (it[None, None, :] == dy + io[None, :, None]) \
+        .astype(jnp.float32)                     # [nb, out, t]
+    c_sel = (it[None, :, None] == dx + io[None, None, :]) \
+        .astype(jnp.float32)                     # [nb, t, out]
+    rows = jnp.einsum("bot,btu->bou", r_sel, tiles,
+                      preferred_element_type=jnp.float32)
+    win = jnp.einsum("bou,bui->boi", rows, c_sel,
+                     preferred_element_type=jnp.float32)
+    return win.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Sub-pel interpolation (spec 8.5.3.3.3: 8-tap luma / 4-tap chroma)
 # ---------------------------------------------------------------------------
@@ -213,32 +258,38 @@ def _filter_axis1(blk, taps, n):
     return sum(int(taps[k]) * blk[:, k:k + n, :] for k in range(t))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def mc_luma_qpel14(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
+@functools.partial(jax.jit, static_argnames=("n", "max_mv"))
+def mc_luma_qpel14(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16,
+                   max_mv: int | None = None):
     """Quarter-pel luma MC for all blocks (spec 8.5.3.3.3.1), returning
     the 14-bit intermediate prediction (before uni rounding) so that
     bi-prediction can combine two of them per 8.5.3.3.4.3.
 
     ref_plane [H, W] int32, mv_qpel [nb, 2].  Computes all 4x4 phase
-    planes from one gathered window and selects per block — gather-light
-    and fully batched.  8-bit precision: stage1 shift 0, stage2 shift 6.
+    planes from one window per block and selects; with ``max_mv`` (the
+    encoder's MV bound) the window fetch is the gather-free one-hot
+    path (_block_windows); None keeps the dynamic gather (decoder /
+    unbounded MVs).  8-bit precision: stage1 shift 0, stage2 shift 6.
     """
     h, w = ref_plane.shape
     hc, wc = h // n, w // n
     nb = hc * wc
-    pad = 88
-    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
     mvi = mv_qpel >> 2
     fx = mv_qpel[:, 0] & 3
     fy = mv_qpel[:, 1] & 3
-    bx = (jnp.arange(nb) % wc) * n
-    by = (jnp.arange(nb) // wc) * n
-    x0 = bx + mvi[:, 0] + pad - 3      # 3 taps of left/top margin
-    y0 = by + mvi[:, 1] + pad - 3
-    ar = jnp.arange(n + 7)
-    yi = y0[:, None, None] + ar[None, :, None]
-    xi = x0[:, None, None] + ar[None, None, :]
-    blk = refp[yi, xi]                  # [nb, n+7, n+7]
+    if max_mv is not None:
+        blk = _block_windows(ref_plane, mvi, n, 7, -3, max_mv)
+    else:
+        pad = 88
+        refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+        bx = (jnp.arange(nb) % wc) * n
+        by = (jnp.arange(nb) // wc) * n
+        x0 = bx + mvi[:, 0] + pad - 3   # 3 taps of left/top margin
+        y0 = by + mvi[:, 1] + pad - 3
+        ar = jnp.arange(n + 7)
+        yi = y0[:, None, None] + ar[None, :, None]
+        xi = x0[:, None, None] + ar[None, None, :]
+        blk = refp[yi, xi]              # [nb, n+7, n+7]
 
     # horizontal: 4 phase variants [nb, n+7, n]
     hs = [_filter_axis2(blk, LUMA_FILTERS[p], n) if p else
@@ -260,11 +311,12 @@ def mc_luma_qpel14(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
     return pred14.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16):
+@functools.partial(jax.jit, static_argnames=("n", "max_mv"))
+def mc_luma_qpel(ref_plane: jax.Array, mv_qpel: jax.Array, n: int = 16,
+                 max_mv: int | None = None):
     """Uni-directional quarter-pel luma MC: 14-bit intermediate + final
     uni rounding (spec 8.5.3.3.4.2: (pred14 + 32) >> 6, clipped)."""
-    pred14 = mc_luma_qpel14(ref_plane, mv_qpel, n)
+    pred14 = mc_luma_qpel14(ref_plane, mv_qpel, n, max_mv)
     return jnp.clip((pred14 + 32) >> 6, 0, 255).astype(jnp.int32)
 
 
@@ -275,30 +327,36 @@ def bi_combine(pred14_a: jax.Array, pred14_b: jax.Array) -> jax.Array:
         .astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "max_mv"))
 def mc_chroma_qpel14(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
-                     n: int = 8):
+                     n: int = 8, max_mv: int | None = None):
     """Chroma MC for arbitrary luma quarter-pel MVs (eighth-pel chroma,
-    spec 8.5.3.3.3.2), returning the 14-bit intermediate prediction."""
+    spec 8.5.3.3.3.2), returning the 14-bit intermediate prediction.
+    ``max_mv`` bounds the CHROMA integer MV (luma_mv>>3) for the
+    gather-free window path."""
     h, w = ref_plane.shape
     hc, wc = h // n, w // n
     nb = hc * wc
-    pad = 56
-    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
     mvc_x = mv_luma_qpel[:, 0]          # chroma mv in 1/8 units == luma qpel
     mvc_y = mv_luma_qpel[:, 1]
     ix = mvc_x >> 3
     iy = mvc_y >> 3
     fx = mvc_x & 7
     fy = mvc_y & 7
-    bx = (jnp.arange(nb) % wc) * n
-    by = (jnp.arange(nb) // wc) * n
-    x0 = bx + ix + pad - 1
-    y0 = by + iy + pad - 1
-    ar = jnp.arange(n + 3)
-    yi = y0[:, None, None] + ar[None, :, None]
-    xi = x0[:, None, None] + ar[None, None, :]
-    blk = refp[yi, xi]                  # [nb, n+3, n+3]
+    if max_mv is not None:
+        blk = _block_windows(ref_plane, jnp.stack([ix, iy], 1), n, 3,
+                             -1, max_mv)
+    else:
+        pad = 56
+        refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+        bx = (jnp.arange(nb) % wc) * n
+        by = (jnp.arange(nb) // wc) * n
+        x0 = bx + ix + pad - 1
+        y0 = by + iy + pad - 1
+        ar = jnp.arange(n + 3)
+        yi = y0[:, None, None] + ar[None, :, None]
+        xi = x0[:, None, None] + ar[None, None, :]
+        blk = refp[yi, xi]              # [nb, n+3, n+3]
 
     hs = [_filter_axis2(blk, CHROMA_FILTERS[p], n) if p else
           (blk[:, :, 1:1 + n] << 6) for p in range(8)]
@@ -315,17 +373,18 @@ def mc_chroma_qpel14(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
     return pred14.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "max_mv"))
 def mc_chroma_qpel(ref_plane: jax.Array, mv_luma_qpel: jax.Array,
-                   n: int = 8):
+                   n: int = 8, max_mv: int | None = None):
     """Uni-directional chroma MC with final uni rounding."""
-    pred14 = mc_chroma_qpel14(ref_plane, mv_luma_qpel, n)
+    pred14 = mc_chroma_qpel14(ref_plane, mv_luma_qpel, n, max_mv)
     return jnp.clip((pred14 + 32) >> 6, 0, 255).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "max_mv"))
 def subpel_refine(ref_plane: jax.Array, cur_blocks: jax.Array,
-                  mv_int: jax.Array, lam: jax.Array, n: int = 16):
+                  mv_int: jax.Array, lam: jax.Array, n: int = 16,
+                  max_mv: int | None = None):
     """Exhaustive +-2 quarter-pel refinement around the integer MV.
 
     Evaluates all 25 qpel positions (the reference's subme ladder does
@@ -337,17 +396,20 @@ def subpel_refine(ref_plane: jax.Array, cur_blocks: jax.Array,
     nb = hc * wc
     cur = cur_blocks.reshape(nb, n, n)
     h, w = ref_plane.shape
-    pad = 88
-    refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
-    bx = (jnp.arange(nb) % wc) * n
-    by = (jnp.arange(nb) // wc) * n
-    # window covering int offsets {-1, 0} plus filter taps: start at -4
-    x0 = bx + mv_int[:, 0] + pad - 4
-    y0 = by + mv_int[:, 1] + pad - 4
-    ar = jnp.arange(n + 8)
-    yi = y0[:, None, None] + ar[None, :, None]
-    xi = x0[:, None, None] + ar[None, None, :]
-    blk = refp[yi, xi]                  # [nb, n+8, n+8]
+    if max_mv is not None:
+        blk = _block_windows(ref_plane, mv_int, n, 8, -4, max_mv)
+    else:
+        pad = 88
+        refp = jnp.pad(ref_plane, pad, mode="edge").astype(jnp.int32)
+        bx = (jnp.arange(nb) % wc) * n
+        by = (jnp.arange(nb) // wc) * n
+        # window covers int offsets {-1, 0} plus filter taps: start -4
+        x0 = bx + mv_int[:, 0] + pad - 4
+        y0 = by + mv_int[:, 1] + pad - 4
+        ar = jnp.arange(n + 8)
+        yi = y0[:, None, None] + ar[None, :, None]
+        xi = x0[:, None, None] + ar[None, None, :]
+        blk = refp[yi, xi]              # [nb, n+8, n+8]
 
     # candidate axis positions (qpel delta): -2..2 -> (int_off, phase)
     deltas = [(-2, -1, 2), (-1, -1, 3), (0, 0, 0), (1, 0, 1), (2, 0, 2)]
