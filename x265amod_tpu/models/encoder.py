@@ -535,12 +535,12 @@ class Encoder:
         q = deque()
 
         def advance(e):
-            # D2H of the oldest entry BEFORE enqueueing new device work
-            # (tunnel D2H queues behind pending device steps), then
-            # dispatch, then host CABAC of the collected entry while
-            # the new frame computes.
+            # Start the D2H of the oldest entry while the device is
+            # idle (tunnel D2H queues behind pending device steps),
+            # then dispatch, then finish it (fetch completion + host
+            # CABAC) while the new frame computes.
             if q and "res" not in q[0]:
-                self._collect(q[0])
+                self._prefetch(q[0])
             q.append(self._dispatch_entry(e, return_recon))
             while len(q) > 1:
                 yield self._finish(q.popleft())
@@ -583,17 +583,26 @@ class Encoder:
                     time.time())
 
         def collect_group(group):
-            """Blocking device-wait + ONE D2H fetch.  Must run BEFORE
-            the next group is dispatched: on the tunneled TPU a D2H
-            issued while the device is busy queues behind the whole
-            next device step (measured +200 ms/group)."""
+            """Device-wait + START of the D2H while the device is
+            idle.  Must run BEFORE the next group is dispatched: on the
+            tunneled TPU a D2H issued while the device is busy queues
+            behind the whole next device step (measured +200 ms/group).
+            The copy runs async so the next dispatch + host CABAC
+            overlap the transfer."""
+            import jax as _jax
             dev, qp, n_real, t0 = group
-            return fe.collect_batch(dev)[:n_real], qp, t0
+            _jax.block_until_ready(dev[0])
+            try:
+                dev[0].copy_to_host_async()
+            except Exception:  # noqa: BLE001 — prefetch is best-effort
+                pass
+            return group
 
-        def emit_group(collected):
-            """Host CABAC + NAL assembly — overlaps the NEXT group's
-            device step (the only stage that safely can)."""
-            results, qp, t0 = collected
+        def emit_group(group):
+            """D2H completion + host CABAC + NAL assembly — overlaps
+            the NEXT group's device step."""
+            dev, qp, n_real, t0 = group
+            results = fe.collect_batch(dev)[:n_real]
             payloads = list(pool.map(
                 lambda r: self._cabac_intra(r, qp, None), results))
             outs = []
@@ -701,6 +710,18 @@ class Encoder:
             self._awriter.close()
 
     # -- host side -------------------------------------------------------
+
+    def _prefetch(self, pending) -> None:
+        """Device wait + async host-copy start for a dispatched entry:
+        issued while the device is idle so the transfer does not queue
+        behind the next dispatched frame's device step."""
+        import jax as _jax
+        dev = pending["dev"]
+        _jax.block_until_ready(dev[0])
+        try:
+            dev[0].copy_to_host_async()
+        except Exception:  # noqa: BLE001 — prefetch is best-effort
+            pass
 
     def _collect(self, pending) -> None:
         """Device wait + ONE D2H fetch for a dispatched entry; kept

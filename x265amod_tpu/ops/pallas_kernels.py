@@ -44,18 +44,27 @@ def _round_shift(x, s):
 def _fused_kernel(resi_ref, scale_ref, offs_ref, qbits_ref, t_ref,
                   tt_ref, out_ref, *, n, tb, s1, s2):
     """One grid step: TB blocks of NxN residual -> quantized levels."""
-    r = resi_ref[...].reshape(tb * n, n)
-    # stage 1: rows of every block times T^T  (MXU)
+    # per-block params arrive as [tb, 1] blocks (rank-2: rank-1 blocks
+    # violate the TPU lane-tiling constraint for tb < 128).
+    # Matmuls run in f32 (Mosaic has no i32 MXU path); stage 1 operands
+    # fit f32 exactly (|r| < 2^9, sums < 2^24); stage 2's 17-bit
+    # intermediates are split hi/lo so every partial sum stays < 2^24.
+    r = resi_ref[...].reshape(tb * n, n).astype(jnp.float32)
     tmp = jax.lax.dot_general(
-        r, tt_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        r, tt_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     tmp = _round_shift(tmp, s1)
-    # stage 2: T times columns -> per-block [N, N]; batched as
-    # (T @ tmp_b) for each block b: reshape to [tb, n, n] and contract
-    tmp_b = tmp.reshape(tb, n, n)
-    coeff = jax.lax.dot_general(
-        tmp_b, t_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)       # [tb, n(x), n(u)]
+    hi = tmp >> 8
+    lo = tmp - (hi << 8)
+    tf = t_ref[...].astype(jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+
+    def stage2(x):
+        return jax.lax.dot_general(
+            x.reshape(tb, n, n).astype(jnp.float32), tf, dims,
+            preferred_element_type=jnp.float32)
+
+    coeff = (stage2(hi) * 256.0 + stage2(lo)).astype(jnp.int32)
     coeff = _round_shift(coeff, s2).transpose(0, 2, 1)  # [tb, u, x]
     # quant epilogue (per-block scale/offset/qbits)
     sc = scale_ref[...].reshape(tb, 1, 1)
@@ -103,11 +112,11 @@ def fused_fwd_quant(resi: jax.Array, qp_blk: jax.Array,
         in_specs=[
             pl.BlockSpec((tb, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb,), lambda i: (i,),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -118,5 +127,6 @@ def fused_fwd_quant(resi: jax.Array, qp_blk: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n, n), jnp.int32),
         interpret=_INTERPRET,
-    )(resi.astype(jnp.int32), scale, offs, qbits, t, t.T)
+    )(resi.astype(jnp.int32), scale[:, None], offs[:, None],
+      qbits[:, None], t, t.T)
     return out[:b]
