@@ -16,9 +16,9 @@ from x265amod_tpu.cabac.syntax import residual_coding
 from x265amod_tpu.ops.estbits import tu_bits
 
 
-def _real_bits(levels, log2_size, c_idx, slice_type="P"):
+def _real_bits(levels, log2_size, c_idx, slice_type="P", qp=30):
     enc = CabacEncoder()
-    enc.init_contexts(slice_type, 30)
+    enc.init_contexts(slice_type, qp)
     if not np.any(levels):
         return 1.0
     start = enc.pending_bits() + enc.bits_outstanding
@@ -56,6 +56,31 @@ def test_estimate_tracks_real_bits(n, c_idx):
     # estimates must be in the right ballpark and unbiased-ish
     assert 0.5 < r.mean() < 1.6, r.mean()
     assert (r > 0.35).all() and (r < 2.5).all(), r
+
+
+@pytest.mark.parametrize("st,qp", [("I", 22), ("I", 40), ("P", 22),
+                                   ("P", 40), ("B", 30)])
+def test_qp_and_slice_adaptive_pricing(st, qp):
+    """Round-5: per-QP context rows + real slice types (tu_bits qp=)
+    must track the real coder INITIALIZED AT THAT QP within a tighter
+    band than the old fixed P@30 anchor (VERDICT weak #5)."""
+    rng = np.random.default_rng(100 + qp)
+    ratios = []
+    for n, c_idx in ((16, 0), (32, 0), (8, 1)):
+        log2n = n.bit_length() - 1
+        for density, maxv in [(0.03, 8), (0.1, 30), (0.35, 80)]:
+            for _ in range(2):
+                blk = _rand_block(rng, n, density, maxv)
+                if not np.any(blk):
+                    continue
+                real = _real_bits(blk, log2n, c_idx, st, qp)
+                est = float(np.asarray(tu_bits(
+                    blk[None], c_idx, slice_type=st,
+                    qp=np.array([qp])))[0])
+                ratios.append(est / real)
+    r = np.array(ratios)
+    assert 0.75 < r.mean() < 1.30, (st, qp, r.mean())
+    assert (r > 0.40).all() and (r < 1.60).all(), (st, qp, r)
 
 
 def test_zero_block_cheap_and_monotone():

@@ -184,7 +184,7 @@ class BFrameEncoder:
                            0, 255)
             d = jnp.sum((rec - oy_flat) ** 2, axis=(1, 2)) \
                 .astype(jnp.float32)
-            return d, _rbits_proxy(lv)
+            return d, _rbits_proxy(lv, st="B", qp=qp_blk)
 
         d_l0, rb_l0 = coded_dist(_uni(p14_0))
         d_l1, rb_l1 = coded_dist(_uni(p14_1))
@@ -212,7 +212,7 @@ class BFrameEncoder:
                          0, 255)
         ssd_i = jnp.sum((rec_i - oy_flat[:, None]) ** 2,
                         axis=(2, 3)).astype(jnp.float32)
-        rb_i = _rbits_proxy(lv_i)
+        rb_i = _rbits_proxy(lv_i, st="B", qp=qp_blk[:, None])
         dist_intra_est = jnp.min(
             ssd_i + lam_blk[:, None] * (rb_i + 6.0), axis=1)
 
@@ -495,7 +495,7 @@ class BFrameEncoder:
 
             levels, rec, ssd = intra_chain(yb, oy_d, cx, cy, 16, 0,
                                            qp_d)
-            rb = _rbits_proxy(levels)
+            rb = _rbits_proxy(levels, st="B", qp=qp_d[:, None])
             cxl = jnp.maximum(cx - 1, 0)
             left_intra = (cx > 0) & (inter_map_final[cy, cxl] == 0)
             left_imode = jnp.where(left_intra, imode_map[cy, cxl], 1)

@@ -39,12 +39,13 @@ from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import FrameResult, _diag_schedule
 
 
-def _rbits_proxy(levels, c_idx: int = 0):
+def _rbits_proxy(levels, c_idx: int = 0, st: str = "I", qp=None):
     """Coefficient rate for RD decisions: context-anchored estBit
     estimator (ops/estbits.py; role of reference entropy.cpp:2220
-    estBit tables).  Replaced the round-1..3 log-guess proxy."""
+    estBit tables).  Round-5: real slice-type init states + per-block
+    QP table rows (was P-states at QP30 everywhere)."""
     from ..ops.estbits import tu_bits
-    return tu_bits(levels, c_idx=c_idx)
+    return tu_bits(levels, c_idx=c_idx, slice_type=st, qp=qp)
 
 
 def _hadamard8() -> np.ndarray:
@@ -54,7 +55,7 @@ def _hadamard8() -> np.ndarray:
     return h
 
 
-_H8 = jnp.asarray(_hadamard8(), jnp.int32)
+_H8 = jnp.asarray(_hadamard8(), jnp.float32)
 
 # SATD-scan candidate count for the full-RD stage (role of the
 # reference's g_intraModeNumFast fast-intra shortlist,
@@ -65,14 +66,16 @@ RD_CANDS = 4
 
 def _satd_modes(orig, preds):
     """SATD (8x8 Hadamard sa8d analog) between orig [B, n, n] and all
-    mode predictions [B, M, n, n] -> [B, M] int32."""
+    mode predictions [B, M, n, n] -> [B, M] int32.  Runs in f32 on the
+    MXU — exact (every dot bound 510 * 64 < 2^24)."""
     n = orig.shape[-1]
     k = n // 8
-    d = (orig[:, None] - preds).astype(jnp.int32)
+    d = (orig[:, None] - preds).astype(jnp.float32)
     d = d.reshape(*d.shape[:-2], k, 8, k, 8)
     t = jnp.einsum("ui,...aibj,vj->...aubv", _H8, d, _H8,
-                   preferred_element_type=jnp.int32)
-    per_blk = (jnp.sum(jnp.abs(t), axis=(-3, -1)) + 2) >> 2
+                   preferred_element_type=jnp.float32)
+    per_blk = (jnp.sum(jnp.abs(t), axis=(-3, -1))
+               .astype(jnp.int32) + 2) >> 2
     return jnp.sum(per_blk, axis=(-2, -1))
 
 
@@ -95,7 +98,7 @@ def intra_mode_bits(left_mode):
 
 
 def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
-                    forced_mode=None, sbh=False):
+                    forced_mode=None, sbh=False, st="I"):
     """Two-stage intra mode decision (reference estIntraPredQT
     search.cpp:1509): SATD scan of all 35 predictions, then full
     transform/quant RD on the RD_CANDS best candidates.
@@ -128,7 +131,7 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
                    0, 255)
     ssd = jnp.sum((rec - orig[:, None]) ** 2,
                   axis=(2, 3)).astype(jnp.float32)
-    rb = _rbits_proxy(levels)
+    rb = _rbits_proxy(levels, st=st, qp=qpv[:, None])
     mbK = jnp.take_along_axis(mbits, cand, 1)
     cost = ssd + lamv[:, None] * (rb + mbK)
     k = jnp.argmin(cost, axis=1)
@@ -140,7 +143,7 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
 
 
 def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
-                      sbh=False):
+                      sbh=False, st="I"):
     """Single-mode chroma chain at the luma mode (DM chroma):
     one prediction + one transform/quant instead of 35."""
     from ..ops.intra import predict_modes_batch
@@ -155,7 +158,7 @@ def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
                    0, 255)
     ssd = jnp.sum((rec - orig) ** 2,
                   axis=(1, 2)).astype(jnp.float32)
-    return levels, rec, ssd, _rbits_proxy(levels, c_idx)
+    return levels, rec, ssd, _rbits_proxy(levels, c_idx, st=st, qp=qpv)
 
 
 def qp32_of(qp16: np.ndarray) -> np.ndarray:
@@ -229,6 +232,14 @@ class IntraTreeEncoder:
             self._fast_frame, want_recon=True))
         self._step_fast_batch = jax.jit(jax.vmap(functools.partial(
             self._fast_frame, want_recon=False), in_axes=0))
+        # packed-input batch steps: ONE H2D buffer + device-cached maps
+        # (measured ~26 ms FIXED latency per tunnel transfer; the
+        # 12-array dispatch cost ~345 ms/batch at 360p, round 5)
+        self._step_fast_batch_packed = jax.jit(functools.partial(
+            self._batch_packed, fast=True))
+        self._step_batch_packed = jax.jit(functools.partial(
+            self._batch_packed, fast=False))
+        self._dev_maps: dict = {}
 
     # ---- device code ----------------------------------------------------
 
@@ -834,28 +845,58 @@ class IntraTreeEncoder:
 
     # ---- multi-frame batched dispatch (all-intra CQP fast path) --------
 
+    def _batch_packed(self, buf, qp16, qpcb16, qpcr16, lam16, qp32,
+                      qpcb32, qpcr32, lam32, slice_qp, fast=True):
+        """Vmapped batch step over ONE packed uint8 input buffer
+        [F, y|cb|cr] with UNBATCHED maps (in_axes=None — identical per
+        frame, cached on device across batches)."""
+        f = buf.shape[0]
+        h, w = self.height, self.width
+        ny = h * w
+        nc = ny // 4
+        y = buf[:, :ny].reshape(f, h, w)
+        cb = buf[:, ny:ny + nc].reshape(f, h // 2, w // 2)
+        cr = buf[:, ny + nc:].reshape(f, h // 2, w // 2)
+        fn = functools.partial(
+            self._fast_frame if fast else self._encode_frame,
+            want_recon=False)
+        return jax.vmap(fn, in_axes=(0, 0, 0) + (None,) * 9)(
+            y, cb, cr, qp16, qpcb16, qpcr16, lam16, qp32, qpcb32,
+            qpcr32, lam32, slice_qp)
+
     def encode_batch_async(self, ys, cbs, crs, qp: int, sharding=None):
         """Dispatch a whole batch of frames through ONE vmapped device
         step — all-intra frames are independent, so the wavefront scan's
         sequential depth is amortized across the batch (the TPU analog
         of running many frame threads, threading.rst:123).
 
+        Host interface is ONE packed H2D upload (the input-side twin of
+        the ops/pack.py D2H mux): y/cb/cr concatenated per frame, maps
+        uploaded once per QP and reused from device memory.
+
         ``sharding``: optional NamedSharding over the leading frames
         axis (e.g. PartitionSpec("frame")) — inputs are placed on the
         mesh and the vmapped step compiles SPMD across devices (GOP
         parallelism over chips; SURVEY.md §2.2 frame-parallelism row)."""
         f = ys.shape[0]
-        maps = self._maps(qp, None)
-        arrs = [jnp.asarray(ys, jnp.uint8), jnp.asarray(cbs, jnp.uint8),
-                jnp.asarray(crs, jnp.uint8)]
-        arrs += [jnp.asarray(np.broadcast_to(m, (f,) + m.shape))
-                 for m in maps]
-        arrs.append(jnp.full((f,), qp, jnp.int32))
+        buf = np.concatenate(
+            [np.asarray(ys, np.uint8).reshape(f, -1),
+             np.asarray(cbs, np.uint8).reshape(f, -1),
+             np.asarray(crs, np.uint8).reshape(f, -1)], axis=1)
+        if qp not in self._dev_maps:
+            maps = self._maps(qp, None)
+            self._dev_maps[qp] = tuple(
+                jnp.asarray(m) for m in maps) + (
+                jnp.asarray(qp, jnp.int32),)
+        dmaps = self._dev_maps[qp]
         if sharding is not None:
             import jax as _jax
-            arrs = [_jax.device_put(a, sharding) for a in arrs]
-        step = self._step_fast_batch if self.fast else self._step_batch
-        return step(*arrs)
+            dbuf = _jax.device_put(buf, sharding)
+        else:
+            dbuf = jnp.asarray(buf)
+        step = self._step_fast_batch_packed if self.fast \
+            else self._step_batch_packed
+        return step(dbuf, *dmaps)
 
     def collect_batch(self, outs) -> list[FrameResult]:
         """ONE D2H fetch for the whole batch (the muxed buffer), then

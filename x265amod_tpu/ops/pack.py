@@ -64,6 +64,41 @@ def demux_buffer(buf: np.ndarray, spec) -> dict:
     return out
 
 
+def mux_arrays_np(named):
+    """Host-side input mux (H2D twin of mux_arrays): concatenate numpy
+    arrays of mixed dtypes into ONE uint8 buffer so dispatch pays the
+    tunnel's ~26 ms fixed transfer latency once instead of per array.
+    Returns (buf uint8 [total], spec of (name, shape, dtype))."""
+    parts = []
+    spec = []
+    for name, a in named:
+        a0 = np.asarray(a)
+        spec.append((name, tuple(a0.shape), a0.dtype))
+        parts.append(np.ascontiguousarray(a0).reshape(-1)
+                     .view(np.uint8))
+    return np.concatenate(parts), tuple(spec)
+
+
+def demux_device(buf, spec) -> dict:
+    """Device-side inverse of mux_arrays_np (traced under jit): slice +
+    bitcast each segment back to its dtype/shape."""
+    import jax
+    out = {}
+    off = 0
+    for name, shape, dt in spec:
+        w = np.dtype(dt).itemsize
+        nb = int(np.prod(shape)) * w
+        seg = buf[off:off + nb]
+        if w == 1:
+            arr = seg.reshape(shape).astype(jnp.dtype(dt))
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, w), jnp.dtype(dt)).reshape(shape)
+        out[name] = arr
+        off += nb
+    return out
+
+
 def pack_cap(total: int, frac: int = 16) -> int:
     """Static value capacity: total/frac coefficients, padded so the
     int8 buffer is lane-aligned."""

@@ -100,20 +100,45 @@ def _jshift_round(x, shift: int):
     return (x + (1 << (shift - 1))) >> shift
 
 
+# TPU has no int32 MXU path: integer einsums lower to the vector unit
+# and dominated the measured device step (round-5 stage profile).  All
+# transform matmuls therefore run in float32 on the MXU, kept EXACT by
+# bounding every dot product below 2^24 (f32 integers are exact there):
+# 16-bit operands are split into hi/lo bytes when the bound overflows
+# (max |sum| = N * 90 * 2^15 for N>=8), and results recombine in int32.
+# Exactness is enforced by the element-wise oracle tests
+# (tests/test_transforms.py vs fwd_transform_np/inv_transform_np).
+
+def _mm_left_f32(t, x16, n: int):
+    """t @ x16 [..., N, K] -> exact int32 (same split strategy)."""
+    if n * 90 * (1 << 15) < (1 << 24):
+        r = jnp.einsum("uy,...yk->...uk", t, x16.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return r.astype(jnp.int32)
+    hi = x16 >> 8
+    lo = x16 - (hi << 8)
+    rhi = jnp.einsum("uy,...yk->...uk", t, hi.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    rlo = jnp.einsum("uy,...yk->...uk", t, lo.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return (rhi.astype(jnp.int32) << 8) + rlo.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("use_dst", "bit_depth"))
 def fwd_transform(resi: jax.Array, use_dst: bool = False,
                   bit_depth: int = 8) -> jax.Array:
     """Batched forward transform: resi [..., N, N] int32 -> coeff."""
     n = resi.shape[-1]
-    t = jnp.asarray(DST4 if use_dst else dct_matrix(n), dtype=jnp.int32)
+    t = jnp.asarray(DST4 if use_dst else dct_matrix(n),
+                    dtype=jnp.float32)
     log2n = n.bit_length() - 1
     s1 = log2n + bit_depth - 9
     s2 = log2n + 6
-    tmp = jnp.einsum("...yx,kx->...yk", resi.astype(jnp.int32), t,
-                     preferred_element_type=jnp.int32)
-    tmp = _jshift_round(tmp, s1)
-    coeff = jnp.einsum("uy,...yk->...uk", t, tmp,
-                       preferred_element_type=jnp.int32)
+    # stage 1 is exact unsplit: |sum| <= N * 1023 * 90 < 2^24
+    tmp = jnp.einsum("...yx,kx->...yk", resi.astype(jnp.float32), t,
+                     preferred_element_type=jnp.float32)
+    tmp = _jshift_round(tmp.astype(jnp.int32), s1)   # 16-bit range
+    coeff = _mm_left_f32(t, tmp, n)
     return _jshift_round(coeff, s2)
 
 
@@ -122,11 +147,33 @@ def inv_transform(coeff: jax.Array, use_dst: bool = False,
                   bit_depth: int = 8) -> jax.Array:
     """Batched normative inverse transform: coeff [..., N, N] int32."""
     n = coeff.shape[-1]
-    t = jnp.asarray(DST4 if use_dst else dct_matrix(n), dtype=jnp.int32)
+    t = jnp.asarray(DST4 if use_dst else dct_matrix(n),
+                    dtype=jnp.float32)
     bd_shift = 20 - bit_depth
-    e = jnp.einsum("ky,...kx->...yx", t, coeff.astype(jnp.int32),
-                   preferred_element_type=jnp.int32)
+    # e = t.T @ coeff == (coeff.T @ t).T expressed directly
+    if n * 90 * (1 << 15) < (1 << 24):
+        e = jnp.einsum("ky,...kx->...yx", t, coeff.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+    else:
+        chi = coeff >> 8
+        clo = coeff - (chi << 8)
+        ehi = jnp.einsum("ky,...kx->...yx", t, chi.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        elo = jnp.einsum("ky,...kx->...yx", t, clo.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        e = (ehi.astype(jnp.int32) << 8) + elo.astype(jnp.int32)
     g = jnp.clip(_jshift_round(e, 7), -32768, 32767)
-    r = jnp.einsum("...yu,ux->...yx", g, t,
-                   preferred_element_type=jnp.int32)
+    if n * 90 * (1 << 15) < (1 << 24):
+        r = jnp.einsum("...yu,ux->...yx", g.astype(jnp.float32), t,
+                       preferred_element_type=jnp.float32) \
+            .astype(jnp.int32)
+    else:
+        ghi = g >> 8
+        glo = g - (ghi << 8)
+        rhi = jnp.einsum("...yu,ux->...yx", ghi.astype(jnp.float32), t,
+                         preferred_element_type=jnp.float32)
+        rlo = jnp.einsum("...yu,ux->...yx", glo.astype(jnp.float32), t,
+                         preferred_element_type=jnp.float32)
+        r = (rhi.astype(jnp.int32) << 8) + rlo.astype(jnp.int32)
     return jnp.clip(_jshift_round(r, bd_shift), -32768, 32767)
