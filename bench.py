@@ -100,6 +100,37 @@ def bench_lowdelay_p_720p():
     return fps
 
 
+def bench_1080p_config3():
+    """Config 3: 1080p random-access B-pyramid CRF + AQ/CU-tree + SAO
+    (BASELINE.md measurement config 3; first round measured: round 5)."""
+    from x265amod_tpu.models.encoder import Encoder
+    from x265amod_tpu.utils.params import Param
+
+    w, h, nf, warm = 1920, 1080, 16, 6
+    p = Param(width=w, height=h, crf=28.0, keyint=60, bframes=3,
+              ctu_size=32, aq_mode=2, cutree=True, sao=True,
+              rc_lookahead=8)
+    enc = Encoder(p)
+    frames = synth_frames(w, h, nf, seed=4)
+    n_done = 0
+    t0 = None
+    for i, fr in enumerate(frames):
+        outs = enc.encode_push(*fr)
+        if i == warm - 1:
+            t0 = time.time()
+        elif i >= warm:
+            n_done += len(outs)
+    n_done += len(enc.flush())
+    dt = time.time() - t0
+    fps = n_done / dt
+    s = enc.summary()
+    sys.stderr.write(
+        f"bench: {n_done} frames 1920x1080 B-pyramid CRF28: "
+        f"{fps:.3f} fps, PSNR-Y {s['psnr_y']:.2f} dB, "
+        f"{s['bitrate_kbps']:.0f} kbps\n")
+    return fps
+
+
 def main():
     fps1 = bench_allintra_360p()
     extra = {}
@@ -108,6 +139,11 @@ def main():
             bench_lowdelay_p_720p(), 3)
     except Exception as e:  # noqa: BLE001 — config 1 is the gate
         sys.stderr.write(f"bench config-2 failed: {e}\n")
+    try:
+        extra["enc_fps_1080p_bpyramid_crf"] = round(
+            bench_1080p_config3(), 3)
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench config-3 failed: {e}\n")
     print(json.dumps({
         "metric": "enc_fps_360p_allintra",
         "value": round(fps1, 3),

@@ -27,11 +27,15 @@ def test_pack_overflow_flags():
     a = np.ones((4, 16, 16), np.int32)
     _, _, _, fits = pack_levels([a], 128)
     assert not bool(np.asarray(fits))
-    # magnitude overflow
+    # large magnitudes fit (int16 values; round-5: the int8 variant
+    # dense-fell-back on every frame with a strong DC)
     b = np.zeros((4, 16, 16), np.int32)
     b[0, 0, 0] = 300
-    _, _, _, fits2 = pack_levels([b], 128)
-    assert not bool(np.asarray(fits2))
+    bm, vals, nnz, fits2 = (np.asarray(x) for x in
+                            pack_levels([b], 128))
+    assert bool(fits2)
+    (ub,) = unpack_levels(bm, vals, nnz, [b.shape])
+    np.testing.assert_array_equal(ub, b)
 
 
 def test_pack_all_zero():

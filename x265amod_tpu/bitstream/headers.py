@@ -291,7 +291,7 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
                        sao_luma: bool = False, sao_chroma: bool = False,
                        rps_neg: list[tuple[int, int]] | None = None,
                        rps_pos: list[tuple[int, int]] | None = None,
-                       max_merge: int = 2,
+                       max_merge: int = 2, num_ref0: int = 1,
                        ) -> BitWriter:
     """Write slice segment header; returns the open BitWriter so the
     caller can byte-align and splice the CABAC payload.
@@ -335,7 +335,15 @@ def write_slice_header(sps: SpsInfo, pps: PpsInfo, slice_type: str,
         bw.write_flag(1 if sao_luma else 0)
         bw.write_flag(1 if sao_chroma else 0)
     if st != 2:
-        bw.write_flag(0)                # num_ref_idx_active_override_flag
+        # num_ref_idx_active_override: PPS default is 1 per list; a
+        # multi-ref P slice overrides L0 (spec 7.4.7.1; the ref list is
+        # cyclic-filled from the RPS when fewer pictures are available,
+        # 8.3.4)
+        bw.write_flag(1 if num_ref0 > 1 else 0)
+        if num_ref0 > 1:
+            bw.write_ue(num_ref0 - 1)   # num_ref_idx_l0_active_minus1
+            if st == 0:
+                bw.write_ue(0)          # num_ref_idx_l1_active_minus1
         if st == 0:
             bw.write_flag(0)            # mvd_l1_zero_flag
         if sps.temporal_mvp and st == 1:

@@ -490,6 +490,25 @@ def encode_merge_idx(enc: CabacEncoder, idx: int, max_merge: int) -> None:
         enc.encode_bypass(0)
 
 
+def encode_ref_idx(enc: CabacEncoder, idx: int, num_ref: int) -> None:
+    """ref_idx_lX (spec 7.3.8.6 / 9.3.3.2): truncated-Rice TR with
+    cMax = num_ref - 1; bins 0 and 1 context-coded (ref_idx[0..1]),
+    the rest bypass (Table 9-44).  Omitted when one ref is active."""
+    if num_ref <= 1:
+        return
+    cmax = num_ref - 1
+    for k in range(idx):
+        if k < 2:
+            enc.encode_bin(CTX_REF_IDX + k, 1)
+        else:
+            enc.encode_bypass(1)
+    if idx < cmax:
+        if idx < 2:
+            enc.encode_bin(CTX_REF_IDX + idx, 0)
+        else:
+            enc.encode_bypass(0)
+
+
 def encode_inter_ctu16(enc: CabacEncoder, ctu: dict,
                        left_skip: int, above_skip: int,
                        cand_a_intra_mode: int, max_merge: int = 2,
@@ -663,7 +682,8 @@ def encode_cu_pb(enc: CabacEncoder, slice_type: str, cells: int,
                  cu: dict, left_skip: int, above_skip: int,
                  cand_a_intra: int, cand_b_intra: int,
                  max_merge: int = 2, qp_delta: int | None = None,
-                 ct_depth: int = 0, sign_hide: bool = False) -> None:
+                 ct_depth: int = 0, sign_hide: bool = False,
+                 num_ref0: int = 1) -> None:
     """One P/B-slice CU of size cells*16 (PART_2Nx2N) — generalizes
     encode_inter_ctu16/encode_b_ctu16 to the CTB32 quadtree (mirror of
     native/cabac.cpp code_cu; spec 7.3.8.5/7.3.8.6).
@@ -724,6 +744,7 @@ def encode_cu_pb(enc: CabacEncoder, slice_type: str, cells: int,
             encode_mvd(enc, cu["mvd1"][0], cu["mvd1"][1])
             enc.encode_bin(CTX_MVP, cu["mvp1"])
     else:
+        encode_ref_idx(enc, cu.get("ref_idx", 0), num_ref0)
         encode_mvd(enc, cu["mvd"][0], cu["mvd"][1])
         enc.encode_bin(CTX_MVP, cu["mvp_idx"])
     root = 1 if (cbf_y or cbf_cb or cbf_cr) else 0

@@ -177,6 +177,14 @@ class Encoder:
             min_keyint=max(param.min_keyint, 2)) \
             if self.use_lookahead else None
         self.bframes = param.bframes if self.inter_enabled else 0
+        # multi-reference L0 (round 5): low-delay P CTU32 tree only
+        self.num_ref_p = param.ref if (self.use_tree
+                                       and self.inter_enabled
+                                       and param.bframes == 0) else 1
+        self._anchor_hist: list[int] = []
+        if self.num_ref_p > 1:
+            self.sps.max_dec_buffering = max(
+                self.sps.max_dec_buffering, self.num_ref_p + 1)
         if self.bframes:
             import math
             depth = max(1, math.ceil(math.log2(self.bframes + 1)))
@@ -187,7 +195,8 @@ class Encoder:
             self.frame_encoder = IntraTreeEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
                 sao=param.sao, wpp=param.wpp,
-                sign_hide=self.pps.sign_data_hiding)
+                sign_hide=self.pps.sign_data_hiding,
+                rdoq=param.rdoq_level > 0)
         else:
             self.frame_encoder = IntraFrameEncoder(
                 self.pad_w, self.pad_h, deblock=param.deblock,
@@ -199,7 +208,8 @@ class Encoder:
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
                 search_range=param.me_range, subme=param.subme,
-                sign_hide=self.pps.sign_data_hiding)
+                sign_hide=self.pps.sign_data_hiding,
+                rdoq=param.rdoq_level > 0)
         elif self.inter_enabled:
             self.inter_encoder = InterFrameEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
@@ -214,7 +224,8 @@ class Encoder:
                 self.pad_w, self.pad_h, sao=param.sao,
                 deblock=param.deblock, wpp=param.wpp,
                 search_range=param.me_range, subme=param.subme,
-                sign_hide=self.pps.sign_data_hiding)
+                sign_hide=self.pps.sign_data_hiding,
+                rdoq=param.rdoq_level > 0)
         elif self.bframes:
             self.b_encoder = BFrameEncoder(
                 self.pad_w, self.pad_h, sao=param.sao,
@@ -302,8 +313,11 @@ class Encoder:
             plan.append(dict(poc=anchor, stype="I", ref0=None, ref1=None,
                              is_ref=True))
         else:
+            refs = ([q for q in self._anchor_hist[::-1]
+                     ][:self.num_ref_p] if self.num_ref_p > 1
+                    else [prev])
             plan.append(dict(poc=anchor, stype="P", ref0=prev, ref1=None,
-                             is_ref=True))
+                             is_ref=True, refs=refs))
 
             def rec(lo, hi):
                 if hi - lo < 2:
@@ -317,9 +331,12 @@ class Encoder:
                 rec(prev, anchor)
         available = {prev} if (prev is not None and not anchor_is_idr) \
             else set()
+        if self.num_ref_p > 1 and not anchor_is_idr:
+            available |= set(self._anchor_hist[-self.num_ref_p:])
         for i, e in enumerate(plan):
             cur_refs = {r for r in (e["ref0"], e["ref1"])
                         if r is not None}
+            cur_refs |= set(e.get("refs") or [])
             future = {anchor}
             for f in plan[i + 1:]:
                 for r in (f["ref0"], f["ref1"]):
@@ -344,6 +361,10 @@ class Encoder:
             e["first_in_stream"] = not self._emitted_headers
             self._emitted_headers = True
         self._prev_anchor = anchor
+        if anchor_is_idr:
+            self._anchor_hist = [anchor]
+        else:
+            self._anchor_hist.append(anchor)
         return plan
 
     def _push_display_frame(self, y, cb, cr) -> list[dict]:
@@ -472,9 +493,21 @@ class Encoder:
         elif stype == "P":
             qp = forced_qp if forced_qp is not None \
                 else self.rc.frame_qp("P")
-            dev = self.inter_encoder.encode_async(
-                yp, cbp, crp, self._dpb[e["ref0"]], qp,
-                want_recon=return_recon, qp_offsets=qp_off)
+            if self.num_ref_p > 1:
+                refs = e.get("refs") or [e["ref0"]]
+                # cyclic fill to the active count (spec 8.3.4; the
+                # decoder builds the same list)
+                ref_pocs = [refs[i % len(refs)]
+                            for i in range(self.num_ref_p)]
+                ref_list = [self._dpb[q] for q in ref_pocs]
+                dev = self.inter_encoder.encode_async(
+                    yp, cbp, crp, ref_list, qp,
+                    want_recon=return_recon, qp_offsets=qp_off,
+                    ref_pocs=ref_pocs, poc=poc)
+            else:
+                dev = self.inter_encoder.encode_async(
+                    yp, cbp, crp, self._dpb[e["ref0"]], qp,
+                    want_recon=return_recon, qp_offsets=qp_off)
             self._dpb[poc] = dev[4:7] if self.use_tree else dev[9:12]
         else:
             qp = forced_qp if forced_qp is not None \
@@ -500,13 +533,14 @@ class Encoder:
             e["qp_map"] = qp16
         if e["last_in_gop"] and self.inter_enabled:
             anchor = e["anchor_poc"]
+            keep = {anchor}
+            if self.num_ref_p > 1:
+                keep |= set(self._anchor_hist[-self.num_ref_p:])
             if stype == "B" and e["is_ref"]:
                 # keep until both anchor and this Bref are consumed
-                self._dpb = {p: v for p, v in self._dpb.items()
-                             if p in (anchor, poc)}
-            else:
-                self._dpb = {p: v for p, v in self._dpb.items()
-                             if p == anchor}
+                keep |= {poc}
+            self._dpb = {p: v for p, v in self._dpb.items()
+                         if p in keep}
         return dict(entry=e, dev=dev, t0=t0, qp=qp,
                     return_recon=return_recon,
                     collect_recon=collect_recon)
@@ -583,32 +617,41 @@ class Encoder:
                     time.time())
 
         def collect_group(group):
-            """Device-wait + START of the D2H while the device is
-            idle.  Must run BEFORE the next group is dispatched: on the
-            tunneled TPU a D2H issued while the device is busy queues
-            behind the whole next device step (measured +200 ms/group).
-            The copy runs async so the next dispatch + host CABAC
-            overlap the transfer."""
+            """Device-wait + the ONE mux D2H while the device is idle.
+            Must run BEFORE the next group is dispatched: on the
+            tunneled TPU a D2H issued after the next dispatch queues
+            behind that whole device step (round-5 emit profile:
+            collect 104 ms when fetched here vs ~700 ms when deferred).
+            np.asarray populates the jax.Array host cache, so
+            emit_group's collect_batch read is free."""
             import jax as _jax
             dev, qp, n_real, t0 = group
             _jax.block_until_ready(dev[0])
-            try:
-                dev[0].copy_to_host_async()
-            except Exception:  # noqa: BLE001 — prefetch is best-effort
-                pass
+            np.asarray(dev[0])
             return group
 
         def emit_group(group):
             """D2H completion + host CABAC + NAL assembly — overlaps
             the NEXT group's device step."""
+            import os
+            prof = os.environ.get("X265TPU_PROF_EMIT")
+            t0p = time.time()
             dev, qp, n_real, t0 = group
             results = fe.collect_batch(dev)[:n_real]
+            t1p = time.time()
             payloads = list(pool.map(
                 lambda r: self._cabac_intra(r, qp, None), results))
+            t2p = time.time()
             outs = []
             for res, (payload, entry_offs) in zip(results, payloads):
                 outs.append(self._assemble_intra_nal(
                     res, qp, payload, entry_offs, t0))
+            if prof:
+                import sys
+                sys.stderr.write(
+                    f"[emit] collect {1e3 * (t1p - t0p):.0f} cabac "
+                    f"{1e3 * (t2p - t1p):.0f} nal "
+                    f"{1e3 * (time.time() - t2p):.0f} ms\n")
             return outs
 
         buf = []
@@ -712,16 +755,15 @@ class Encoder:
     # -- host side -------------------------------------------------------
 
     def _prefetch(self, pending) -> None:
-        """Device wait + async host-copy start for a dispatched entry:
-        issued while the device is idle so the transfer does not queue
-        behind the next dispatched frame's device step."""
+        """Device wait + the ONE mux D2H for a dispatched entry, while
+        the device is idle: a D2H issued after the next dispatch queues
+        behind that device step on the tunnel (round-5 measurement).
+        np.asarray caches the host value on the jax.Array, so the later
+        collect() is free."""
         import jax as _jax
         dev = pending["dev"]
         _jax.block_until_ready(dev[0])
-        try:
-            dev[0].copy_to_host_async()
-        except Exception:  # noqa: BLE001 — prefetch is best-effort
-            pass
+        np.asarray(dev[0])
 
     def _collect(self, pending) -> None:
         """Device wait + ONE D2H fetch for a dispatched entry; kept
@@ -765,7 +807,8 @@ class Encoder:
             max_merge=MAX_MERGE, sao_luma=self.param.sao,
             sao_chroma=self.param.sao,
             num_entry_points=len(entry_offs),
-            entry_point_offsets=entry_offs or None)
+            entry_point_offsets=entry_offs or None,
+            num_ref0=self.num_ref_p if slice_type == "P" else 1)
         bw.append_bytes(payload)
         nal = wrap_nal(nal_type, bw.data())
         if self.param.aud:
@@ -1095,7 +1138,8 @@ class Encoder:
         native = self._native_slice(
             "P", res, qp, qp_map, kinds=res.kinds,
             merge_idx=res.merge_idx, mvd0=res.mvd, mvp0=res.mvp_idx,
-            max_merge=MAX_MERGE)
+            max_merge=MAX_MERGE, ref0=getattr(res, "ref0", None),
+            num_ref0=self.num_ref_p)
         if native is not None:
             return native
         from ..cabac.syntax import encode_cu_pb
@@ -1122,6 +1166,8 @@ class Encoder:
                 "mvd": (int(res.mvd[by, bx, 0]),
                         int(res.mvd[by, bx, 1])),
                 "mvp_idx": int(res.mvp_idx[by, bx]),
+                "ref_idx": int(res.ref0[by, bx])
+                if getattr(res, "ref0", None) is not None else 0,
                 "luma_mode": int(modes[by, bx]),
                 "levels_y": ly, "levels_cb": lcb, "levels_cr": lcr,
             }
@@ -1135,7 +1181,8 @@ class Encoder:
             encode_cu_pb(enc, "P", cells, cu_d, left_skip, above_skip,
                          cand_a, cand_b, MAX_MERGE, qp_delta=qpd,
                          ct_depth=ct_depth,
-                         sign_hide=self.pps.sign_data_hiding)
+                         sign_hide=self.pps.sign_data_hiding,
+                         num_ref0=self.num_ref_p)
 
         def ctu_fn(enc, cy, cx):
             self._sao_ctu(enc, res, cy, cx)

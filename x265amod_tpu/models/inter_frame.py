@@ -120,10 +120,10 @@ class InterFrameEncoder:
                 valid[i, j] = True
                 slot_of[cy * self.wc + cx] = i * self.bmax + j
                 slot_raster[i * self.bmax + j] = cy * self.wc + cx
-        self._coords = jnp.asarray(coords)
-        self._valid = jnp.asarray(valid)
-        self._raster_slots = jnp.asarray(slot_of)
-        self._slot_raster = jnp.asarray(slot_raster)
+        self._coords = np.asarray(coords)
+        self._valid = np.asarray(valid)
+        self._raster_slots = np.asarray(slot_of)
+        self._slot_raster = np.asarray(slot_raster)
         self._step = jax.jit(functools.partial(self._encode, wr=False))
         self._step_recon = jax.jit(functools.partial(self._encode,
                                                      wr=True))

@@ -91,8 +91,9 @@ class InterTreeEncoder:
                  lambda_scale: float = 1.0, sao: bool = False,
                  deblock: bool = False, wpp: bool = False,
                  search_range: int = 16, subme: int = 2,
-                 sign_hide: bool = False):
+                 sign_hide: bool = False, rdoq: bool = False):
         self.sbh = sign_hide
+        self.rdoq = rdoq
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         assert 4 <= search_range <= 32, "dense-grid ME range"
@@ -119,10 +120,10 @@ class InterTreeEncoder:
                 slot32[cy * self.wc + cx] = i * self.bmax + j
                 slot_raster32[i * self.bmax + j] = cy * self.wc + cx
         assert (slot32 >= 0).all()
-        self._coords = jnp.asarray(coords)
-        self._valid = jnp.asarray(valid)
-        self._raster32 = jnp.asarray(slot32)       # 32-raster -> slot
-        self._slot_raster32 = jnp.asarray(slot_raster32)
+        self._coords = np.asarray(coords)
+        self._valid = np.asarray(valid)
+        self._raster32 = np.asarray(slot32)       # 32-raster -> slot
+        self._slot_raster32 = np.asarray(slot_raster32)
         # 16-cell raster -> (slot, z-quadrant) permutations
         slot16 = np.zeros(self.h16 * self.w16, np.int64)
         cell_of = np.zeros(self.n_diags * self.bmax * 4, np.int64)
@@ -132,7 +133,7 @@ class InterTreeEncoder:
                 s32 = slot32[(by // 2) * self.wc + bx // 2]
                 slot16[by * self.w16 + bx] = s32 * 4 + q
                 cell_of[s32 * 4 + q] = by * self.w16 + bx
-        self._raster16 = jnp.asarray(slot16)       # 16-raster -> slotq
+        self._raster16 = np.asarray(slot16)       # 16-raster -> slotq
         self._slotq_raster16 = jnp.asarray(cell_of)
         self._step = jax.jit(functools.partial(self._encode, wr=False))
         self._step_recon = jax.jit(functools.partial(self._encode,
@@ -151,10 +152,18 @@ class InterTreeEncoder:
     # ------------------------------------------------------------------
     def _encode(self, y, cb, cr, ref_y, ref_cb, ref_cr, qp16_blk,
                 qpc16_blk, lam16_blk, qp32_blk, qpc32_blk, lam32_blk,
-                slice_qp, wr=False, probe=None):
+                slice_qp, wr=False, probe=None, dsf_mat=None,
+                refbits=None):
         """qp16_blk/qpc16_blk/lam16_blk: [n16] per-16-cell raster (2x2
         replication of the per-CTB values — QG == CTB); qp32_blk etc.:
-        [n32] per-CTB raster."""
+        [n32] per-CTB raster.
+
+        Multi-reference (round 5, reference search.cpp:2181 per-ref ME
+        loop): ref_y/cb/cr may be stacked [R, H, W] planes — the L0
+        list, nearest first.  dsf_mat [R, R] int32 gives the 8.5.3.2.8
+        scale factor from a neighbor's ref j to the current ref i
+        (dsf_mat[j, i]); refbits [R] f32 the ref_idx TR bin counts.
+        2-D planes mean R = 1 (single ref, no ref_idx coding)."""
         wc, hc = self.wc, self.hc
         w16, h16 = self.w16, self.h16
         n16 = h16 * w16
@@ -162,9 +171,20 @@ class InterTreeEncoder:
         y = y.astype(jnp.int32)
         cb = cb.astype(jnp.int32)
         cr = cr.astype(jnp.int32)
-        ref_y = ref_y.astype(jnp.int32)
-        ref_cb = ref_cb.astype(jnp.int32)
-        ref_cr = ref_cr.astype(jnp.int32)
+        if ref_y.ndim == 2:
+            ref_y = ref_y[None]
+            ref_cb = ref_cb[None]
+            ref_cr = ref_cr[None]
+        refs_y = ref_y.astype(jnp.int32)
+        refs_cb = ref_cb.astype(jnp.int32)
+        refs_cr = ref_cr.astype(jnp.int32)
+        R = refs_y.shape[0]
+        if dsf_mat is None:
+            dsf_mat = jnp.full((R, R), 256, jnp.int32)
+        if refbits is None:
+            refbits = jnp.asarray(
+                [float(r + 1 if r < R - 1 else r) if R > 1 else 0.0
+                 for r in range(R)], jnp.float32)
 
         def to_blocks(plane, bn):
             hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
@@ -178,37 +198,29 @@ class InterTreeEncoder:
         ocr_flat = ocr.reshape(n16, 8, 8)
         oy32 = to_blocks(y, 32).reshape(n32, 32, 32)
 
-        # ---- 1. parallel ME + trials at both CU sizes -----------------
+        # ---- 1. parallel ME + trials at both CU sizes, PER REF --------
         sr = self.sr
         s = 2 * sr + 1
-        ssd16 = me_ssd_grid(oy, ref_y, sr)               # [n16, S, S]
-        ssd32 = me_ssd_grid(to_blocks(y, 32), ref_y, sr, bn=32)
         off = jnp.arange(s) - sr
         mygrid, mxgrid = jnp.meshgrid(off, off, indexing="ij")
         mvbits_grid = _mvd_bits(
             jnp.stack([mxgrid * 4, mygrid * 4], -1))     # [S, S]
 
-        def best_mv(grid, lam, blocks, bn):
+        def best_mv(grid, lam, blocks, bn, rplane):
             cost = grid + lam[:, None, None] * mvbits_grid[None]
             flat = jnp.argmin(cost.reshape(cost.shape[0], -1), axis=1)
             mv_int = jnp.stack([flat % s - sr, flat // s - sr], 1)
             if self.subme >= 1:
-                mv_q, _ = subpel_refine(ref_y, blocks, mv_int,
+                mv_q, _ = subpel_refine(rplane, blocks, mv_int,
                                         lam[:, None], bn,
                                         max_mv=self.sr)
             else:
                 mv_q = mv_int * 4
             return mv_q
 
-        mv16_me = best_mv(ssd16, lam16_blk, oy, 16)
-        mv32_me = best_mv(ssd32, lam32_blk, to_blocks(y, 32), 32)
-
-        qp3_16 = qp16_blk[:, None, None]
-        qp3_32 = qp32_blk[:, None, None]
-
-        def inter_trial(orig, mv, qpv, bn):
+        def inter_trial(orig, mv, qpv, bn, rplane):
             qp3 = qpv[:, None, None]
-            pred = mc_luma_qpel(ref_y, mv, bn, max_mv=self.sr + 2)
+            pred = mc_luma_qpel(rplane, mv, bn, max_mv=self.sr + 2)
             lv = quant(fwd_transform(orig - pred), qp3, intra=False)
             rec = jnp.clip(pred + inv_transform(dequant(lv, qp3)),
                            0, 255)
@@ -216,8 +228,47 @@ class InterTreeEncoder:
                 .astype(jnp.float32)
             return d, _rbits_proxy(lv, st=self.ST, qp=qpv)
 
-        d16, rb16 = inter_trial(oy_flat, mv16_me, qp16_blk, 16)
-        d32, rb32 = inter_trial(oy32, mv32_me, qp32_blk, 32)
+        ssd16_l, mv16_l, d16_l, rb16_l = [], [], [], []
+        ssd32_l, mv32_l, d32_l, rb32_l = [], [], [], []
+        oy32b = to_blocks(y, 32)
+        for r in range(R):
+            g16 = me_ssd_grid(oy, refs_y[r], sr)
+            mv16_r = best_mv(g16, lam16_blk, oy, 16, refs_y[r])
+            d16_r, rb16_r = inter_trial(oy_flat, mv16_r, qp16_blk, 16,
+                                        refs_y[r])
+            ssd16_l.append(g16)
+            mv16_l.append(mv16_r)
+            d16_l.append(d16_r)
+            rb16_l.append(rb16_r)
+            g32 = me_ssd_grid(oy32b, refs_y[r], sr, bn=32)
+            mv32_r = best_mv(g32, lam32_blk, oy32b, 32, refs_y[r])
+            d32_r, rb32_r = inter_trial(oy32, mv32_r, qp32_blk, 32,
+                                        refs_y[r])
+            ssd32_l.append(g32)
+            mv32_l.append(mv32_r)
+            d32_l.append(d32_r)
+            rb32_l.append(rb32_r)
+
+        def pick_ref(d_l, rb_l, mv_l, lam):
+            """Per-CU best reference by trial cost incl. ref_idx bins."""
+            j = jnp.stack(
+                [d_l[r] + lam * (rb_l[r] + _mvd_bits(mv_l[r])
+                                 + refbits[r]) for r in range(R)], 1)
+            best = jnp.argmin(j, axis=1)                 # [n]
+            sel = lambda xs: (jnp.take_along_axis(
+                jnp.stack(xs, 1), best[:, None], 1)[:, 0]
+                if xs[0].ndim == 1 else jnp.take_along_axis(
+                jnp.stack(xs, 1), best[:, None, None], 1)[:, 0])
+            return (best.astype(jnp.int32), sel(d_l), sel(rb_l),
+                    sel(mv_l))
+
+        ref16_me, d16, rb16, mv16_me = pick_ref(d16_l, rb16_l, mv16_l,
+                                                lam16_blk)
+        ref32_me, d32, rb32, mv32_me = pick_ref(d32_l, rb32_l, mv32_l,
+                                                lam32_blk)
+        # skip/merge cost lookup grids for ALL refs, flat over (r, n)
+        ssd16 = jnp.concatenate(ssd16_l, 0)     # [R*n16, S, S]
+        ssd32 = jnp.concatenate(ssd32_l, 0)     # [R*n32, S, S]
 
         # ---- intra trial at 16 with source-pixel references -----------
         d_intra16, imode16 = self._intra_trial16(oy, oy_flat, qp16_blk,
@@ -236,6 +287,7 @@ class InterTreeEncoder:
         # 16-grid motion state (+2 dummy rows for invalid lanes)
         mv_map = jnp.zeros((h16 + 2, w16, 2), jnp.int32)
         inter_map = jnp.zeros((h16 + 2, w16), jnp.int32)
+        ref_map = jnp.zeros((h16 + 2, w16), jnp.int32)
 
         def lookup(grid, idx, mv_int):
             mx = jnp.clip(mv_int[:, 0] + sr, 0, s - 1)
@@ -248,16 +300,18 @@ class InterTreeEncoder:
         xs_decide = (self._coords, self._valid,
                      self._to_slots32(d32), self._to_slots32(rb32),
                      self._to_slots32(mv32_me),
+                     self._to_slots32(ref32_me),
                      self._to_slots32(lam32_blk),
                      self._to_slots16q(d16), self._to_slots16q(rb16),
                      self._to_slots16q(mv16_me),
+                     self._to_slots16q(ref16_me),
                      self._to_slots16q(d_intra16),
                      self._to_slots16q(lam16_blk))
 
         def decide_body(state, xs):
-            mv_map, inter_map = state
-            (coords_d, val, d32_d, rb32_d, mv32_d, lam32_d,
-             d16_d, rb16_d, mv16_d, di16_d, lam16_d) = xs
+            mv_map, inter_map, ref_map = state
+            (coords_d, val, d32_d, rb32_d, mv32_d, ref32_d, lam32_d,
+             d16_d, rb16_d, mv16_d, ref16_d, di16_d, lam16_d) = xs
             cx = coords_d[:, 0]
             cy = coords_d[:, 1]
             bx = 2 * cx
@@ -269,19 +323,61 @@ class InterTreeEncoder:
                 pxc = jnp.clip(px, 0, w16 - 1)
                 pyc = jnp.clip(py, 0, h16 - 1)
                 avail = ok & (inter_map[pyc, pxc] == 1)
-                return avail, jnp.where(avail[:, None],
-                                        mv_map[pyc, pxc], 0)
+                return (avail,
+                        jnp.where(avail[:, None], mv_map[pyc, pxc], 0),
+                        jnp.where(avail, ref_map[pyc, pxc], 0))
 
-            def decide_cu(cands, dd, rbd, mvme, lamv, di, idx16, grid,
-                          with_intra):
+            def scale_to(mv_nb, ref_nb, cur_ref):
+                """Neighbor MV viewed at cur_ref (mirror of
+                mvpred.amvp_candidates_ref_scalar mvp_of: same-ref
+                passthrough, else 8.5.3.2.8 scaling)."""
+                dsf = dsf_mat[ref_nb, cur_ref][:, None]
+                return jnp.where((ref_nb == cur_ref)[:, None], mv_nb,
+                                 _scale_mv_vec(mv_nb, dsf))
+
+            def decide_cu(cands, dd, rbd, mvme, refme, lamv, di, idx16,
+                          grid, n_grid, with_intra):
                 """One CU decision from its 4 neighbor candidates.
-                Returns (kind, merge_idx, mv_fin, mvd, mvp_idx, j)."""
-                (av_a1, mv_a1), (av_b1, mv_b1), (av_b0, mv_b0), \
-                    (av_b2, mv_b2) = cands
-                mrg0, mrg1 = _merge2(av_a1, mv_a1, av_b1, mv_b1,
-                                     av_b0, mv_b0, av_b2, mv_b2)
-                amvp0, amvp1 = _amvp2(av_a1, mv_a1, av_b1, mv_b1,
-                                      av_b0, mv_b0, av_b2, mv_b2)
+                Returns (kind, merge_idx, mv_fin, ref_fin, mvd,
+                mvp_idx, j)."""
+                (av_a1, mv_a1, rf_a1), (av_b1, mv_b1, rf_b1), \
+                    (av_b0, mv_b0, rf_b0), (av_b2, mv_b2, rf_b2) = cands
+                # merge list (2 cands) with full-motion pruning incl.
+                # ref — mirror of mvpred.merge_candidates_ref_scalar
+                eq = lambda ma, ra, mb, rb: \
+                    jnp.all(ma == mb, -1) & (ra == rb)
+                m_a1 = av_a1
+                m_b1 = av_b1 & ~(av_a1 & eq(mv_b1, rf_b1, mv_a1, rf_a1))
+                m_b0 = av_b0 & ~(av_b1 & eq(mv_b0, rf_b0, mv_b1, rf_b1))
+                m_b2 = av_b2 & ~(av_a1 & eq(mv_b2, rf_b2, mv_a1, rf_a1)) \
+                    & ~(av_b1 & eq(mv_b2, rf_b2, mv_b1, rf_b1))
+                avs = jnp.stack([m_a1, m_b1, m_b0, m_b2], 1)
+                mvs = jnp.stack([mv_a1, mv_b1, mv_b0, mv_b2], 1)
+                rfs = jnp.stack([rf_a1, rf_b1, rf_b0, rf_b2], 1)
+                pos = jnp.cumsum(avs.astype(jnp.int32), axis=1)
+
+                def mpick(k):
+                    m = avs & (pos == k + 1)
+                    mv = jnp.sum(mvs * m[..., None], axis=1)
+                    rf = jnp.sum(rfs * m, axis=1)
+                    return mv, rf
+                mrg0, mrg0_rf = mpick(0)
+                mrg1, mrg1_rf = mpick(1)
+
+                # AMVP: A = A1, B = first of (B0, B1, B2); neighbor MVs
+                # scaled to the CURRENT ref (mirror of
+                # mvpred.amvp_candidates_ref_scalar)
+                sA = scale_to(mv_a1, rf_a1, refme)
+                avB = av_b0 | av_b1 | av_b2
+                mvB = jnp.where(av_b0[:, None], mv_b0,
+                                jnp.where(av_b1[:, None], mv_b1, mv_b2))
+                rfB = jnp.where(av_b0, rf_b0,
+                                jnp.where(av_b1, rf_b1, rf_b2))
+                sB = scale_to(mvB, rfB, refme)
+                dupB = avB & av_a1 & jnp.all(sB == sA, -1)
+                amvp0 = jnp.where(av_a1[:, None], sA,
+                                  jnp.where(avB[:, None], sB, 0))
+                amvp1 = jnp.where((av_a1 & avB & ~dupB)[:, None], sB, 0)
                 mvd0 = mvme - amvp0
                 mvd1 = mvme - amvp1
                 b0 = _mvd_bits(mvd0)
@@ -289,9 +385,13 @@ class InterTreeEncoder:
                 use1 = b1 < b0
                 mvp_idx = use1.astype(jnp.int32)
                 mvd = jnp.where(use1[:, None], mvd1, mvd0)
-                j_inter = dd + lamv * (rbd + jnp.minimum(b0, b1) + 6.0)
-                j_s0 = lookup(grid, idx16, mrg0 >> 2) + lamv * 2.0
-                j_s1 = lookup(grid, idx16, mrg1 >> 2) + lamv * 3.0
+                rbits_ref = jnp.take(refbits, refme)
+                j_inter = dd + lamv * (rbd + jnp.minimum(b0, b1)
+                                       + rbits_ref + 6.0)
+                j_s0 = lookup(grid, mrg0_rf * n_grid + idx16,
+                              mrg0 >> 2) + lamv * 2.0
+                j_s1 = lookup(grid, mrg1_rf * n_grid + idx16,
+                              mrg1 >> 2) + lamv * 3.0
                 if with_intra:
                     js = jnp.stack(
                         [j_s0, j_s1, j_inter,
@@ -305,8 +405,12 @@ class InterTreeEncoder:
                 mv_fin = jnp.where(choice[:, None] == 0, mrg0,
                                    jnp.where(choice[:, None] == 1,
                                              mrg1, mvme))
+                ref_fin = jnp.where(choice == 0, mrg0_rf,
+                                    jnp.where(choice == 1, mrg1_rf,
+                                              refme))
                 mv_fin = jnp.where(kind[:, None] == 2, 0, mv_fin)
-                return (kind, merge_idx, mv_fin, mvd, mvp_idx,
+                ref_fin = jnp.where(kind == 2, 0, ref_fin)
+                return (kind, merge_idx, mv_fin, ref_fin, mvd, mvp_idx,
                         jnp.min(js, axis=1))
 
             # ---- hypothesis A: one CU32 (no intra at 32) --------------
@@ -315,47 +419,52 @@ class InterTreeEncoder:
                    nb(bx + 2, by - 1, (cy > 0) & (cx < wc - 1)),
                    nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
             idx32 = cy * wc + cx
-            k32, mg32, mv32f, mvd32, mvp32, j32 = decide_cu(
-                c32, d32_d, rb32_d, mv32_d, lam32_d, None, idx32,
-                ssd32, False)
+            k32, mg32, mv32f, ref32f, mvd32, mvp32, j32 = decide_cu(
+                c32, d32_d, rb32_d, mv32_d, ref32_d, lam32_d, None,
+                idx32, ssd32, n32, False)
 
             # ---- hypothesis B: 4 CU16 quadrants in z-scan --------------
             # local (in-CTU) candidates come from earlier quadrants'
             # results; cross-CTU ones from the committed motion maps
-            def loc(kq, mvq):
-                return (kq <= 1), mvq
+            def loc(kq, mvq, rfq):
+                return (kq <= 1), mvq, rfq
 
             # q0
             c0 = (nb(bx - 1, by, cx > 0), nb(bx, by - 1, cy > 0),
                   nb(bx + 1, by - 1, cy > 0),
                   nb(bx - 1, by - 1, (cx > 0) & (cy > 0)))
             i0 = by * w16 + bx
-            k0, mg0, mvf0, mvd0q, mvp0q, j0 = decide_cu(
+            k0, mg0, mvf0, rff0, mvd0q, mvp0q, j0 = decide_cu(
                 c0, d16_d[:, 0], rb16_d[:, 0], mv16_d[:, 0],
-                lam16_d[:, 0], di16_d[:, 0], i0, ssd16, True)
+                ref16_d[:, 0], lam16_d[:, 0], di16_d[:, 0], i0, ssd16,
+                n16, True)
             # q1: A1 = q0 (local); B's from above CTU row
-            c1 = (loc(k0, mvf0), nb(bx + 1, by - 1, cy > 0),
+            c1 = (loc(k0, mvf0, rff0), nb(bx + 1, by - 1, cy > 0),
                   nb(bx + 2, by - 1, (cy > 0) & (cx < wc - 1)),
                   nb(bx, by - 1, cy > 0))
             i1 = by * w16 + bx + 1
-            k1, mg1, mvf1, mvd1q, mvp1q, j1 = decide_cu(
+            k1, mg1, mvf1, rff1, mvd1q, mvp1q, j1 = decide_cu(
                 c1, d16_d[:, 1], rb16_d[:, 1], mv16_d[:, 1],
-                lam16_d[:, 1], di16_d[:, 1], i1, ssd16, True)
+                ref16_d[:, 1], lam16_d[:, 1], di16_d[:, 1], i1, ssd16,
+                n16, True)
             # q2: B1 = q0, B0 = q1 (local); A1/B2 from left CTU
-            c2 = (nb(bx - 1, by + 1, cx > 0), loc(k0, mvf0),
-                  loc(k1, mvf1), nb(bx - 1, by, cx > 0))
+            c2 = (nb(bx - 1, by + 1, cx > 0), loc(k0, mvf0, rff0),
+                  loc(k1, mvf1, rff1), nb(bx - 1, by, cx > 0))
             i2 = (by + 1) * w16 + bx
-            k2, mg2, mvf2, mvd2q, mvp2q, j2 = decide_cu(
+            k2, mg2, mvf2, rff2, mvd2q, mvp2q, j2 = decide_cu(
                 c2, d16_d[:, 2], rb16_d[:, 2], mv16_d[:, 2],
-                lam16_d[:, 2], di16_d[:, 2], i2, ssd16, True)
+                ref16_d[:, 2], lam16_d[:, 2], di16_d[:, 2], i2, ssd16,
+                n16, True)
             # q3: A1 = q2, B1 = q1, B2 = q0 (local); B0 undecoded
             false_ = jnp.zeros((B,), bool)
-            c3 = (loc(k2, mvf2), loc(k1, mvf1),
-                  (false_, jnp.zeros_like(mvf0)), loc(k0, mvf0))
+            c3 = (loc(k2, mvf2, rff2), loc(k1, mvf1, rff1),
+                  (false_, jnp.zeros_like(mvf0), jnp.zeros_like(rff0)),
+                  loc(k0, mvf0, rff0))
             i3 = (by + 1) * w16 + bx + 1
-            k3, mg3, mvf3, mvd3q, mvp3q, j3 = decide_cu(
+            k3, mg3, mvf3, rff3, mvd3q, mvp3q, j3 = decide_cu(
                 c3, d16_d[:, 3], rb16_d[:, 3], mv16_d[:, 3],
-                lam16_d[:, 3], di16_d[:, 3], i3, ssd16, True)
+                ref16_d[:, 3], lam16_d[:, 3], di16_d[:, 3], i3, ssd16,
+                n16, True)
 
             # ---- split decision ---------------------------------------
             split = ((j0 + j1 + j2 + j3) < j32).astype(jnp.int32)
@@ -365,6 +474,7 @@ class InterTreeEncoder:
             kq = jnp.stack([k0, k1, k2, k3], 1)
             mgq = jnp.stack([mg0, mg1, mg2, mg3], 1)
             mvfq = jnp.stack([mvf0, mvf1, mvf2, mvf3], 1)
+            rffq = jnp.stack([rff0, rff1, rff2, rff3], 1)
             mvdq = jnp.stack([mvd0q, mvd1q, mvd2q, mvd3q], 1)
             mvpq = jnp.stack([mvp0q, mvp1q, mvp2q, mvp3q], 1)
 
@@ -373,6 +483,9 @@ class InterTreeEncoder:
             cell_mv = jnp.where(spn[:, None], mvfq,
                                 jnp.broadcast_to(mv32f[:, None],
                                                  mvfq.shape))
+            cell_ref = jnp.where(sp[:, None], rffq,
+                                 jnp.broadcast_to(ref32f[:, None],
+                                                  rffq.shape))
             cell_inter = jnp.where(sp[:, None], (kq <= 1).astype(
                 jnp.int32), 1)
             safe_by = jnp.where(val, by, h16)
@@ -383,18 +496,21 @@ class InterTreeEncoder:
                 cell_mv.reshape(-1, 2))
             inter_map = inter_map.at[idx_by, idx_bx].set(
                 cell_inter.reshape(-1))
+            ref_map = ref_map.at[idx_by, idx_bx].set(
+                cell_ref.reshape(-1))
 
             ys = (split.astype(jnp.int8), k32.astype(jnp.int8),
                   mg32.astype(jnp.int8), mvd32.astype(jnp.int16),
-                  mvp32.astype(jnp.int8), mv32f,
+                  mvp32.astype(jnp.int8), mv32f, ref32f.astype(jnp.int8),
                   kq.astype(jnp.int8), mgq.astype(jnp.int8),
                   mvdq.astype(jnp.int16), mvpq.astype(jnp.int8),
-                  cell_mv)
-            return (mv_map, inter_map), ys
+                  cell_mv, rffq.astype(jnp.int8), cell_ref)
+            return (mv_map, inter_map, ref_map), ys
 
-        state = (mv_map, inter_map)
-        _, (o_split, o_k32, o_mg32, o_mvd32, o_mvp32, o_mv32,
-            o_kq, o_mgq, o_mvdq, o_mvpq, o_cellmv) = jax.lax.scan(
+        state = (mv_map, inter_map, ref_map)
+        _, (o_split, o_k32, o_mg32, o_mvd32, o_mvp32, o_mv32, o_ref32,
+            o_kq, o_mgq, o_mvdq, o_mvpq, o_cellmv, o_refq,
+            o_cellref) = jax.lax.scan(
             decide_body, state, xs_decide)
 
         # raster views
@@ -425,30 +541,57 @@ class InterTreeEncoder:
         mvpq_r = jnp.take(o_mvpq.reshape(-1), self._raster16) \
             .astype(jnp.int32)
         mv_cell = jnp.take(o_cellmv.reshape(-1, 2), self._raster16, 0)
+        ref_cell = jnp.take(o_cellref.reshape(-1), self._raster16) \
+            .astype(jnp.int32)
+        ref32_cell = jnp.repeat(jnp.repeat(
+            jnp.take(o_ref32.reshape(-1), self._raster32)
+            .reshape(hc, wc), 2, 0), 2, 1).reshape(-1).astype(jnp.int32)
+        refq_r = jnp.take(o_refq.reshape(-1), self._raster16) \
+            .astype(jnp.int32)
 
         is_split = split_cell == 1
         kinds16 = jnp.where(is_split, kq_r, k32_cell)
         merge16 = jnp.where(is_split, mgq_r, mg32_cell)
         mvd16 = jnp.where(is_split[:, None], mvdq_r, mvd32_cell)
         mvp16 = jnp.where(is_split, mvpq_r, mvp32_cell)
+        ref16_fin = jnp.where(is_split, refq_r, ref32_cell)
         if probe == 2:
             return (jnp.sum(kinds16).astype(jnp.float32)
                     + jnp.sum(merge16).astype(jnp.float32)
                     + jnp.sum(mvd16).astype(jnp.float32)
                     + jnp.sum(mv_cell).astype(jnp.float32)
+                    + jnp.sum(ref_cell).astype(jnp.float32)
                     + jnp.sum(split_cell).astype(jnp.float32),)
 
         # ---- 3. parallel final MC + residuals ---------------------------
-        pred_y = mc_luma_qpel(ref_y, mv_cell, 16,
-                              max_mv=self.sr + 2)    # [n16,16,16]
-        pred_cb = mc_chroma_qpel(ref_cb, mv_cell, 8,
-                                 max_mv=self.sr // 2 + 2)
-        pred_cr = mc_chroma_qpel(ref_cr, mv_cell, 8,
-                                 max_mv=self.sr // 2 + 2)
+        def mc_sel(mc_fn, planes, mv, bn, max_mv):
+            """MC against the per-cell selected reference: per-ref MC +
+            one-hot combine (gather-free; R is small)."""
+            if R == 1:
+                return mc_fn(planes[0], mv, bn, max_mv=max_mv)
+            preds = jnp.stack([mc_fn(planes[r], mv, bn, max_mv=max_mv)
+                               for r in range(R)], 0)
+            oh = (ref_cell[None, :] == jnp.arange(R)[:, None]) \
+                .astype(preds.dtype)
+            return jnp.sum(preds * oh[:, :, None, None], 0)
+
+        pred_y = mc_sel(mc_luma_qpel, refs_y, mv_cell, 16,
+                        self.sr + 2)               # [n16,16,16]
+        pred_cb = mc_sel(mc_chroma_qpel, refs_cb, mv_cell, 8,
+                         self.sr // 2 + 2)
+        pred_cr = mc_sel(mc_chroma_qpel, refs_cr, mv_cell, 8,
+                         self.sr // 2 + 2)
+        qp3_16 = qp16_blk[:, None, None]
+        qp3_32 = qp32_blk[:, None, None]
         qpc3_16 = qpc16_blk[:, None, None]
 
-        def coded16(orig, pred, qp3):
-            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+        def coded16(orig, pred, qp3, lamv, c_idx=0):
+            co = fwd_transform(orig - pred)
+            lv = quant(co, qp3, intra=False)
+            if self.rdoq:
+                from ..ops.rdoq import rdoq_adjust
+                lv = rdoq_adjust(co, lv, qp3[:, 0, 0], lamv, c_idx,
+                                 self.ST)
             if self.sbh:
                 from ..ops.sbh import sbh_adjust
                 lv = sbh_adjust(lv)
@@ -456,9 +599,11 @@ class InterTreeEncoder:
                            0, 255)
             return lv, rec
 
-        lv16_y, rec16_y = coded16(oy_flat, pred_y, qp3_16)
-        lv16_cb, rec16_cb = coded16(ocb_flat, pred_cb, qpc3_16)
-        lv16_cr, rec16_cr = coded16(ocr_flat, pred_cr, qpc3_16)
+        lv16_y, rec16_y = coded16(oy_flat, pred_y, qp3_16, lam16_blk)
+        lv16_cb, rec16_cb = coded16(ocb_flat, pred_cb, qpc3_16,
+                                    lam16_blk, 1)
+        lv16_cr, rec16_cr = coded16(ocr_flat, pred_cr, qpc3_16,
+                                    lam16_blk, 2)
         skip16 = (kinds16 == 0) | ~is_split
         lv16_y = jnp.where(skip16[:, None, None], 0, lv16_y)
         lv16_cb = jnp.where(skip16[:, None, None], 0, lv16_cb)
@@ -487,9 +632,11 @@ class InterTreeEncoder:
         ocb32 = cells_to32(ocb_flat, 8)
         ocr32 = cells_to32(ocr_flat, 8)
         qpc3_32 = qpc32_blk[:, None, None]
-        lv32_y, rec32_y = coded16(oy32, pred32_y, qp3_32)
-        lv32_cb, rec32_cb = coded16(ocb32, pred32_cb, qpc3_32)
-        lv32_cr, rec32_cr = coded16(ocr32, pred32_cr, qpc3_32)
+        lv32_y, rec32_y = coded16(oy32, pred32_y, qp3_32, lam32_blk)
+        lv32_cb, rec32_cb = coded16(ocb32, pred32_cb, qpc3_32,
+                                    lam32_blk, 1)
+        lv32_cr, rec32_cr = coded16(ocr32, pred32_cr, qpc3_32,
+                                    lam32_blk, 2)
         k32_r = jnp.take(o_k32.reshape(-1), self._raster32) \
             .astype(jnp.int32)
         skip32 = (k32_r == 0)
@@ -546,8 +693,10 @@ class InterTreeEncoder:
             mv0_m = jnp.where(intra_m[..., None], 0,
                               mv_cell.reshape(h16, w16, 2))
             mv1_m = jnp.zeros_like(mv0_m)
+            ref_m = jnp.where(intra_m, 0, ref_cell.reshape(h16, w16))
             bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
-                                            mv0_m, mv1_m, split32_m)
+                                            mv0_m, mv1_m, split32_m,
+                                            ref0=ref_m)
             coded16_m = (jnp.any(ly_r != 0, axis=(1, 2))
                          | jnp.any(lcb_r != 0, axis=(1, 2))
                          | jnp.any(lcr_r != 0, axis=(1, 2))) \
@@ -591,6 +740,7 @@ class InterTreeEncoder:
              ("mrg", merge16.astype(jnp.uint8)),
              ("mvd", mvd16.astype(jnp.int16)),
              ("mvp", mvp16.astype(jnp.uint8)),
+             ("ref", ref_cell.astype(jnp.uint8)),
              ("modes", modes_r), ("sse", sse)],
             sao_out, ly_r, lcb_r, lcr_r)
         return (buf, ly_r, lcb_r, lcr_r, rec_y.astype(jnp.uint8),
@@ -702,19 +852,19 @@ class InterTreeEncoder:
                 best, lv_y, rc_y, _ = eval_intra_luma(
                     orig16, tY, lY, cY, 16, qpv, lamv,
                     intra_mode_bits(left_mode), forced_mode=fmode,
-                    sbh=self.sbh, st=self.ST)
+                    sbh=self.sbh, st=self.ST, rdoq=self.rdoq)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
                 tC, lC, cC = substitute_refs_general(
                     topC, leftC, corC, avt8, alt8, avcY, 8)
                 lv_cb, rc_cb, _, _ = eval_intra_chroma(
                     oc8, tC, lC, cC, 8, 1, qpcv, best, sbh=self.sbh,
-                    st=self.ST)
+                    st=self.ST, rdoq=self.rdoq, lam=lamv)
                 tR, lR, cR = substitute_refs_general(
                     topR, leftR, corR, avt8, alt8, avcY, 8)
                 lv_cr, rc_cr, _, _ = eval_intra_chroma(
                     or8, tR, lR, cR, 8, 2, qpcv, best, sbh=self.sbh,
-                    st=self.ST)
+                    st=self.ST, rdoq=self.rdoq, lam=lamv)
                 return best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr
 
             def fin(q, intra_res, prev_cells):
@@ -892,14 +1042,43 @@ class InterTreeEncoder:
         return self._encode(
             d["y"], d["cb"], d["cr"], ref_y, ref_cb, ref_cr,
             d["m0"], d["m1"], d["m2"], d["m3"], d["m4"], d["m5"],
-            d["qp"], wr=wr)
+            d["qp"], wr=wr, dsf_mat=d.get("dsf"),
+            refbits=d.get("rfb"))
 
     def encode_async(self, y, cb, cr, ref_dev, qp: int,
                      want_recon: bool = False,
-                     qp_offsets: np.ndarray | None = None):
+                     qp_offsets: np.ndarray | None = None,
+                     ref_pocs=None, poc: int = 0):
+        """ref_dev: one (y, cb, cr) device-plane tuple (single ref) or
+        a list of them — the L0 list nearest-first (multi-ref, round 5;
+        reference per-ref ME loop search.cpp:2181).  ref_pocs/poc feed
+        the 8.5.3.2.8 AMVP scaling matrix."""
+        from .mvpred import dist_scale_factor, ref_idx_bins
+        if isinstance(ref_dev, list):
+            rl = ref_dev
+            refs = tuple(jnp.stack([jnp.asarray(r[k]) for r in rl])
+                         for k in range(3))
+            rn = len(rl)
+            if ref_pocs is None:
+                ref_pocs = list(range(rn))
+            dsf = np.full((rn, rn), 256, np.int32)
+            for j in range(rn):
+                for i in range(rn):
+                    dsf[j, i] = dist_scale_factor(
+                        poc, ref_pocs[i], ref_pocs[j])
+            rfb = np.asarray([ref_idx_bins(r, rn) for r in range(rn)],
+                             np.float32)
+        else:
+            refs = ref_dev
+            dsf = rfb = None
         maps = self._maps(qp, qp_offsets)
         buf, spec = self._pack_inputs(y, cb, cr, maps,
                                       extra=[("qp", qp)])
+        if dsf is not None:
+            from ..ops.pack import mux_arrays_np
+            tail, tspec = mux_arrays_np([("dsf", dsf), ("rfb", rfb)])
+            buf = np.concatenate([buf, tail])
+            spec = spec + tspec
         if spec != getattr(self, "_in_spec", None):
             self._in_spec = spec
             self._step_packed = jax.jit(functools.partial(
@@ -908,7 +1087,7 @@ class InterTreeEncoder:
                 self._packed, wr=True))
         step = self._step_packed_recon if want_recon \
             else self._step_packed
-        return step(jnp.asarray(buf), *ref_dev)
+        return step(jnp.asarray(buf), *refs)
 
     def _demux(self, outs):
         """One D2H fetch -> demuxed dict + levels (dense fallback only
@@ -946,6 +1125,7 @@ class InterTreeEncoder:
             d["sse"], recon_dev=outs[4:7])
         res.split = d["split"].reshape(self.hc, self.wc) \
             .astype(np.int32)
+        res.ref0 = d["ref"].reshape(h16, w16).astype(np.int32)
         if want_recon:
             res.recon_y = np.asarray(outs[4])
             res.recon_cb = np.asarray(outs[5])
@@ -1388,8 +1568,13 @@ class BTreeEncoder(InterTreeEncoder):
                             self.sr // 2 + 2)
         qpc3_16 = qpc16_blk[:, None, None]
 
-        def coded(orig, pred, qp3):
-            lv = quant(fwd_transform(orig - pred), qp3, intra=False)
+        def coded(orig, pred, qp3, lamv=None, c_idx=0):
+            co = fwd_transform(orig - pred)
+            lv = quant(co, qp3, intra=False)
+            if self.rdoq and lamv is not None:
+                from ..ops.rdoq import rdoq_adjust
+                lv = rdoq_adjust(co, lv, qp3[:, 0, 0], lamv, c_idx,
+                                 self.ST)
             if self.sbh:
                 from ..ops.sbh import sbh_adjust
                 lv = sbh_adjust(lv)
@@ -1397,7 +1582,7 @@ class BTreeEncoder(InterTreeEncoder):
                            0, 255)
             return lv, rec
 
-        lv16_y, rec16_y = coded(oy_flat, pred_y, qp3_16)
+        lv16_y, rec16_y = coded(oy_flat, pred_y, qp3_16, lam16_blk)
         lv16_cb, rec16_cb = coded(ocb_flat, pred_cb, qpc3_16)
         lv16_cr, rec16_cr = coded(ocr_flat, pred_cr, qpc3_16)
         skipc = (kinds16 == 0)
@@ -1426,7 +1611,7 @@ class BTreeEncoder(InterTreeEncoder):
         ocb32 = cells_to32(ocb_flat, 8)
         ocr32 = cells_to32(ocr_flat, 8)
         qpc3_32 = qpc32_blk[:, None, None]
-        lv32_y, rec32_y = coded(oy32, pred32_y, qp3_32)
+        lv32_y, rec32_y = coded(oy32, pred32_y, qp3_32, lam32_blk)
         lv32_cb, rec32_cb = coded(ocb32, pred32_cb, qpc3_32)
         lv32_cr, rec32_cr = coded(ocr32, pred32_cr, qpc3_32)
         k32_r = jnp.take(o_k32.reshape(-1), self._raster32) \

@@ -98,8 +98,8 @@ class IntraFrameEncoder:
             for j, (cx, cy) in enumerate(cells):
                 coords[i, j] = (cx, cy)
                 valid[i, j] = True
-        self._coords = jnp.asarray(coords)
-        self._valid = jnp.asarray(valid)
+        self._coords = np.asarray(coords)
+        self._valid = np.asarray(valid)
         # static permutation: scan-output slot -> raster CTU order, so the
         # device hands back dense raster arrays (no host reordering and no
         # padded-slot download waste)
@@ -110,7 +110,7 @@ class IntraFrameEncoder:
                     cx, cy = coords[i, j]
                     slot_of[cy * self.wc + cx] = i * self.bmax + j
         assert (slot_of >= 0).all()
-        self._raster_slots = jnp.asarray(slot_of)
+        self._raster_slots = np.asarray(slot_of)
         self._step = jax.jit(functools.partial(self._encode_frame,
                                                want_recon=False))
         self._step_recon = jax.jit(functools.partial(self._encode_frame,

@@ -55,7 +55,7 @@ def _hadamard8() -> np.ndarray:
     return h
 
 
-_H8 = jnp.asarray(_hadamard8(), jnp.float32)
+_H8 = np.asarray(_hadamard8(), np.float32)
 
 # SATD-scan candidate count for the full-RD stage (role of the
 # reference's g_intraModeNumFast fast-intra shortlist,
@@ -98,7 +98,7 @@ def intra_mode_bits(left_mode):
 
 
 def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
-                    forced_mode=None, sbh=False, st="I"):
+                    forced_mode=None, sbh=False, st="I", rdoq=False):
     """Two-stage intra mode decision (reference estIntraPredQT
     search.cpp:1509): SATD scan of all 35 predictions, then full
     transform/quant RD on the RD_CANDS best candidates.
@@ -124,6 +124,10 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
     coeff = fwd_transform(orig[:, None] - cpred)
     qpb = qpv[:, None, None, None]
     levels = quant(coeff, qpb)
+    if rdoq:
+        from ..ops.rdoq import rdoq_adjust
+        levels = rdoq_adjust(coeff, levels, qpv[:, None],
+                             lamv[:, None], 0, st)
     if sbh:
         from ..ops.sbh import sbh_adjust
         levels = sbh_adjust(levels)
@@ -143,7 +147,7 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
 
 
 def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
-                      sbh=False, st="I"):
+                      sbh=False, st="I", rdoq=False, lam=None):
     """Single-mode chroma chain at the luma mode (DM chroma):
     one prediction + one transform/quant instead of 35."""
     from ..ops.intra import predict_modes_batch
@@ -151,6 +155,9 @@ def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
     coeff = fwd_transform(orig - pred)
     qpb = qpv[:, None, None]
     levels = quant(coeff, qpb)
+    if rdoq and lam is not None:
+        from ..ops.rdoq import rdoq_adjust
+        levels = rdoq_adjust(coeff, levels, qpv, lam, c_idx, st)
     if sbh:
         from ..ops.sbh import sbh_adjust
         levels = sbh_adjust(levels)
@@ -180,10 +187,12 @@ class IntraTreeEncoder:
     def __init__(self, width: int, height: int, bit_depth: int = 8,
                  lambda_scale: float = 1.0, deblock: bool = False,
                  sao: bool = False, wpp: bool = False,
-                 sign_hide: bool = False, fast: bool = True):
+                 sign_hide: bool = False, fast: bool = True,
+                 rdoq: bool = False):
         self.wpp = wpp
         self.sbh = sign_hide
         self.fast = fast
+        self.rdoq = rdoq
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         self.width, self.height = width, height
@@ -201,8 +210,8 @@ class IntraTreeEncoder:
             for j, (cx, cy) in enumerate(cells):
                 coords[i, j] = (cx, cy)
                 valid[i, j] = True
-        self._coords = jnp.asarray(coords)
-        self._valid = jnp.asarray(valid)
+        self._coords = np.asarray(coords)
+        self._valid = np.asarray(valid)
         # raster permutations: CTU32 raster -> scan slot, and 16-cell
         # raster -> (scan slot, quadrant)
         slot32 = np.full(self.hc * self.wc, -1, np.int64)
@@ -212,14 +221,14 @@ class IntraTreeEncoder:
                     cx, cy = coords[i, j]
                     slot32[cy * self.wc + cx] = i * self.bmax + j
         assert (slot32 >= 0).all()
-        self._raster32 = jnp.asarray(slot32)
+        self._raster32 = np.asarray(slot32)
         slot16 = np.zeros(self.h16 * self.w16, np.int64)
         for by in range(self.h16):
             for bx in range(self.w16):
                 q = (by & 1) * 2 + (bx & 1)
                 s32 = slot32[(by // 2) * self.wc + bx // 2]
                 slot16[by * self.w16 + bx] = s32 * 4 + q
-        self._raster16 = jnp.asarray(slot16)
+        self._raster16 = np.asarray(slot16)
         self._step = jax.jit(functools.partial(self._encode_frame,
                                                want_recon=False))
         self._step_recon = jax.jit(functools.partial(self._encode_frame,
@@ -278,9 +287,10 @@ class IntraTreeEncoder:
         mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
 
         mode_bits = intra_mode_bits
-        eval_luma = functools.partial(eval_intra_luma, sbh=self.sbh)
+        eval_luma = functools.partial(eval_intra_luma, sbh=self.sbh,
+                                      rdoq=self.rdoq)
         eval_chroma = functools.partial(eval_intra_chroma,
-                                        sbh=self.sbh)
+                                        sbh=self.sbh, rdoq=self.rdoq)
 
         def body(state, xs):
             yb, cbb, crb, mode16 = state

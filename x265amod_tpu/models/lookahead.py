@@ -50,7 +50,7 @@ def _hadamard(n: int) -> np.ndarray:
     return h
 
 
-_H8 = jnp.asarray(_hadamard(8), jnp.int32)
+_H8 = np.asarray(_hadamard(8), np.int32)
 
 
 def satd8(a: jax.Array, b: jax.Array) -> jax.Array:

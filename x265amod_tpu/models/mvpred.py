@@ -108,6 +108,89 @@ def neighbor_state_tree(inter16: np.ndarray, mv16: np.ndarray,
     return a1, b1, b0, b2
 
 
+# ---------------------------------------------------------------------------
+# Multi-reference P motion (round 5): neighbor state carries the L0
+# ref_idx; merge candidates inherit (mv, ref); AMVP scales a
+# different-ref neighbor MV by POC distances (spec 8.5.3.2.7/2.8).
+# Reference behavior: search.cpp:2181 per-ref ME loop + getMvField.
+# ---------------------------------------------------------------------------
+
+
+def merge_candidates_ref_scalar(a1, b1, b0, b2,
+                                max_merge: int = MAX_MERGE):
+    """P multi-ref merge list: each neighbor is None or
+    (mvx, mvy, ref).  Pairwise pruning compares full motion including
+    the reference index (8.5.3.2.3); zero-fill appends (0, 0, ref 0)."""
+    cands = []
+    ca = tuple(a1) if a1 is not None else None
+    cb1 = tuple(b1) if b1 is not None else None
+    if ca is not None:
+        cands.append(ca)
+    if cb1 is not None and cb1 != ca:
+        cands.append(cb1)
+    if b0 is not None and tuple(b0) != cb1:
+        cands.append(tuple(b0))
+    if len(cands) < 4 and b2 is not None:
+        cb2 = tuple(b2)
+        if cb2 != ca and cb2 != cb1:
+            cands.append(cb2)
+    cands = cands[:max_merge]
+    while len(cands) < max_merge:
+        cands.append((0, 0, 0))
+    return cands
+
+
+def amvp_candidates_ref_scalar(a1, b0, b1, b2, cur_ref: int, poc: int,
+                               ref_pocs):
+    """AMVP for multi-ref P — same simplified candidate order as
+    amvp_candidates_scalar (A = A1; B = first of B0/B1/B2; prune;
+    zero-fill), with 8.5.3.2.8 POC-distance scaling when the neighbor
+    references a different picture (8.5.3.2.7 scaled-candidate path)."""
+    def mvp_of(n):
+        mvx, mvy, r = n
+        if r == cur_ref:
+            return (mvx, mvy)
+        dsf = dist_scale_factor(poc, ref_pocs[cur_ref], ref_pocs[r])
+        return scale_mv((mvx, mvy), dsf)
+
+    cands = []
+    if a1 is not None:
+        cands.append(mvp_of(a1))
+    b = next((n for n in (b0, b1, b2) if n is not None), None)
+    if b is not None:
+        mb = mvp_of(b)
+        if not cands or mb != cands[0]:
+            cands.append(mb)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands[:2]
+
+
+def neighbor_state_tree_ref(inter16: np.ndarray, mv16: np.ndarray,
+                            ref16: np.ndarray, bx: int, by: int,
+                            cells: int, w16: int, h16: int, zavail):
+    """Multi-ref variant of neighbor_state_tree: (mvx, mvy, ref)."""
+    def get(nx, ny):
+        if not zavail(bx, by, nx, ny, w16, h16):
+            return None
+        if not inter16[ny, nx]:
+            return None
+        return (int(mv16[ny, nx, 0]), int(mv16[ny, nx, 1]),
+                int(ref16[ny, nx]))
+    a1 = get(bx - 1, by + cells - 1)
+    b1 = get(bx + cells - 1, by - 1)
+    b0 = get(bx + cells, by - 1)
+    b2 = get(bx - 1, by - 1)
+    return a1, b1, b0, b2
+
+
+def ref_idx_bins(idx: int, num_ref: int) -> int:
+    """TR bin count of ref_idx_lX (9.3.3.2, cMax = num_ref - 1)."""
+    if num_ref <= 1:
+        return 0
+    return idx + (1 if idx < num_ref - 1 else 0)
+
+
 def neighbor_state_tree_b(dir16: np.ndarray, mv0_16: np.ndarray,
                           mv1_16: np.ndarray, bx: int, by: int,
                           cells: int, w16: int, h16: int, zavail):

@@ -99,10 +99,11 @@ def get_cabac_lib():
     offs3 = np.array([
         CTX_OFFSET["split_cu_flag"], CTX_OFFSET["cu_qp_delta_abs"],
         CTX_OFFSET["sao_merge_flag"], CTX_OFFSET["sao_type_idx"],
+        CTX_OFFSET["ref_idx"],
     ], dtype=np.int32)
     lib.hevc_cabac_set_layout3(offs3.ctypes.data_as(i32p))
     lib.hevc_encode_slice.argtypes = (
-        [ctypes.c_int32] * 4 + [i32p] * 16
+        [ctypes.c_int32] * 4 + [i32p] * 16 + [i32p, ctypes.c_int32]
         + [ctypes.c_int32] * 4 + [i32p, i32p,
                                   ctypes.POINTER(ctypes.c_uint8),
                                   ctypes.c_int64])
@@ -118,7 +119,8 @@ def encode_slice_native(slice_type: str, ctb_log2: int, hc: int, wc: int,
                         levels_cb=None, levels_cr=None, qp16=None,
                         qp32=None, sao_luma=None, sao_chroma=None,
                         max_merge: int = 2, wpp: bool = False,
-                        sign_hide: bool = False):
+                        sign_hide: bool = False, ref0=None,
+                        num_ref0: int = 1):
     """Unified native slice serializer (I/P/B, flat CTU16 or CTU32
     quadtree, AQ/SAO/WPP).  Returns (payload, entry_sizes) or None when
     the native lib is unavailable.  sao_luma: [n_ctu, 7] int32
@@ -151,6 +153,7 @@ def encode_slice_native(slice_type: str, ctb_log2: int, hc: int, wc: int,
         c(mvd0), c(mvp0), c(mvd1), c(mvp1),
         c(levels_y), c(levels_cb), c(levels_cr), c(qp16), c(qp32),
         c(sao_luma), c(sao_chroma),
+        c(ref0), num_ref0,
         qp, max_merge, 1 if wpp else 0, 1 if sign_hide else 0,
         states.ctypes.data_as(p), entry.ctypes.data_as(p),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)

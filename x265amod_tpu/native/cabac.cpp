@@ -712,7 +712,7 @@ extern "C" int64_t hevc_encode_bslice_ctu16(
 // tests/test_native_cabac.py).
 
 struct CtxLayout3 {
-  int32_t split_cu, cu_qp_delta, sao_merge, sao_type;
+  int32_t split_cu, cu_qp_delta, sao_merge, sao_type, ref_idx;
 };
 static CtxLayout3 g_layout3;
 
@@ -721,6 +721,7 @@ extern "C" void hevc_cabac_set_layout3(const int32_t* offs) {
   g_layout3.cu_qp_delta = offs[1];
   g_layout3.sao_merge = offs[2];
   g_layout3.sao_type = offs[3];
+  g_layout3.ref_idx = offs[4];
 }
 
 namespace {
@@ -730,6 +731,8 @@ struct SliceCtx {
   int ctb_log2, hc, wc, w16, h16;
   const int32_t *split, *kinds, *modes, *merge, *idir;
   const int32_t *mvd0, *mvp0, *mvd1, *mvp1;
+  const int32_t *ref0;          // L0 ref_idx per 16-cell (multi-ref)
+  int num_ref0;
   const int32_t *ly, *lcb, *lcr;
   const int32_t *qp16, *qp32;
   const int32_t *sao_l, *sao_c;
@@ -939,6 +942,19 @@ void code_inter_cu(Cabac& e, SliceCtx& s, int bx, int by, int cells,
       e.encode_bin(g_layout2.mvp, s.mvp1[idx]);
     }
   } else {
+    // ref_idx_l0 (7.3.8.6): TR cMax = num_ref - 1, bins 0-1 ctx-coded
+    if (s.num_ref0 > 1) {
+      int ri = s.ref0 ? s.ref0[idx] : 0;
+      int cmax = s.num_ref0 - 1;
+      for (int k = 0; k < ri; k++) {
+        if (k < 2) e.encode_bin(g_layout3.ref_idx + k, 1);
+        else e.encode_bypass(1);
+      }
+      if (ri < cmax) {
+        if (ri < 2) e.encode_bin(g_layout3.ref_idx + ri, 0);
+        else e.encode_bypass(0);
+      }
+    }
     encode_mvd(e, s.mvd0[idx * 2], s.mvd0[idx * 2 + 1]);
     e.encode_bin(g_layout2.mvp, s.mvp0[idx]);
   }
@@ -1023,6 +1039,7 @@ extern "C" int64_t hevc_encode_slice(
     const int32_t* levels_y, const int32_t* levels_cb,
     const int32_t* levels_cr, const int32_t* qp16, const int32_t* qp32,
     const int32_t* sao_luma, const int32_t* sao_chroma,
+    const int32_t* ref0, int32_t num_ref0,
     int32_t slice_qp, int32_t max_merge, int32_t wpp, int32_t sbh,
     const int32_t* init_states, int32_t* entry_sizes,
     uint8_t* out, int64_t out_cap) {
@@ -1035,6 +1052,7 @@ extern "C" int64_t hevc_encode_slice(
   s.split = split; s.kinds = kinds; s.modes = modes;
   s.merge = merge_idx; s.idir = inter_dir;
   s.mvd0 = mvd0; s.mvp0 = mvp0; s.mvd1 = mvd1; s.mvp1 = mvp1;
+  s.ref0 = ref0; s.num_ref0 = num_ref0;
   s.ly = levels_y; s.lcb = levels_cb; s.lcr = levels_cr;
   s.qp16 = qp16; s.qp32 = qp32;
   s.sao_l = sao_luma; s.sao_c = sao_chroma;

@@ -294,31 +294,36 @@ def deblock_chroma(plane: jax.Array, qp_c, edge_step: int = 8):
 #   bS = 0  otherwise (no filtering)
 
 def _bs_pair(intra_a, intra_b, cbf_a, cbf_b, dir_a, dir_b,
-             mv0_a, mv0_b, mv1_a, mv1_b, xp):
+             mv0_a, mv0_b, mv1_a, mv1_b, ref_a, ref_b, xp):
     big0 = xp.any(xp.abs(mv0_a - mv0_b) >= 4, axis=-1)
     big1 = xp.any(xp.abs(mv1_a - mv1_b) >= 4, axis=-1)
     use0 = (dir_a & 1) == 1
     use1 = (dir_a & 2) == 2
-    mm = (dir_a != dir_b) | (use0 & big0) | (use1 & big1)
+    # different reference pictures -> bS 1 (8.7.2.4; L0 multi-ref)
+    mm = (dir_a != dir_b) | (use0 & big0) | (use1 & big1) \
+        | (ref_a != ref_b)
     bs1 = (cbf_a | cbf_b | mm)
     return xp.where(intra_a | intra_b, 2,
                     xp.where(bs1, 1, 0)).astype(xp.int32)
 
 
-def bs_maps(intra, cbf, dir_, mv0, mv1, xp=np):
+def bs_maps(intra, cbf, dir_, mv0, mv1, xp=np, ref0=None):
     """Vertical + horizontal bS maps from per-CTU coding state.
 
     intra/cbf: [hc, wc] bool; dir_: [hc, wc] (0 also means intra);
-    mv0/mv1: [hc, wc, 2] qpel (zeroed for unused lists).
+    mv0/mv1: [hc, wc, 2] qpel (zeroed for unused lists); ref0:
+    optional [hc, wc] L0 ref_idx (multi-ref; None -> all ref 0).
     Returns (bs_v [hc, wc-1], bs_h [hc-1, wc])."""
+    if ref0 is None:
+        ref0 = xp.zeros(intra.shape, xp.int32)
     bs_v = _bs_pair(intra[:, :-1], intra[:, 1:], cbf[:, :-1],
                     cbf[:, 1:], dir_[:, :-1], dir_[:, 1:],
                     mv0[:, :-1], mv0[:, 1:], mv1[:, :-1], mv1[:, 1:],
-                    xp)
+                    ref0[:, :-1], ref0[:, 1:], xp)
     bs_h = _bs_pair(intra[:-1, :], intra[1:, :], cbf[:-1, :],
                     cbf[1:, :], dir_[:-1, :], dir_[1:, :],
                     mv0[:-1, :], mv0[1:, :], mv1[:-1, :], mv1[1:, :],
-                    xp)
+                    ref0[:-1, :], ref0[1:, :], xp)
     return bs_v, bs_h
 
 
@@ -348,7 +353,8 @@ def intra_tree_bs_maps(split32, h16: int, w16: int, xp=jnp):
     return bs_v, bs_h
 
 
-def inter_tree_bs_maps(intra16, cbf16, dir16, mv0, mv1, split32, xp=jnp):
+def inter_tree_bs_maps(intra16, cbf16, dir16, mv0, mv1, split32, xp=jnp,
+                       ref0=None):
     """bS maps for a P/B-slice CTU32 quadtree frame: bS from per-CU
     coding state (spec 8.7.2.4) on the 16-cell edge grid, with internal
     16-edges of an UNSPLIT CTU zeroed — a CU32 with TU32 has no TU/PU
@@ -357,7 +363,8 @@ def inter_tree_bs_maps(intra16, cbf16, dir16, mv0, mv1, split32, xp=jnp):
     intra16/cbf16: [h16, w16]; dir16: [h16, w16]; mv0/mv1 [h16, w16, 2];
     split32: [hc32, wc32].  cbf16 must carry the TU's cbf (a TU32's cbf
     is broadcast over its four cells by the caller)."""
-    bs_v, bs_h = bs_maps(intra16, cbf16, dir16, mv0, mv1, xp)
+    bs_v, bs_h = bs_maps(intra16, cbf16, dir16, mv0, mv1, xp,
+                         ref0=ref0)
     h16, w16 = intra16.shape
     jv = xp.arange(w16 - 1)
     internal_v = (jv % 2 == 0)        # edge between cols j, j+1 is

@@ -297,8 +297,14 @@ def check_params(p: Param) -> None:
                        "CTB16; pass --ctu 16)")
     if p.internal_bit_depth != 8:
         unwired.append("internal-bit-depth 10 (Main10)")
-    if p.ref != 1:
-        unwired.append(f"ref {p.ref} (multi-reference)")
+    if not 1 <= p.ref <= 4:
+        unwired.append(f"ref {p.ref} (supported: 1-4)")
+    elif p.ref > 1 and (p.ctu_size != 32 or p.bframes > 0
+                        or p.lossless):
+        # multi-ref L0 is wired for the low-delay P CTU32 tree
+        # (round 5); B-slice lists and the flat CTB16 path stay 1-ref
+        unwired.append(f"ref {p.ref} (multi-ref needs --ctu 32, "
+                       "bframes 0, no lossless)")
     if p.rect:
         unwired.append("rect partitions")
     if p.amp:
@@ -309,8 +315,10 @@ def check_params(p: Param) -> None:
         unwired.append(f"max-merge {p.max_merge} (pipeline codes 2)")
     if p.psy_rd or p.psy_rdoq:
         unwired.append("psy-rd / psy-rdoq")
-    if p.rdoq_level:
-        unwired.append("rdoq")
+    if p.rdoq_level and p.ctu_size != 32:
+        unwired.append("rdoq (wired for the CTU32 tree; pass --ctu 32)")
+    if not 0 <= p.rdoq_level <= 2:
+        unwired.append(f"rdoq-level {p.rdoq_level}")
     if p.scaling_lists != "flat":
         unwired.append(f"scaling lists '{p.scaling_lists}'")
     if p.temporal_layers > 1:

@@ -800,6 +800,22 @@ def _decode_mvd(d: CabacDecoder) -> tuple[int, int]:
     return mx, my
 
 
+def _decode_ref_idx(d: CabacDecoder, num_ref: int) -> int:
+    """ref_idx_lX TR parse (9.3.3.2, cMax = num_ref - 1): bins 0-1
+    context-coded, rest bypass — mirror of syntax.encode_ref_idx."""
+    if num_ref <= 1:
+        return 0
+    cmax = num_ref - 1
+    idx = 0
+    while idx < cmax:
+        b = d.decode_bin(S.CTX_REF_IDX + idx) if idx < 2 \
+            else d.decode_bypass()
+        if not b:
+            break
+        idx += 1
+    return idx
+
+
 def _decode_merge_idx(d: CabacDecoder, max_merge: int) -> int:
     if max_merge <= 1:
         return 0
@@ -939,18 +955,22 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
 
 
 def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
-                      y_pl, cb_pl, cr_pl, ref, maps, pad):
+                      y_pl, cb_pl, cr_pl, refctx, maps, pad):
     """One P-slice CU of cells*16 luma size at 16-cell (bx, by) inside
     a CTB32 quadtree (mirror of cabac.syntax.encode_cu_pb / native
-    code_cu).  Motion/coding state lives on the 16-cell grid."""
-    from ..models.mvpred import neighbor_state_tree
+    code_cu).  Motion/coding state lives on the 16-cell grid.
+    refctx: dict(refs=[(y,cb,cr)...], ref_pocs, poc, num_ref) — the
+    active L0 list (multi-ref, round 5)."""
+    from ..models.mvpred import (amvp_candidates_ref_scalar,
+                                 merge_candidates_ref_scalar,
+                                 neighbor_state_tree_ref)
     qp = qpctx["prev"]
     qp_cb = chroma_qp(qp, pps.cb_qp_offset)
     qp_cr = chroma_qp(qp, pps.cr_qp_offset)
     skip_l = int(maps["skip"][by, bx - 1]) if bx > 0 else 0
     skip_a = int(maps["skip"][by - 1, bx]) if by > 0 else 0
     skip = d.decode_bin(S.CTX_CU_SKIP + skip_l + skip_a)
-    ref_y, ref_cb, ref_cr = ref
+    num_ref = refctx["num_ref"]
     n = cells * 16
     log2n = 4 + (cells - 1)
     nc = n // 2
@@ -958,16 +978,18 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
     zn = np.zeros((n, n), np.int32)
     znc = np.zeros((nc, nc), np.int32)
 
-    def set_cells(inter, skipf, mv, imode, cbf, qpv):
+    def set_cells(inter, skipf, mv, imode, cbf, qpv, refi=0):
         maps["inter"][by:by + cells, bx:bx + cells] = inter
         maps["skip"][by:by + cells, bx:bx + cells] = skipf
         maps["mv"][by:by + cells, bx:bx + cells] = mv
+        maps["ref"][by:by + cells, bx:bx + cells] = refi
         maps["imode"][by:by + cells, bx:bx + cells] = imode
         maps["cbf"][by:by + cells, bx:bx + cells] = cbf
         if "qp16" in qpctx:
             qpctx["qp16"][by:by + cells, bx:bx + cells] = qpv
 
-    def inter_recon(mv_q, lv_y, lv_cb, lv_cr, qpv):
+    def inter_recon(mv_q, lv_y, lv_cb, lv_cr, qpv, refi=0):
+        ref_y, ref_cb, ref_cr = refctx["refs"][refi]
         qcb = chroma_qp(qpv, pps.cb_qp_offset)
         qcr = chroma_qp(qpv, pps.cr_qp_offset)
         py = mc_luma_qpel_np(ref_y, x0, y0, mv_q[0], mv_q[1], n)
@@ -988,15 +1010,16 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         cr_pl[hp + y0 // 2:hp + y0 // 2 + nc,
               hp + x0 // 2:hp + x0 // 2 + nc] = rcr
 
-    nbs = neighbor_state_tree(maps["inter"], maps["mv"], bx, by,
-                              cells, w16, h16, _zavail)
+    nbs = neighbor_state_tree_ref(maps["inter"], maps["mv"],
+                                  maps["ref"], bx, by, cells, w16,
+                                  h16, _zavail)
     a1, b1, b0, b2 = nbs
     if skip:
         midx = _decode_merge_idx(d, MAX_MERGE)
-        cands = merge_candidates_scalar(a1, b1, b0, b2)
-        mv = cands[midx]
-        inter_recon(mv, zn, znc, znc, qp)
-        set_cells(1, 1, mv, -1, 0, qp)
+        cands = merge_candidates_ref_scalar(a1, b1, b0, b2)
+        mvx, mvy, refi = cands[midx]
+        inter_recon((mvx, mvy), zn, znc, znc, qp, refi)
+        set_cells(1, 1, (mvx, mvy), -1, 0, qp, refi)
         return
     intra = d.decode_bin(S.CTX_PRED_MODE)
     if not intra or cells == 1:
@@ -1038,9 +1061,12 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
     # AMVP inter
     assert d.decode_bin(S.CTX_MERGE_FLAG) == 0, \
         "non-skip merge unsupported"
+    refi = _decode_ref_idx(d, num_ref)
     mvd = _decode_mvd(d)
     mvp_idx = d.decode_bin(S.CTX_MVP)
-    amvp = amvp_candidates_scalar(a1, b0, b1, b2)
+    amvp = amvp_candidates_ref_scalar(a1, b0, b1, b2, refi,
+                                      refctx["poc"],
+                                      refctx["ref_pocs"])
     mv = (amvp[mvp_idx][0] + mvd[0], amvp[mvp_idx][1] + mvd[1])
     root = d.decode_bin(S.CTX_RQT_ROOT_CBF)
     ly, lcb, lcr = zn, znc, znc
@@ -1053,12 +1079,12 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         ly = decode_residual(d, log2n, 0, 0, pps.sign_hide) if cbf_y else zn
         lcb = decode_residual(d, log2n - 1, 1, 0, pps.sign_hide) if cbf_cb else znc
         lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else znc
-    inter_recon(mv, ly, lcb, lcr, qp)
-    set_cells(1, 0, mv, -1, int(bool(ly.any())), qp)
+    inter_recon(mv, ly, lcb, lcr, qp, refi)
+    set_cells(1, 0, mv, -1, int(bool(ly.any())), qp, refi)
 
 
 def _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32, y_pl, cb_pl,
-                      cr_pl, ref, maps, split_map, pad):
+                      cr_pl, refctx, maps, split_map, pad):
     """P-slice CTU32 with depth-1 CU quadtree (spec 7.3.8.4)."""
     w16, h16 = wc32 * 2, hc32 * 2
     split = S.decode_split_cu(
@@ -1070,10 +1096,10 @@ def _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32, y_pl, cb_pl,
         for q in range(4):
             _decode_p_cu_tree(d, pps, qpctx, bx + (q & 1),
                               by + (q >> 1), 1, w16, h16,
-                              y_pl, cb_pl, cr_pl, ref, maps, pad)
+                              y_pl, cb_pl, cr_pl, refctx, maps, pad)
     else:
         _decode_p_cu_tree(d, pps, qpctx, bx, by, 2, w16, h16,
-                          y_pl, cb_pl, cr_pl, ref, maps, pad)
+                          y_pl, cb_pl, cr_pl, refctx, maps, pad)
 
 
 def _decode_b_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
@@ -1436,7 +1462,11 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     if sps.sao:
         sao_luma = r.read_flag()
         sao_chroma = r.read_flag()
-    assert r.read_flag() == 0          # num_ref_idx_active_override
+    num_ref0 = 1
+    if r.read_flag():                  # num_ref_idx_active_override
+        num_ref0 = r.read_ue() + 1
+        if st == 0:
+            assert r.read_ue() == 0    # num_ref_idx_l1_active_minus1
     if st == 0:
         assert r.read_flag() == 0      # mvd_l1_zero_flag
     five_minus = r.read_ue()
@@ -1455,6 +1485,10 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
     ref0_poc = used_neg[0]
     ref0 = dpb[ref0_poc]
     ref0_pl = (ref0.full_y, ref0.full_cb, ref0.full_cr)
+    # multi-ref L0: nearest-first, cyclic-filled to the active count
+    l0_pocs = [used_neg[i % len(used_neg)] for i in range(num_ref0)]
+    l0_pl = [(dpb[q].full_y, dpb[q].full_cb, dpb[q].full_cr)
+             for q in l0_pocs]
 
     ctb = 1 << sps.log2_ctb
     wc = -(-sps.width // 16)
@@ -1475,6 +1509,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
             "inter": np.zeros((hc, wc), np.int32),
             "skip": np.zeros((hc, wc), np.int32),
             "mv": np.zeros((hc, wc, 2), np.int32),
+            "ref": np.zeros((hc, wc), np.int32),
             "imode": np.full((hc, wc), -1, np.int32),
             "cbf": np.zeros((hc, wc), np.int32),
         }
@@ -1483,10 +1518,12 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                  "qp16": np.full((hc, wc), qp, np.int32)}
         sao = _SaoState(hc32, wc32, bool(sao_luma), bool(sao_chroma)) \
             if (sao_luma or sao_chroma) else None
+        refctx = dict(refs=l0_pl, ref_pocs=l0_pocs, poc=poc,
+                      num_ref=num_ref0)
 
         def ctu_fn(d, cx, cy):
             _decode_ctu_ptree(d, pps, qpctx, cx, cy, wc32, hc32,
-                              y_pl, cb_pl, cr_pl, ref0_pl, maps,
+                              y_pl, cb_pl, cr_pl, refctx, maps,
                               split_map, pad)
         _slice_ctu_loop(payload, "P", qp, hc32, wc32, entry, qpctx,
                         sao, ctu_fn)
@@ -1502,6 +1539,8 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                  "qp16": np.full((hc, wc), qp, np.int32)}
         sao = _SaoState(hc, wc, bool(sao_luma), bool(sao_chroma)) \
             if (sao_luma or sao_chroma) else None
+
+        assert num_ref0 == 1, "flat CTU16 P path is single-ref"
 
         def ctu_fn(d, cx, cy):
             _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc,
@@ -1554,10 +1593,13 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                                    inter_tree_bs_maps)
         intra_m = maps["imode"] >= 0
         cbf_m = maps["cbf"].astype(bool)
+        ref_m = None
         if st == 1:
             dir_m = np.where(intra_m, 0, maps["inter"])
             mv0_m = np.where(intra_m[..., None], 0, maps["mv"])
             mv1_m = np.zeros_like(mv0_m)
+            if "ref" in maps:
+                ref_m = np.where(intra_m, 0, maps["ref"])
         else:
             dir_m = maps["dir"]
             mv0_m = maps["mv0"]
@@ -1565,10 +1607,10 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         if split_map is not None:
             bs_v, bs_h = inter_tree_bs_maps(intra_m, cbf_m, dir_m,
                                             mv0_m, mv1_m, split_map,
-                                            xp=np)
+                                            xp=np, ref0=ref_m)
         else:
             bs_v, bs_h = bs_maps(intra_m, cbf_m, dir_m, mv0_m, mv1_m,
-                                 xp=np)
+                                 xp=np, ref0=ref_m)
         from ..ops.quant import chroma_qp_np
         q16 = qpctx["qp16"]
         qp_v = (q16[:, :-1] + q16[:, 1:] + 1) >> 1
