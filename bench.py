@@ -106,10 +106,14 @@ def bench_1080p_config3():
     from x265amod_tpu.models.encoder import Encoder
     from x265amod_tpu.utils.params import Param
 
-    w, h, nf, warm = 1920, 1080, 16, 6
+    # warm must cover the first I/P/B dispatches: the lookahead buffers
+    # ~depth frames before anything dispatches, so the timer starts
+    # only after the pipelines have compiled (round-5: warm=6 put the
+    # 1080p B compile inside the measured window)
+    w, h, nf, warm = 1920, 1080, 26, 16
     p = Param(width=w, height=h, crf=28.0, keyint=60, bframes=3,
               ctu_size=32, aq_mode=2, cutree=True, sao=True,
-              rc_lookahead=8)
+              rc_lookahead=4)
     enc = Encoder(p)
     frames = synth_frames(w, h, nf, seed=4)
     n_done = 0

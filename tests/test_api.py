@@ -9,8 +9,10 @@ from x265amod_tpu import api
 def test_api_get_dispatch():
     a = api.api_get(8)
     assert a.bit_depth == 8 and a.build == api.BUILD
+    a10 = api.api_get(10)              # Main10 built (round 5)
+    assert a10.bit_depth == 10 and a10.build == api.BUILD
     with pytest.raises(NotImplementedError):
-        api.api_get(10)
+        api.api_get(12)
 
 
 def test_full_api_encode_flow():

@@ -142,11 +142,13 @@ def api_get(bit_depth: int = 8) -> Api:
     """x265_api_get(bitDepth): returns the API table for the requested
     internal bit depth (reference api.cpp:1107 dlopens libx265_main10;
     here depths share one implementation registry)."""
-    if bit_depth in (0, 8):
-        return Api(bit_depth=8, build=BUILD,
+    if bit_depth in (0, 8, 10):
+        # one implementation registry serves both depths (round 5:
+        # Main10 all-intra wired; param validation gates the rest)
+        return Api(bit_depth=8 if bit_depth == 0 else bit_depth,
+                   build=BUILD,
                    param_default=param_default,
                    param_parse=param_parse_api,
                    param_apply_profile=param_apply_profile,
                    encoder_open=encoder_open)
-    raise NotImplementedError(
-        f"bit depth {bit_depth} not built (Main10 lands next round)")
+    raise NotImplementedError(f"bit depth {bit_depth} not built")

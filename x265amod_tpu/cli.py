@@ -99,6 +99,8 @@ def main(argv=None) -> int:
         hdr = reader.header
         p.width, p.height = hdr.width, hdr.height
         p.fps_num, p.fps_den = hdr.fps_num, hdr.fps_den
+        if hdr.bit_depth != 8:
+            p.internal_bit_depth = hdr.bit_depth  # C420p10 -> Main10
         if hdr.total_frames:
             p.total_frames = hdr.total_frames   # aMod XLENGTH
     else:

@@ -94,6 +94,8 @@ class Encoder:
         self.pad_h = -(-h // ctu) * ctu
         fps = param.fps_num / max(param.fps_den, 1)
         self.sps = SpsInfo(
+            bit_depth=param.internal_bit_depth,
+            profile_idc=2 if param.internal_bit_depth == 10 else 1,
             width=self.pad_w, height=self.pad_h,
             conf_win_right=(self.pad_w - w) // 2,
             conf_win_bottom=(self.pad_h - h) // 2,
@@ -193,7 +195,9 @@ class Encoder:
         if self.use_tree:
             from .intra_tree import IntraTreeEncoder
             self.frame_encoder = IntraTreeEncoder(
-                self.pad_w, self.pad_h, deblock=param.deblock,
+                self.pad_w, self.pad_h,
+                bit_depth=param.internal_bit_depth,
+                deblock=param.deblock,
                 sao=param.sao, wpp=param.wpp,
                 sign_hide=self.pps.sign_data_hiding,
                 rdoq=param.rdoq_level > 0)
@@ -701,8 +705,9 @@ class Encoder:
 
         def sse_psnr(sse, npix):
             mse = sse / max(npix, 1)
+            mx = float((1 << self.param.internal_bit_depth) - 1)
             return 99.99 if mse <= 0 else float(
-                10.0 * np.log10(255.0 * 255.0 / mse))
+                10.0 * np.log10(mx * mx / mse))
         npix_y = self.pad_w * self.pad_h
         stats = FrameStats(
             poc=0, slice_type="I", qp=qp, bits=len(nal) * 8,
@@ -855,8 +860,9 @@ class Encoder:
 
         def sse_psnr(sse, npix):
             mse = sse / max(npix, 1)
+            mx = float((1 << self.param.internal_bit_depth) - 1)
             return 99.99 if mse <= 0 else float(
-                10.0 * np.log10(255.0 * 255.0 / mse))
+                10.0 * np.log10(mx * mx / mse))
         npix_y = self.pad_w * self.pad_h
         stats = FrameStats(
             poc=poc, slice_type=slice_type, qp=qp, bits=len(nal) * 8,

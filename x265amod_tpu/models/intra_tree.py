@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.intra import predict_all_modes_batch, substitute_refs_general
+from ..ops.intra import (predict_all_modes_batch,
+                         substitute_refs_general)
 from ..ops.quant import dequant, derive_qp_maps, quant
 from ..ops.transforms import fwd_transform, inv_transform
 from .intra_frame import FrameResult, _diag_schedule
@@ -98,7 +99,8 @@ def intra_mode_bits(left_mode):
 
 
 def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
-                    forced_mode=None, sbh=False, st="I", rdoq=False):
+                    forced_mode=None, sbh=False, st="I", rdoq=False,
+                    bd=8):
     """Two-stage intra mode decision (reference estIntraPredQT
     search.cpp:1509): SATD scan of all 35 predictions, then full
     transform/quant RD on the RD_CANDS best candidates.
@@ -113,17 +115,17 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
         from ..ops.intra import predict_modes_batch
         cand = forced_mode[:, None]                  # [B, 1]
         cpred = predict_modes_batch(top, left, corner, forced_mode,
-                                    n, 0)[:, None]   # [B,1,n,n]
+                                    n, 0, bd)[:, None]   # [B,1,n,n]
     else:
-        preds = predict_all_modes_batch(top, left, corner, n, 0)
+        preds = predict_all_modes_batch(top, left, corner, n, 0, bd)
         sat = _satd_modes(orig, preds).astype(jnp.float32)
         scost = sat + lamv[:, None] * mbits
         _, cand = jax.lax.top_k(-scost, RD_CANDS)    # [B, K]
         cpred = jnp.take_along_axis(
             preds, cand[:, :, None, None], 1)        # [B,K,n,n]
-    coeff = fwd_transform(orig[:, None] - cpred)
+    coeff = fwd_transform(orig[:, None] - cpred, bit_depth=bd)
     qpb = qpv[:, None, None, None]
-    levels = quant(coeff, qpb)
+    levels = quant(coeff, qpb, bit_depth=bd)
     if rdoq:
         from ..ops.rdoq import rdoq_adjust
         levels = rdoq_adjust(coeff, levels, qpv[:, None],
@@ -131,8 +133,10 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
     if sbh:
         from ..ops.sbh import sbh_adjust
         levels = sbh_adjust(levels)
-    rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb)),
-                   0, 255)
+    rec = jnp.clip(cpred + inv_transform(dequant(levels, qpb,
+                                                 bit_depth=bd),
+                                         bit_depth=bd),
+                   0, (1 << bd) - 1)
     ssd = jnp.sum((rec - orig[:, None]) ** 2,
                   axis=(2, 3)).astype(jnp.float32)
     rb = _rbits_proxy(levels, st=st, qp=qpv[:, None])
@@ -147,22 +151,24 @@ def eval_intra_luma(orig, top, left, corner, n, qpv, lamv, mbits,
 
 
 def eval_intra_chroma(orig, top, left, corner, n, c_idx, qpv, best,
-                      sbh=False, st="I", rdoq=False, lam=None):
+                      sbh=False, st="I", rdoq=False, lam=None, bd=8):
     """Single-mode chroma chain at the luma mode (DM chroma):
     one prediction + one transform/quant instead of 35."""
     from ..ops.intra import predict_modes_batch
-    pred = predict_modes_batch(top, left, corner, best, n, c_idx)
-    coeff = fwd_transform(orig - pred)
+    pred = predict_modes_batch(top, left, corner, best, n, c_idx, bd)
+    coeff = fwd_transform(orig - pred, bit_depth=bd)
     qpb = qpv[:, None, None]
-    levels = quant(coeff, qpb)
+    levels = quant(coeff, qpb, bit_depth=bd)
     if rdoq and lam is not None:
         from ..ops.rdoq import rdoq_adjust
         levels = rdoq_adjust(coeff, levels, qpv, lam, c_idx, st)
     if sbh:
         from ..ops.sbh import sbh_adjust
         levels = sbh_adjust(levels)
-    rec = jnp.clip(pred + inv_transform(dequant(levels, qpb)),
-                   0, 255)
+    rec = jnp.clip(pred + inv_transform(dequant(levels, qpb,
+                                                bit_depth=bd),
+                                        bit_depth=bd),
+                   0, (1 << bd) - 1)
     ssd = jnp.sum((rec - orig) ** 2,
                   axis=(1, 2)).astype(jnp.float32)
     return levels, rec, ssd, _rbits_proxy(levels, c_idx, st=st, qp=qpv)
@@ -193,6 +199,10 @@ class IntraTreeEncoder:
         self.sbh = sign_hide
         self.fast = fast
         self.rdoq = rdoq
+        self.bd = int(bit_depth)
+        self.mid = 1 << (self.bd - 1)
+        assert self.bd == 8 or not (deblock or sao), \
+            "10-bit loop filters are not wired (params gate this)"
         assert width % 32 == 0 and height % 32 == 0, \
             "caller pads to CTU32 multiple"
         self.width, self.height = width, height
@@ -281,16 +291,19 @@ class IntraTreeEncoder:
         ocr = to_blocks(cr, 8)
 
         # recon state on the 16-grid (+2 dummy rows for invalid lanes)
-        yb = jnp.full((h16 + 2, w16, 16, 16), 128, jnp.int32)
-        cbb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
-        crb = jnp.full((h16 + 2, w16, 8, 8), 128, jnp.int32)
+        yb = jnp.full((h16 + 2, w16, 16, 16), self.mid, jnp.int32)
+        cbb = jnp.full((h16 + 2, w16, 8, 8), self.mid, jnp.int32)
+        crb = jnp.full((h16 + 2, w16, 8, 8), self.mid, jnp.int32)
         mode16 = jnp.ones((h16 + 2, w16), jnp.int32)
 
         mode_bits = intra_mode_bits
+        _srg = functools.partial(substitute_refs_general,
+                                 bit_depth=self.bd)
         eval_luma = functools.partial(eval_intra_luma, sbh=self.sbh,
-                                      rdoq=self.rdoq)
+                                      rdoq=self.rdoq, bd=self.bd)
         eval_chroma = functools.partial(eval_intra_chroma,
-                                        sbh=self.sbh, rdoq=self.rdoq)
+                                        sbh=self.sbh, rdoq=self.rdoq,
+                                        bd=self.bd)
 
         def body(state, xs):
             yb, cbb, crb, mode16 = state
@@ -318,7 +331,7 @@ class IntraTreeEncoder:
             at32 = jnp.concatenate([_bc(at_top, 32), _bc(at_tr, 32)], 1)
             al32 = jnp.concatenate(
                 [_bc(at_left, 32), _bc(jnp.zeros_like(at_left), 32)], 1)
-            t32, l32, c32 = substitute_refs_general(
+            t32, l32, c32 = _srg(
                 top32, left32, cor32, at32, al32, at_top & at_left, 32)
             qp_a = qp32[cy, cx]
             lam_a = lam32[cy, cx]
@@ -352,7 +365,7 @@ class IntraTreeEncoder:
                 [_bc(at_left, 16), _bc(jnp.zeros_like(at_left), 16)], 1)
 
             def chroma32(topx, leftx, crx, orig):
-                t, l, c = substitute_refs_general(
+                t, l, c = _srg(
                     topx, leftx, crx, at16c, al16c, at_top & at_left, 16)
                 return eval_chroma(orig, t, l, c, 16, 1, qpcb32[cy, cx],
                                    bestA)
@@ -383,18 +396,18 @@ class IntraTreeEncoder:
             def quad(orig16, oc8, or8, topY, leftY, corY, avtY, altY,
                      avcY, topC, leftC, corC, topR, leftR, corR,
                      qpv, qpcv, lamv, left_mode, fmode=None):
-                tY, lY, cY = substitute_refs_general(
+                tY, lY, cY = _srg(
                     topY, leftY, corY, avtY, altY, avcY, 16)
                 best, lv_y, rc_y, j_y = eval_luma(
                     orig16, tY, lY, cY, 16, qpv, lamv,
                     mode_bits(left_mode), forced_mode=fmode)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
-                tC, lC, cC = substitute_refs_general(
+                tC, lC, cC = _srg(
                     topC, leftC, corC, avt8, alt8, avcY, 8)
                 lv_cb, rc_cb, sd_cb, rb_cb = eval_chroma(
                     oc8, tC, lC, cC, 8, 1, qpcv, best)
-                tR, lR, cR = substitute_refs_general(
+                tR, lR, cR = _srg(
                     topR, leftR, corR, avt8, alt8, avcY, 8)
                 lv_cr, rc_cr, sd_cr, rb_cr = eval_chroma(
                     or8, tR, lR, cR, 8, 2, qpcv, best)
@@ -624,7 +637,8 @@ class IntraTreeEncoder:
             jnp.sum((rec_y - y).astype(jnp.float32) ** 2),
             jnp.sum((rec_cb - cb).astype(jnp.float32) ** 2),
             jnp.sum((rec_cr - cr).astype(jnp.float32) ** 2),
-            ssim_plane(y, rec_y)])
+            ssim_plane(y, rec_y) if self.bd == 8
+            else jnp.float32(0.0)])
         # one-fetch host interface: sparse-packed levels + every small
         # output muxed into a single uint8 buffer (~26 ms fixed D2H
         # latency per fetch on the tunneled TPU — pay it once); dense
@@ -641,9 +655,10 @@ class IntraTreeEncoder:
                   ("fits", fits)]
         buf, self._mux_spec = mux_arrays(named)
         if want_recon:
+            odt = jnp.uint8 if self.bd == 8 else jnp.uint16
             return (buf, ly_r, lcb_r, lcr_r,
-                    rec_y.astype(jnp.uint8), rec_cb.astype(jnp.uint8),
-                    rec_cr.astype(jnp.uint8))
+                    rec_y.astype(odt), rec_cb.astype(odt),
+                    rec_cr.astype(odt))
         return (buf, ly_r, lcb_r, lcr_r)
 
     # ---- estimate-then-commit fast path ---------------------------------
@@ -674,6 +689,9 @@ class IntraTreeEncoder:
             hb, wb = plane.shape[0] // bn, plane.shape[1] // bn
             return plane.reshape(hb, bn, wb, bn).transpose(0, 2, 1, 3)
 
+        _srg = functools.partial(substitute_refs_general,
+                                  bit_depth=self.bd)
+
         def src_refs(blocks, hg, wg, bn):
             """Raster-order raw refs + availability for every cell of a
             [hg, wg, bn, bn] block grid (frame-border availability;
@@ -698,7 +716,7 @@ class IntraTreeEncoder:
                 [_bc(cxc > 0, bn), _bc((cxc > 0) & (cyc < hg - 1), bn)],
                 1)
             ac = (cxc > 0) & (cyc > 0)
-            return substitute_refs_general(top, left, cor, at, al, ac,
+            return _srg(top, left, cor, at, al, ac,
                                            bn)
 
         oy = to_blocks(y, 16)
@@ -712,15 +730,15 @@ class IntraTreeEncoder:
         lamv16 = lam16.reshape(-1)
         best16, _, _, j16y = eval_intra_luma(
             oy.reshape(n16, 16, 16), t16, l16, c16, 16, q16, lamv16,
-            mb_def)
+            mb_def, bd=self.bd)
         tc8, lc8, cc8 = src_refs(ocb, h16, w16, 8)
         _, _, sdcb, rbcb = eval_intra_chroma(
             ocb.reshape(n16, 8, 8), tc8, lc8, cc8, 8, 1,
-            qpcb16.reshape(-1), best16)
+            qpcb16.reshape(-1), best16, bd=self.bd)
         tr8, lr8, cr8 = src_refs(ocr, h16, w16, 8)
         _, _, sdcr, rbcr = eval_intra_chroma(
             ocr.reshape(n16, 8, 8), tr8, lr8, cr8, 8, 2,
-            qpcb16.reshape(-1), best16)
+            qpcb16.reshape(-1), best16, bd=self.bd)
         j16 = j16y + sdcb + sdcr + lamv16 * (rbcb + rbcr + 4.0)
 
         # CU32 hypothesis per CTU
@@ -730,17 +748,17 @@ class IntraTreeEncoder:
         lamv32 = lam32.reshape(-1)
         best32, _, _, jAy = eval_intra_luma(
             oy32.reshape(n32, 32, 32), t32, l32, c32, 32, q32, lamv32,
-            intra_mode_bits(jnp.ones((n32,), jnp.int32)))
+            intra_mode_bits(jnp.ones((n32,), jnp.int32)), bd=self.bd)
         ocb16 = to_blocks(cb, 16)
         ocr16 = to_blocks(cr, 16)
         tcb16, lcb16, ccb16 = src_refs(ocb16, hc, wc, 16)
         _, _, sdAcb, rbAcb = eval_intra_chroma(
             ocb16.reshape(n32, 16, 16), tcb16, lcb16, ccb16, 16, 1,
-            qpcb32.reshape(-1), best32)
+            qpcb32.reshape(-1), best32, bd=self.bd)
         trb16, lrb16, crb16 = src_refs(ocr16, hc, wc, 16)
         _, _, sdAcr, rbAcr = eval_intra_chroma(
             ocr16.reshape(n32, 16, 16), trb16, lrb16, crb16, 16, 2,
-            qpcb32.reshape(-1), best32)
+            qpcb32.reshape(-1), best32, bd=self.bd)
         jA = jAy + sdAcb + sdAcr + lamv32 * (rbAcb + rbAcr + 4.0)
 
         j_split = j16.reshape(hc, 2, wc, 2).sum((1, 3)).reshape(-1)
@@ -790,8 +808,9 @@ class IntraTreeEncoder:
                 self._step_fast
         else:
             step = self._step_recon if want_recon else self._step
-        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
-                    jnp.asarray(cr, jnp.uint8),
+        idt = jnp.uint8 if self.bd == 8 else jnp.uint16
+        return step(jnp.asarray(y, idt), jnp.asarray(cb, idt),
+                    jnp.asarray(cr, idt),
                     *(jnp.asarray(m) for m in maps),
                     jnp.asarray(qp, jnp.int32))
 
@@ -803,8 +822,9 @@ class IntraTreeEncoder:
         (encoder.cpp:4439)."""
         maps = self._maps(qp, qp_offsets)
         step = self._step_recon if want_recon else self._step
-        return step(jnp.asarray(y, jnp.uint8), jnp.asarray(cb, jnp.uint8),
-                    jnp.asarray(cr, jnp.uint8),
+        idt = jnp.uint8 if self.bd == 8 else jnp.uint16
+        return step(jnp.asarray(y, idt), jnp.asarray(cb, idt),
+                    jnp.asarray(cr, idt),
                     *(jnp.asarray(m) for m in maps),
                     jnp.asarray(qp, jnp.int32),
                     jnp.asarray(split, jnp.int32),
@@ -862,11 +882,16 @@ class IntraTreeEncoder:
         frame, cached on device across batches)."""
         f = buf.shape[0]
         h, w = self.height, self.width
+        if self.bd > 8:
+            b16 = jax.lax.bitcast_convert_type(
+                buf.reshape(f, -1, 2), jnp.uint16)
+        else:
+            b16 = buf
         ny = h * w
         nc = ny // 4
-        y = buf[:, :ny].reshape(f, h, w)
-        cb = buf[:, ny:ny + nc].reshape(f, h // 2, w // 2)
-        cr = buf[:, ny + nc:].reshape(f, h // 2, w // 2)
+        y = b16[:, :ny].reshape(f, h, w)
+        cb = b16[:, ny:ny + nc].reshape(f, h // 2, w // 2)
+        cr = b16[:, ny + nc:].reshape(f, h // 2, w // 2)
         fn = functools.partial(
             self._fast_frame if fast else self._encode_frame,
             want_recon=False)
@@ -889,10 +914,14 @@ class IntraTreeEncoder:
         mesh and the vmapped step compiles SPMD across devices (GOP
         parallelism over chips; SURVEY.md §2.2 frame-parallelism row)."""
         f = ys.shape[0]
+        idt = np.uint8 if self.bd == 8 else np.uint16
         buf = np.concatenate(
-            [np.asarray(ys, np.uint8).reshape(f, -1),
-             np.asarray(cbs, np.uint8).reshape(f, -1),
-             np.asarray(crs, np.uint8).reshape(f, -1)], axis=1)
+            [np.ascontiguousarray(np.asarray(ys, idt).reshape(f, -1))
+             .view(np.uint8),
+             np.ascontiguousarray(np.asarray(cbs, idt).reshape(f, -1))
+             .view(np.uint8),
+             np.ascontiguousarray(np.asarray(crs, idt).reshape(f, -1))
+             .view(np.uint8)], axis=1)
         if qp not in self._dev_maps:
             maps = self._maps(qp, None)
             self._dev_maps[qp] = tuple(

@@ -2,10 +2,15 @@
 
 TPU-first design: the reference computes per-block partial butterflies in
 scalar C / asm (`common/dct.cpp:43-570`); here every transform is a pair
-of batched matrix multiplies over [B, N, N] blocks so XLA can tile the
-contraction onto the MXU (int32 accumulation is exact).  A fused
-forward-transform+quant Pallas kernel (both stages + the quant epilogue
-VMEM-resident, one HBM round trip) lives in `ops/pallas_kernels.py`.
+of batched matrix multiplies over [B, N, N] blocks so XLA tiles the
+contraction onto the MXU.  A fused Pallas forward-transform+quant
+kernel existed through round 4 but was DELETED in round 5 after
+measurement (profile_fusedquant.py on the TPU): the exact-f32 MXU path
+below matched it within ~10% at every pipeline shape (0.046 vs
+0.036 ms for 3600x16x16; 24.5 vs 24.4 ms for 900x32x32, bit-exact
+outputs), it cannot serve the RDOQ call sites (which need the
+unquantized coefficients), and carrying an unwired kernel was flagged
+by four consecutive reviews.
 
 Matrices are the normative transMatrix of ITU-T H.265 8.6.4.2, produced
 by the tuned-cosine LUT generator (validated element-wise against the

@@ -9,9 +9,23 @@ analog of the reference's shared-memory RC chain
 (`common/ringmem.cpp`, SURVEY.md §2.2 "distributed communication
 backend" row).
 
-CTU-row band sharding with recon-halo exchange (the WPP analog across
-chips) is the phase-5 extension point; the mesh layout already reserves
-a ``row`` axis for it.
+DESIGN DECISION (round 5, closing a 4-round-open question): this
+encoder scales across chips on the FRAME/GOP axis (and across ABR
+rungs), NOT on CTU-row bands.  The reference needs row bands because a
+CPU frame thread is the unit of compute and refLagRows lets a frame
+start before its reference finishes (`frameencoder.cpp:895-947`).  On
+TPU the equivalent intra-frame parallelism is already inside one chip:
+every anti-diagonal of the wavefront is one batched step, so a single
+chip saturates on one frame.  Sharding the wavefront's rows across
+chips would put an ICI round trip (recon-halo exchange + context
+dependency) on EVERY scan step — hundreds of latency-bound collectives
+per frame for work each chip finishes in microseconds — a bandwidth-
+and latency-backwards mapping.  The per-device unit here is therefore
+a whole frame (all-intra / GOP leaves), and multi-chip capacity scales
+by frames in flight (`frame_parallel_step`, the sharded-bitstream
+byte-identity test in tests/test_mesh_sharding.py) and by ABR-ladder
+rungs (abr.py).  The former ``row`` mesh axis was reserved for row
+bands and never used — it is gone rather than decorative.
 """
 
 from __future__ import annotations
@@ -24,13 +38,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_frame: int | None = None, n_row: int = 1,
-              devices=None) -> Mesh:
+def make_mesh(n_frame: int | None = None, devices=None,
+              n_row: int | None = None) -> Mesh:
+    """1-D ``frame`` mesh (see the design decision above).  ``n_row``
+    is accepted for backward compatibility and must be 1/None."""
+    assert n_row in (None, 1), \
+        "row-band sharding is intentionally not a scaling axis (see " \
+        "module docstring)"
     devices = devices if devices is not None else jax.devices()
     if n_frame is None:
-        n_frame = len(devices) // n_row
-    dev = np.asarray(devices[:n_frame * n_row]).reshape(n_frame, n_row)
-    return Mesh(dev, axis_names=("frame", "row"))
+        n_frame = len(devices)
+    dev = np.asarray(devices[:n_frame])
+    return Mesh(dev, axis_names=("frame",))
 
 
 def frame_parallel_step(mesh: Mesh, frame_encode_fn):
@@ -57,7 +76,7 @@ def frame_parallel_step(mesh: Mesh, frame_encode_fn):
         # as the complexity proxy, all-reduced over the mesh
         levels = out[1]
         complexity = jnp.sum((levels != 0).astype(jnp.int32))
-        total = jax.lax.psum(jax.lax.psum(complexity, "frame"), "row")
+        total = jax.lax.psum(complexity, "frame")
         return out, total
 
     return step

@@ -295,8 +295,15 @@ def check_params(p: Param) -> None:
     if p.ctu_size == 32 and p.lossless:
         unwired.append("ctu 32 with --lossless (lossless path is "
                        "CTB16; pass --ctu 16)")
-    if p.internal_bit_depth != 8:
-        unwired.append("internal-bit-depth 10 (Main10)")
+    if p.internal_bit_depth not in (8, 10):
+        unwired.append(f"internal-bit-depth {p.internal_bit_depth}")
+    elif p.internal_bit_depth == 10 and (
+            p.ctu_size != 32 or p.keyint != 1 or p.deblock or p.sao
+            or p.lossless):
+        # Main10 v1: all-intra CTU32 tree; 10-bit loop filters and the
+        # inter MC shift chain are the next slice
+        unwired.append("internal-bit-depth 10 needs --ctu 32, "
+                       "--keyint 1, --no-deblock, no SAO")
     if not 1 <= p.ref <= 4:
         unwired.append(f"ref {p.ref} (supported: 1-4)")
     elif p.ref > 1 and (p.ctu_size != 32 or p.bframes > 0

@@ -26,6 +26,8 @@ from ..bitstream.nal import (NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS,
 from ..cabac.engine import CabacDecoder
 from ..cabac.scans import SCAN_VER, full_scan, scan_order
 from ..cabac import syntax as S
+from .ctx import (last_ctx_params_dec, last_prefix_min_dec,
+                  mpm_list_dec, sig_ctx_inc_dec)
 from ..ops.intra_ref import (filter_flag, predict_mode, smooth_refs,
                              ref_sample_substitution)
 from ..ops.quant import chroma_qp, dequant_np
@@ -137,7 +139,7 @@ def parse_pps(rbsp: bytes) -> DecPps:
 
 def _decode_last_pos(d: CabacDecoder, log2_size: int, c_idx: int,
                      scan_idx: int) -> tuple[int, int]:
-    off, shift = S.last_ctx_params(log2_size, c_idx)
+    off, shift = last_ctx_params_dec(log2_size, c_idx)
     cmax = (log2_size << 1) - 1
     groups = []
     for base in (S.CTX_LAST_X, S.CTX_LAST_Y):
@@ -149,7 +151,8 @@ def _decode_last_pos(d: CabacDecoder, log2_size: int, c_idx: int,
     for g in groups:
         if g > 3:
             nbits = (g >> 1) - 1
-            coords.append(S.last_prefix_min(g) + d.decode_bypass_bins(nbits))
+            coords.append(last_prefix_min_dec(g)
+                          + d.decode_bypass_bins(nbits))
         else:
             coords.append(g)
     cx, cy = coords
@@ -211,7 +214,7 @@ def decode_residual(d: CabacDecoder, log2_size: int, c_idx: int,
             else:
                 xc = sbx * 4 + int(inner[np_][0])
                 yc = sby * 4 + int(inner[np_][1])
-                ctx = S.sig_ctx_inc(xc, yc, log2_size, c_idx, scan_idx,
+                ctx = sig_ctx_inc_dec(xc, yc, log2_size, c_idx, scan_idx,
                                     right, below)
                 sig = d.decode_bin(S.CTX_SIG + ctx)
             if sig:
@@ -548,9 +551,10 @@ def _decode_idr_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
         sao.apply(y_pl, pad, hc, wc, cb_pl, cr_pl, ctb=ctb)
     w, h = sps.width - 2 * sps.conf_right, sps.height - 2 * sps.conf_bottom
     hp = pad // 2
-    fy = y_pl[pad:pad + ph, pad:pad + pw].astype(np.uint8)
-    fcb = cb_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(np.uint8)
-    fcr = cr_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(np.uint8)
+    odt = np.uint16 if sps.bit_depth > 8 else np.uint8
+    fy = y_pl[pad:pad + ph, pad:pad + pw].astype(odt)
+    fcb = cb_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(odt)
+    fcr = cr_pl[hp:hp + ph // 2, hp:hp + pw // 2].astype(odt)
     return DecodedFrame(
         y=fy[:h, :w], cb=fcb[:h // 2, :w // 2], cr=fcr[:h // 2, :w // 2],
         modes=modes, full_y=fy, full_cb=fcb, full_cr=fcr)
@@ -591,7 +595,7 @@ def _zavail_masks(bx: int, by: int, cells: int, w16: int, h16: int,
 def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
                        mode: int, c_idx: int, resi: np.ndarray,
                        avail_left, avail_top, avail_tr=None,
-                       avail_corner=None) -> None:
+                       avail_corner=None, bit_depth: int = 8) -> None:
     """Reconstruct one intra block in-place on the padded plane.
     avail_left/avail_top: bools (v1 CTU16 grid rules) or per-sample
     [2n] masks (quadtree z-scan rules, avail_corner then required)."""
@@ -608,11 +612,12 @@ def _intra_recon_block(plane: np.ndarray, x0: int, y0: int, n: int,
         al[:n] = avail_left        # bottom-left never available (v1 grid)
         ac = avail_left and avail_top
     top, left, corner = ref_sample_substitution(
-        top, left, corner, at, al, ac)
+        top, left, corner, at, al, ac, bit_depth=bit_depth)
     if filter_flag(mode, n, c_idx):
         top, left, corner = smooth_refs(top, left, corner)
-    pred = predict_mode(mode, top, left, corner, n, c_idx)
-    rec = np.clip(pred + resi, 0, 255)
+    pred = predict_mode(mode, top, left, corner, n, c_idx,
+                        bit_depth=bit_depth)
+    rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
     plane[y0:y0 + n, x0:x0 + n] = rec
 
 
@@ -635,7 +640,7 @@ def _decode_ctu16(d, sps, pps, qpctx, cx, cy, wc, hc,
         bypass = d.decode_bin(S.CTX_TQ_BYPASS)
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_NxN unsupported"
     cand_a = int(modes[cy, cx - 1]) if cx > 0 else 1
-    mpms = S.mpm_list(cand_a if cand_a >= 0 else 1, 1)
+    mpms = mpm_list_dec(cand_a if cand_a >= 0 else 1, 1)
     if d.decode_bin(S.CTX_PREV_INTRA):
         idx = 0
         if d.decode_bypass():
@@ -713,7 +718,7 @@ def _decode_intra_cu(d, sps, pps, qpctx, bx, by, cells, w16, h16,
         if _zavail(bx, by, bx - 1, by, w16, h16) else 1
     # above candidate forced to DC outside the current CTU (spec 8.4.2)
     cand_b = int(modes16[by - 1, bx]) if (by % 2 == 1) else 1
-    mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+    mode = _parse_intra_mode(d, mpm_list_dec(cand_a, cand_b))
     assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
     cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
     cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA + 0)
@@ -731,20 +736,25 @@ def _decode_intra_cu(d, sps, pps, qpctx, bx, by, cells, w16, h16,
     lcr = decode_residual(d, log2n - 1, 2, 0, pps.sign_hide) if cbf_cr else \
         np.zeros((nc, nc), np.int32)
     modes16[by:by + cells, bx:bx + cells] = mode
-    resi_y = inv_transform_np(dequant_np(ly, qp)) if cbf_y else \
-        np.zeros((n, n), np.int32)
-    resi_cb = inv_transform_np(dequant_np(lcb, qp_cb)) if cbf_cb else \
+    bd = sps.bit_depth
+    resi_y = inv_transform_np(dequant_np(ly, qp, bd), bit_depth=bd) \
+        if cbf_y else np.zeros((n, n), np.int32)
+    resi_cb = inv_transform_np(dequant_np(lcb, qp_cb, bd),
+                               bit_depth=bd) if cbf_cb else \
         np.zeros((nc, nc), np.int32)
-    resi_cr = inv_transform_np(dequant_np(lcr, qp_cr)) if cbf_cr else \
+    resi_cr = inv_transform_np(dequant_np(lcr, qp_cr, bd),
+                               bit_depth=bd) if cbf_cr else \
         np.zeros((nc, nc), np.int32)
     at, al, ac = _zavail_masks(bx, by, cells, w16, h16, n)
     _intra_recon_block(y_pl, pad + bx * 16, pad + by * 16, n, mode, 0,
-                       resi_y, al, at, avail_corner=ac)
+                       resi_y, al, at, avail_corner=ac, bit_depth=bd)
     hp = pad // 2
     _intra_recon_block(cb_pl, hp + bx * 8, hp + by * 8, nc, mode, 1,
-                       resi_cb, al[::2], at[::2], avail_corner=ac)
+                       resi_cb, al[::2], at[::2], avail_corner=ac,
+                       bit_depth=bd)
     _intra_recon_block(cr_pl, hp + bx * 8, hp + by * 8, nc, mode, 2,
-                       resi_cr, al[::2], at[::2], avail_corner=ac)
+                       resi_cr, al[::2], at[::2], avail_corner=ac,
+                       bit_depth=bd)
 
 
 def _decode_ctu_tree(d, sps, pps, qpctx, cx, cy, wc32, hc32,
@@ -878,7 +888,7 @@ def _decode_p_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
     if intra:
         li = int(maps["imode"][cy, cx - 1]) if cx > 0 else -1
-        mpms = S.mpm_list(li if li >= 0 else 1, 1)
+        mpms = mpm_list_dec(li if li >= 0 else 1, 1)
         if d.decode_bin(S.CTX_PREV_INTRA):
             idx = 0
             if d.decode_bypass():
@@ -1030,7 +1040,7 @@ def _decode_p_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         # above candidate forced to DC outside the current CTB (8.4.2)
         ai = int(maps["imode"][by - 1, bx]) if (by % 2 == 1) else -1
         cand_b = ai if ai >= 0 else 1
-        mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+        mode = _parse_intra_mode(d, mpm_list_dec(cand_a, cand_b))
         assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
         cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
@@ -1187,7 +1197,7 @@ def _decode_b_cu_tree(d, pps, qpctx, bx, by, cells, w16, h16,
         cand_a = li if li >= 0 else 1
         ai = int(maps["imode"][by - 1, bx]) if (by % 2 == 1) else -1
         cand_b = ai if ai >= 0 else 1
-        mode = _parse_intra_mode(d, S.mpm_list(cand_a, cand_b))
+        mode = _parse_intra_mode(d, mpm_list_dec(cand_a, cand_b))
         assert d.decode_bin(S.CTX_CHROMA_PRED) == 0, "non-DM chroma"
         cbf_cb = d.decode_bin(S.CTX_QT_CBF_CHROMA)
         cbf_cr = d.decode_bin(S.CTX_QT_CBF_CHROMA)
@@ -1344,7 +1354,7 @@ def _decode_b_ctu16(d, pps, qpctx, cx, cy, wc, hc, y_pl, cb_pl,
     assert d.decode_bin(S.CTX_PART_MODE) == 1, "PART_2Nx2N only"
     if intra:
         li = int(maps["imode"][cy, cx - 1]) if cx > 0 else -1
-        mpms = S.mpm_list(li if li >= 0 else 1, 1)
+        mpms = mpm_list_dec(li if li >= 0 else 1, 1)
         if d.decode_bin(S.CTX_PREV_INTRA):
             idx = 0
             if d.decode_bypass():
@@ -1430,6 +1440,7 @@ def _decode_inter_frame(rbsp: bytes, sps: DecSps, pps: DecPps,
                         dpb: dict[int, DecodedFrame]) -> DecodedFrame:
     """Decode a P or B slice using the POC-keyed DPB; prunes the DPB to
     the parsed RPS (spec 8.3.2 behavior for short-term sets)."""
+    assert sps.bit_depth == 8, "10-bit is wired for all-intra (v1)"
     from ..models.mvpred import dist_scale_factor
     r = BitReader(rbsp)
     assert r.read_flag() == 1
