@@ -48,6 +48,24 @@ from ..ops.estbits import intra_hdr_bits
 _INTRA_HDR_BITS = float(intra_hdr_bits("P"))
 
 
+def _hpel_plane(rp):
+    """(1/2, 1/2)-phase 8-tap interpolation of the reference,
+    resampled on the integer grid: the smoothed-reference proxy for
+    pricing SUBPEL merge/skip candidates.  The integer-pel raw-SSD
+    grid overestimates a subpel candidate's true distortion on noisy
+    content (interpolation filters the reference noise), which made
+    the encoder under-skip as lambda shrank — the round-5 RD-curve P
+    anomaly (STATUS.md)."""
+    from ..ops.me import LUMA_FILTERS as LF
+    t = [int(v) for v in LF[2]]
+    p4 = jnp.pad(rp, 4, mode="edge").astype(jnp.int32)
+    w_ = rp.shape[1]
+    h_ = rp.shape[0]
+    hor = sum(t[k] * p4[:, k + 1:k + 1 + w_] for k in range(8))
+    ver = sum(t[k] * hor[k + 1:k + 1 + h_, :] for k in range(8))
+    return (ver + (1 << 11)) >> 12
+
+
 def _merge2(av_a1, mv_a1, av_b1, mv_b1, av_b0, mv_b0, av_b2, mv_b2):
     """First two spatial merge candidates, vectorized (spec 8.5.3.2.3
     availability + pairwise pruning, zero-filled).  Mirrors
@@ -230,6 +248,7 @@ class InterTreeEncoder:
 
         ssd16_l, mv16_l, d16_l, rb16_l = [], [], [], []
         ssd32_l, mv32_l, d32_l, rb32_l = [], [], [], []
+        ssd16h_l, ssd32h_l = [], []
         oy32b = to_blocks(y, 32)
         for r in range(R):
             g16 = me_ssd_grid(oy, refs_y[r], sr)
@@ -248,6 +267,9 @@ class InterTreeEncoder:
             mv32_l.append(mv32_r)
             d32_l.append(d32_r)
             rb32_l.append(rb32_r)
+            rh = _hpel_plane(refs_y[r])
+            ssd16h_l.append(me_ssd_grid(oy, rh, sr))
+            ssd32h_l.append(me_ssd_grid(oy32b, rh, sr, bn=32))
 
         def pick_ref(d_l, rb_l, mv_l, lam):
             """Per-CU best reference by trial cost incl. ref_idx bins."""
@@ -266,9 +288,12 @@ class InterTreeEncoder:
                                                 lam16_blk)
         ref32_me, d32, rb32, mv32_me = pick_ref(d32_l, rb32_l, mv32_l,
                                                 lam32_blk)
-        # skip/merge cost lookup grids for ALL refs, flat over (r, n)
-        ssd16 = jnp.concatenate(ssd16_l, 0)     # [R*n16, S, S]
-        ssd32 = jnp.concatenate(ssd32_l, 0)     # [R*n32, S, S]
+        # skip/merge cost lookup grids for ALL refs, flat over
+        # (phase, r, n): integer-pel grids first, the half-pel-smoothed
+        # grids after — a subpel candidate is priced from the smoothed
+        # reference (index offset R*n)
+        ssd16 = jnp.concatenate(ssd16_l + ssd16h_l, 0)  # [2R*n16,S,S]
+        ssd32 = jnp.concatenate(ssd32_l + ssd32h_l, 0)  # [2R*n32,S,S]
 
         # ---- intra trial at 16 with source-pixel references -----------
         d_intra16, imode16 = self._intra_trial16(oy, oy_flat, qp16_blk,
@@ -388,9 +413,15 @@ class InterTreeEncoder:
                 rbits_ref = jnp.take(refbits, refme)
                 j_inter = dd + lamv * (rbd + jnp.minimum(b0, b1)
                                        + rbits_ref + 6.0)
-                j_s0 = lookup(grid, mrg0_rf * n_grid + idx16,
+                def skip_idx(mv, rf):
+                    # subpel candidates price from the smoothed-ref
+                    # grid half (offset R*n): integer-pel raw SSD
+                    # overestimates their true distortion on noise
+                    sub = jnp.any((mv & 3) != 0, -1).astype(jnp.int32)
+                    return (sub * R + rf) * n_grid + idx16
+                j_s0 = lookup(grid, skip_idx(mrg0, mrg0_rf),
                               mrg0 >> 2) + lamv * 2.0
-                j_s1 = lookup(grid, mrg1_rf * n_grid + idx16,
+                j_s1 = lookup(grid, skip_idx(mrg1, mrg1_rf),
                               mrg1 >> 2) + lamv * 3.0
                 if with_intra:
                     js = jnp.stack(
@@ -1209,6 +1240,16 @@ class BTreeEncoder(InterTreeEncoder):
         oy32b = to_blocks(y, 32)
         g0_32, mv0_32me = best_mv(r0y, oy32b, lam32_blk, 32)
         g1_32, mv1_32me = best_mv(r1y, oy32b, lam32_blk, 32)
+        # smoothed-ref grids for subpel merge candidates (see
+        # _hpel_plane / STATUS round 5)
+        r0h = _hpel_plane(r0y)
+        r1h = _hpel_plane(r1y)
+        g0_16 = jnp.concatenate([g0_16, me_ssd_grid(oy, r0h, sr)], 0)
+        g1_16 = jnp.concatenate([g1_16, me_ssd_grid(oy, r1h, sr)], 0)
+        g0_32 = jnp.concatenate(
+            [g0_32, me_ssd_grid(oy32b, r0h, sr, bn=32)], 0)
+        g1_32 = jnp.concatenate(
+            [g1_32, me_ssd_grid(oy32b, r1h, sr, bn=32)], 0)
 
         qp3_16 = qp16_blk[:, None, None]
         qp3_32 = qp32_blk[:, None, None]
@@ -1285,7 +1326,8 @@ class BTreeEncoder(InterTreeEncoder):
                         mv1_map[pyc, pxc])
 
             def decide_cu(cands, dl0, rl0, dl1, rl1, dbi, rbi, mv0me,
-                          mv1me, di, lamv, idx, g0, g1, with_intra):
+                          mv1me, di, lamv, idx, g0, g1, n_grid,
+                          with_intra):
                 a1, b1, b0, b2 = cands
 
                 def eq(na, nbt):
@@ -1364,8 +1406,12 @@ class BTreeEncoder(InterTreeEncoder):
                 mvd1, mvp1, bits1 = pick_mvp(mv1me, amvp1_a, amvp1_b)
 
                 def skip_cost(d, v0, v1):
-                    l0 = lookup(g0, idx, v0 >> 2)
-                    l1 = lookup(g1, idx, v1 >> 2)
+                    def sidx(v):
+                        sub = jnp.any((v & 3) != 0, -1) \
+                            .astype(jnp.int32)
+                        return idx + sub * n_grid
+                    l0 = lookup(g0, sidx(v0), v0 >> 2)
+                    l1 = lookup(g1, sidx(v1), v1 >> 2)
                     return jnp.where(
                         d == 3, 0.5 * (l0 + l1),
                         jnp.where(d == 1, l0, l1))
@@ -1413,7 +1459,8 @@ class BTreeEncoder(InterTreeEncoder):
             (k32, mg32, dir32, mv0f32, mv1f32, mvd0_32, mvp0_32,
              mvd1_32, mvp1_32, j32) = decide_cu(
                 c32, a_dl0, a_rl0, a_dl1, a_rl1, a_dbi, a_rbi,
-                a_mv0, a_mv1, None, a_lam, idx32, g0_32, g1_32, False)
+                a_mv0, a_mv1, None, a_lam, idx32, g0_32, g1_32, n32,
+                False)
 
             # ---- hypothesis B: 4 CU16 quadrants (z-scan) --------------
             def loc(kq, dq, v0q, v1q):
@@ -1458,7 +1505,7 @@ class BTreeEncoder(InterTreeEncoder):
                     cands, q_dl0[:, q], q_rl0[:, q], q_dl1[:, q],
                     q_rl1[:, q], q_dbi[:, q], q_rbi[:, q],
                     q_mv0[:, q], q_mv1[:, q], q_di[:, q], q_lam[:, q],
-                    idx, g0_16, g1_16, True)
+                    idx, g0_16, g1_16, n16, True)
                 qres.append((kq_, mgq_, dq_, v0q_, v1q_, md0q_, mp0q_,
                              md1q_, mp1q_, jq_))
 
