@@ -364,12 +364,6 @@ class IntraTreeEncoder:
             al16c = jnp.concatenate(
                 [_bc(at_left, 16), _bc(jnp.zeros_like(at_left), 16)], 1)
 
-            def chroma32(topx, leftx, crx, orig):
-                t, l, c = _srg(
-                    topx, leftx, crx, at16c, al16c, at_top & at_left, 16)
-                return eval_chroma(orig, t, l, c, 16, 1, qpcb32[cy, cx],
-                                   bestA)
-
             ocb32 = jnp.concatenate([
                 jnp.concatenate([ocb[by, bx], ocb[by, bx + 1]], -1),
                 jnp.concatenate([ocb[by + 1, bx], ocb[by + 1, bx + 1]],
@@ -378,10 +372,26 @@ class IntraTreeEncoder:
                 jnp.concatenate([ocr[by, bx], ocr[by, bx + 1]], -1),
                 jnp.concatenate([ocr[by + 1, bx], ocr[by + 1, bx + 1]],
                                 -1)], -2)
-            lvAcb, rcAcb, sdAcb, rbAcb = chroma32(
-                topc, leftc, cbb[byu, bxl, 7, 7], ocb32)
-            lvAcr, rcAcr, sdAcr, rbAcr = chroma32(
-                topr, leftr, crb[byu, bxl, 7, 7], ocr32)
+            # ONE stacked cb+cr chroma chain (c_idx 1 vs 2 are
+            # identical in every op — halves the scan-step op count of
+            # the chroma chains, the measured commit-scan bottleneck)
+            tc2, lc2, cc2 = _srg(
+                jnp.concatenate([topc, topr], 0),
+                jnp.concatenate([leftc, leftr], 0),
+                jnp.concatenate([cbb[byu, bxl, 7, 7],
+                                 crb[byu, bxl, 7, 7]], 0),
+                jnp.concatenate([at16c, at16c], 0),
+                jnp.concatenate([al16c, al16c], 0),
+                jnp.concatenate([at_top & at_left,
+                                 at_top & at_left], 0), 16)
+            lvA2, rcA2, sdA2, rbA2 = eval_chroma(
+                jnp.concatenate([ocb32, ocr32], 0), tc2, lc2, cc2, 16,
+                1, jnp.concatenate([qpcb32[cy, cx]] * 2, 0),
+                jnp.concatenate([bestA, bestA], 0))
+            lvAcb, lvAcr = jnp.split(lvA2, 2, 0)
+            rcAcb, rcAcr = jnp.split(rcA2, 2, 0)
+            sdAcb, sdAcr = jnp.split(sdA2, 2, 0)
+            rbAcb, rbAcr = jnp.split(rbA2, 2, 0)
             jA = jA_y + sdAcb + sdAcr + lam_a * (rbAcb + rbAcr + 4.0)
 
             # ---- hypothesis B: 4 CU16 quadrants in z-scan order --------
@@ -403,14 +413,22 @@ class IntraTreeEncoder:
                     mode_bits(left_mode), forced_mode=fmode)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
-                tC, lC, cC = _srg(
-                    topC, leftC, corC, avt8, alt8, avcY, 8)
-                lv_cb, rc_cb, sd_cb, rb_cb = eval_chroma(
-                    oc8, tC, lC, cC, 8, 1, qpcv, best)
-                tR, lR, cR = _srg(
-                    topR, leftR, corR, avt8, alt8, avcY, 8)
-                lv_cr, rc_cr, sd_cr, rb_cr = eval_chroma(
-                    or8, tR, lR, cR, 8, 2, qpcv, best)
+                # stacked cb+cr chain (see the CU32 chroma note)
+                t2, l2, c2 = _srg(
+                    jnp.concatenate([topC, topR], 0),
+                    jnp.concatenate([leftC, leftR], 0),
+                    jnp.concatenate([corC, corR], 0),
+                    jnp.concatenate([avt8, avt8], 0),
+                    jnp.concatenate([alt8, alt8], 0),
+                    jnp.concatenate([avcY, avcY], 0), 8)
+                lv2, rc2, sd2, rb2 = eval_chroma(
+                    jnp.concatenate([oc8, or8], 0), t2, l2, c2, 8, 1,
+                    jnp.concatenate([qpcv, qpcv], 0),
+                    jnp.concatenate([best, best], 0))
+                lv_cb, lv_cr = jnp.split(lv2, 2, 0)
+                rc_cb, rc_cr = jnp.split(rc2, 2, 0)
+                sd_cb, sd_cr = jnp.split(sd2, 2, 0)
+                rb_cb, rb_cr = jnp.split(rb2, 2, 0)
                 j = j_y + sd_cb + sd_cr + lamv * (rb_cb + rb_cr + 4.0)
                 return (best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr, j)
 
