@@ -886,16 +886,24 @@ class InterTreeEncoder:
                     sbh=self.sbh, st=self.ST, rdoq=self.rdoq)
                 avt8 = avtY[:, ::2]
                 alt8 = altY[:, ::2]
-                tC, lC, cC = substitute_refs_general(
-                    topC, leftC, corC, avt8, alt8, avcY, 8)
-                lv_cb, rc_cb, _, _ = eval_intra_chroma(
-                    oc8, tC, lC, cC, 8, 1, qpcv, best, sbh=self.sbh,
-                    st=self.ST, rdoq=self.rdoq, lam=lamv)
-                tR, lR, cR = substitute_refs_general(
-                    topR, leftR, corR, avt8, alt8, avcY, 8)
-                lv_cr, rc_cr, _, _ = eval_intra_chroma(
-                    or8, tR, lR, cR, 8, 2, qpcv, best, sbh=self.sbh,
-                    st=self.ST, rdoq=self.rdoq, lam=lamv)
+                # ONE stacked cb+cr chroma chain (c_idx 1 and 2 are
+                # identical in every op) — halves the chroma op count
+                # in the commit-scan body (round-5 scan profile)
+                t2, l2, c2 = substitute_refs_general(
+                    jnp.concatenate([topC, topR], 0),
+                    jnp.concatenate([leftC, leftR], 0),
+                    jnp.concatenate([corC, corR], 0),
+                    jnp.concatenate([avt8, avt8], 0),
+                    jnp.concatenate([alt8, alt8], 0),
+                    jnp.concatenate([avcY, avcY], 0), 8)
+                lv2, rc2, _, _ = eval_intra_chroma(
+                    jnp.concatenate([oc8, or8], 0), t2, l2, c2, 8, 1,
+                    jnp.concatenate([qpcv, qpcv], 0),
+                    jnp.concatenate([best, best], 0), sbh=self.sbh,
+                    st=self.ST, rdoq=self.rdoq,
+                    lam=jnp.concatenate([lamv, lamv], 0))
+                lv_cb, lv_cr = jnp.split(lv2, 2, 0)
+                rc_cb, rc_cr = jnp.split(rc2, 2, 0)
                 return best, lv_y, rc_y, lv_cb, rc_cb, lv_cr, rc_cr
 
             def fin(q, intra_res, prev_cells):
